@@ -1,0 +1,107 @@
+"""Global configuration for g3py_tpu.
+
+The reference library configured its numeric policy through ambient Theano
+flags (``/root/reference/g3py/config.py:1-14``: float32 everywhere,
+``warn_float64='raise'``, FAST_RUN).  Here the policy is an explicit,
+importable settings object instead of import side-effects: float32 is the
+default compute dtype (TPU-native), jitter/robustness knobs are explicit,
+and nothing mutates interpreter-global state besides matplotlib's backend
+(selected lazily in :mod:`g3py_tpu.utils.plots`).
+"""
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class Settings:
+    """Numeric & runtime policy.
+
+    Attributes:
+      floatx: compute dtype for all model tensors (reference: Theano float32).
+      strict_dtypes: if True, ``asarray_x`` raises when it would silently
+        downcast float64 data (mirrors Theano ``warn_float64='raise'``).
+      cholesky_max_tries: bounded jitter-escalation attempts in
+        :func:`g3py_tpu.ops.linalg.safe_cholesky` (reference maxtries=20 plus
+        the initial clean attempt).
+      cholesky_jitter: relative base jitter, ``mean(diag) * cholesky_jitter``.
+      logp_guard: value returned by distribution logps when NaN/Inf guards
+        trip (reference uses -1e30, gaussian.py:234-241).
+      quadrature_degree: Gauss-Hermite degree for warped-process moments
+        (reference n=10, gaussian.py:127-174).
+      mc_simulations: default Monte-Carlo draws for transport moments
+        (reference default 30, transport.py:173-211).
+    """
+
+    floatx: str = "float32"
+    strict_dtypes: bool = False
+    # Matmul precision for gram/linalg matmuls.  JAX's default lets the MXU
+    # run bf16 passes (~2^-7 relative error) — unacceptable for kernel grams
+    # feeding a Cholesky.  'highest' = full fp32 accumulate.
+    matmul_precision: str = "highest"
+    cholesky_max_tries: int = 21
+    cholesky_jitter: float = 1e-6
+    logp_guard: float = -1e30
+    quadrature_degree: int = 10
+    mc_simulations: int = 30
+    plot_big: bool = False
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.floatx)
+
+
+settings = Settings()
+
+
+def floatx():
+    """The active compute dtype (numpy dtype object)."""
+    return np.dtype(settings.floatx)
+
+
+def set_floatx(name: str):
+    settings.floatx = name
+
+
+def asarray_x(value):
+    """Convert to the active float dtype.
+
+    Under ``settings.strict_dtypes`` a float64 input is an error, mirroring
+    the reference's ``warn_float64='raise'`` policy (config.py:9)."""
+    arr = np.asarray(value)
+    if settings.strict_dtypes and arr.dtype == np.float64:
+        raise TypeError(
+            "float64 input under strict_dtypes (reference warn_float64='raise')"
+        )
+    if np.issubdtype(arr.dtype, np.floating) or np.issubdtype(arr.dtype, np.integer):
+        return arr.astype(settings.floatx)
+    return arr
+
+
+def device_count():
+    return jax.device_count()
+
+
+def version():
+    """Dependency version dump (reference g3py/__init__.py:18-37)."""
+    import flax
+    import optax
+
+    info = {
+        "g3py_tpu": __version__,
+        "jax": jax.__version__,
+        "numpy": np.__version__,
+        "flax": flax.__version__,
+        "optax": optax.__version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+    }
+    for k, v in info.items():
+        print(f"{k}: {v}")
+    return info
+
+
+__version__ = "0.1.0"

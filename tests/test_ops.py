@@ -1,0 +1,175 @@
+"""Numeric-core tests: robust Cholesky, guards, gram builders, quadrature,
+Newton inversion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from g3py_tpu.ops import (
+    safe_cholesky,
+    to_cov,
+    to_num,
+    weighted_sqdist,
+    weighted_dot,
+    pairwise_sum,
+    pairwise_prod,
+    gauss_hermite,
+    newton_inverse,
+    cho_solve,
+    log_det_from_chol,
+)
+
+
+def _psd(n, rng, jitter=1e-2):
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    return a @ a.T + jitter * np.eye(n, dtype=np.float32)
+
+
+class TestSafeCholesky:
+    def test_matches_scipy_on_pd(self, rng):
+        a = _psd(16, rng, jitter=1.0)
+        L = np.asarray(safe_cholesky(a))
+        Lref = scipy.linalg.cholesky(a, lower=True)
+        np.testing.assert_allclose(L, Lref, rtol=2e-4, atol=2e-4)
+
+    def test_jitter_rescues_semidefinite(self, rng):
+        # rank-deficient matrix: clean cholesky fails, jitter must rescue
+        v = rng.standard_normal((16, 3)).astype(np.float32)
+        a = v @ v.T
+        L = np.asarray(safe_cholesky(a))
+        assert np.all(np.isfinite(L))
+        np.testing.assert_allclose(L @ L.T, a, atol=1e-2)
+
+    def test_total_failure_returns_scaled_identity(self):
+        a = jnp.full((4, 4), jnp.nan, dtype=jnp.float32)
+        L = np.asarray(safe_cholesky(a))
+        np.testing.assert_allclose(L, 1e-10 * np.eye(4), atol=0)
+
+    def test_negative_diagonal_repaired(self, rng):
+        a = _psd(8, rng, jitter=1.0)
+        a[0, 0] = -1.0
+        L = np.asarray(safe_cholesky(a))
+        assert np.all(np.isfinite(L))
+
+    def test_gradient_matches_cholesky_grad(self, rng):
+        a = _psd(6, rng, jitter=1.0)
+
+        def f(m):
+            return jnp.sum(safe_cholesky(m))
+
+        def f_ref(m):
+            return jnp.sum(jnp.linalg.cholesky(m))
+
+        g = jax.grad(f)(jnp.asarray(a))
+        g_ref = jax.grad(f_ref)(jnp.asarray(a))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3, atol=1e-3)
+
+    def test_gradient_finite_on_failure(self):
+        a = jnp.full((3, 3), jnp.nan, dtype=jnp.float32)
+        g = jax.grad(lambda m: jnp.sum(safe_cholesky(m)))(a)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestGuards:
+    def test_to_num(self):
+        x = jnp.array([np.nan, np.inf, -np.inf, 1.0])
+        np.testing.assert_allclose(np.asarray(to_num(x)), [0.0, 1e10, -1e10, 1.0])
+
+    def test_to_cov_repairs_diagonal(self):
+        a = jnp.diag(jnp.array([1.0, -0.5, 2.0]))
+        fixed = np.asarray(to_cov(a))
+        assert np.all(np.diag(fixed) > 0)
+
+
+class TestGram:
+    def test_weighted_sqdist_matches_naive(self, rng):
+        x1 = rng.standard_normal((7, 3)).astype(np.float32)
+        x2 = rng.standard_normal((5, 3)).astype(np.float32)
+        rate = np.abs(rng.standard_normal(3)).astype(np.float32)
+        want = ((x1[:, None, :] - x2[None, :, :]) ** 2 * rate**2).sum(-1)
+        # fast (decomposed) path: fp32 matmul cancellation tolerance
+        got = np.asarray(weighted_sqdist(x1, x2, rate))
+        np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+        # exact slab path: matches the naive form tightly
+        got_exact = np.asarray(weighted_sqdist(x1, x2, rate, exact=True))
+        np.testing.assert_allclose(got_exact, want, rtol=1e-5, atol=1e-5)
+
+    def test_weighted_sqdist_offset_data(self, rng):
+        # mean-centering must keep large-offset data accurate
+        x1 = (rng.standard_normal((6, 2)) + 100.0).astype(np.float32)
+        x2 = (rng.standard_normal((4, 2)) + 100.0).astype(np.float32)
+        want = ((x1[:, None, :] - x2[None, :, :]) ** 2).sum(-1)
+        got = np.asarray(weighted_sqdist(x1, x2))
+        np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+
+    def test_weighted_dot(self, rng):
+        x1 = rng.standard_normal((4, 3)).astype(np.float32)
+        x2 = rng.standard_normal((6, 3)).astype(np.float32)
+        w = np.abs(rng.standard_normal(3)).astype(np.float32)
+        got = np.asarray(weighted_dot(x1, x2, w))
+        want = (x1[:, None, :] * x2[None, :, :] * w).sum(-1)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_pairwise_sum_l1(self, rng):
+        x1 = rng.standard_normal((4, 3)).astype(np.float32)
+        x2 = rng.standard_normal((6, 3)).astype(np.float32)
+        got = np.asarray(pairwise_sum(x1, x2, lambda a, b: jnp.abs(a - b)))
+        want = np.abs(x1[:, None, :] - x2[None, :, :]).sum(-1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_pairwise_prod_min(self, rng):
+        x1 = np.abs(rng.standard_normal((4, 2))).astype(np.float32)
+        x2 = np.abs(rng.standard_normal((3, 2))).astype(np.float32)
+        got = np.asarray(pairwise_prod(x1, x2, jnp.minimum))
+        want = np.minimum(x1[:, None, :], x2[None, :, :]).prod(-1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestQuadrature:
+    def test_moments_of_identity(self):
+        mu = jnp.array([1.0, -2.0])
+        sd = jnp.array([0.5, 2.0])
+        m = gauss_hermite(lambda v: v, mu, sd, n=10)
+        np.testing.assert_allclose(np.asarray(m), np.asarray(mu), atol=1e-5)
+        m2 = gauss_hermite(lambda v: v**2, mu, sd, n=10)
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(mu**2 + sd**2), atol=1e-4)
+
+    def test_lognormal_mean(self):
+        # E[exp(X)] = exp(mu + s^2/2)
+        mu = jnp.array([0.3])
+        sd = jnp.array([0.7])
+        m = gauss_hermite(jnp.exp, mu, sd, n=20)
+        np.testing.assert_allclose(np.asarray(m), np.exp(0.3 + 0.49 / 2), rtol=1e-4)
+
+
+class TestNewtonInverse:
+    def test_inverts_monotone(self):
+        f = lambda x: x**3 + x  # strictly increasing
+        z = jnp.array([0.5, -2.0, 3.0])
+        x = newton_inverse(f, z, tol=1e-8, max_steps=512)
+        np.testing.assert_allclose(np.asarray(f(x)), np.asarray(z), atol=1e-4)
+
+    def test_implicit_gradient(self):
+        f = lambda x: jnp.exp(x) + x
+
+        def inv_sum(z):
+            return jnp.sum(newton_inverse(f, z, tol=1e-10, max_steps=512))
+
+        z = jnp.array([1.3])
+        g = jax.grad(inv_sum)(z)
+        # dx/dz = 1 / f'(x) at x = f^{-1}(z)
+        x = newton_inverse(f, z, tol=1e-10, max_steps=512)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(1.0 / (jnp.exp(x) + 1)), rtol=1e-4)
+
+
+class TestCholSolvers:
+    def test_cho_solve_and_logdet(self, rng):
+        a = _psd(10, rng, jitter=1.0)
+        b = rng.standard_normal(10).astype(np.float32)
+        L = safe_cholesky(a)
+        x = np.asarray(cho_solve(L, jnp.asarray(b)))
+        np.testing.assert_allclose(a @ x, b, rtol=2e-3, atol=2e-3)
+        ld = float(log_det_from_chol(L))
+        np.testing.assert_allclose(ld, np.linalg.slogdet(a.astype(np.float64))[1], rtol=1e-4)
