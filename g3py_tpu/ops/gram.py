@@ -90,30 +90,36 @@ def weighted_dot(x1, x2, weight=None):
     ).astype(x1.dtype)
 
 
-def _pairwise_reduce(x1, x2, elem_fn, combine, init):
-    """Reduce ``elem_fn(x1_d, x2_d)`` over the feature axis keeping only an
-    (N, M) slab alive per step — never materializes N x M x d."""
+def _pairwise_reduce(x1, x2, elem_fn, combine, init, per_dim=()):
+    """Reduce ``elem_fn(x1_d, x2_d, *w_d)`` over the feature axis keeping only
+    an (N, M) slab alive per step — never materializes N x M x d.
+
+    ``per_dim`` entries are length-d vectors (e.g. per-dimension frequencies)
+    whose d-th element is handed to ``elem_fn`` alongside the d-th feature
+    columns.
+    """
     x1, x2 = _as2d(x1), _as2d(x2)
     n, m = x1.shape[0], x2.shape[0]
     d = x1.shape[1]
     if d == 0:
         return jnp.full((n, m), init, dtype=x1.dtype)
+    per_dim = tuple(jnp.broadcast_to(jnp.asarray(w), (d,)) for w in per_dim)
 
     def body(carry, cols):
-        c1, c2 = cols
-        return combine(carry, elem_fn(c1[:, None], c2[None, :])), None
+        c1, c2, *ws = cols
+        return combine(carry, elem_fn(c1[:, None], c2[None, :], *ws)), None
 
     # scan over the (static) feature axis: one fused VPU slab per feature
     acc0 = jnp.full((n, m), init, dtype=x1.dtype)
-    acc, _ = lax.scan(body, acc0, (x1.T, x2.T))
+    acc, _ = lax.scan(body, acc0, (x1.T, x2.T) + per_dim)
     return acc
 
 
-def pairwise_sum(x1, x2, elem_fn):
-    """sum_d elem_fn(x1[:, d, None.T], x2[:, d]) as (N, M)."""
-    return _pairwise_reduce(x1, x2, elem_fn, lambda a, b: a + b, 0.0)
+def pairwise_sum(x1, x2, elem_fn, *per_dim):
+    """sum_d elem_fn(x1[:, d] broadcast against x2[:, d], *w_d) as (N, M)."""
+    return _pairwise_reduce(x1, x2, elem_fn, lambda a, b: a + b, 0.0, per_dim)
 
 
-def pairwise_prod(x1, x2, elem_fn):
+def pairwise_prod(x1, x2, elem_fn, *per_dim):
     """prod_d elem_fn over features as (N, M)."""
-    return _pairwise_reduce(x1, x2, elem_fn, lambda a, b: a * b, 1.0)
+    return _pairwise_reduce(x1, x2, elem_fn, lambda a, b: a * b, 1.0, per_dim)
