@@ -2,16 +2,22 @@
 
 A from-scratch JAX/XLA/Pallas rebuild of the capabilities of g3py
 (reference: griosd/g3py): exact/warped Gaussian processes, Student-t
-processes, marginal and transport (push-forward) processes, kernel/mean/
-mapping algebra, MAP training, ensemble MCMC over hyperparameter
+processes, marginal, transport (push-forward) and copula processes,
+kernel/mean/mapping/transport algebra with data-driven defaults, MAP
+training, ensemble MCMC / parallel tempering / HMC over hyperparameter
 posteriors, model averaging/selection, and analysis tooling — designed
 TPU-first (jit/grad pure functions, MXU-tiled grams, robust Cholesky
-pipelines, vmapped/sharded samplers) rather than translated from the
-reference's Theano/PyMC3 graph machinery.
+pipelines, vmapped/device-sharded samplers) rather than translated from
+the reference's Theano/PyMC3 graph machinery.
+
+The flat namespace mirrors the reference's ``import g3py as g3`` surface
+(``/root/reference/g3py/__init__.py:1-38``).
 """
 
 from . import config
 from .config import settings, version, floatx, set_floatx
+
+# support layer
 from .utils import (
     DictObj,
     MaxTime,
@@ -23,6 +29,214 @@ from .utils import (
     load_datatrace,
     save_json,
 )
+from .utils.data import (
+    data_sunspots,
+    data_co2,
+    data_engel,
+    data_heart,
+    data_eurusd,
+    data_abalone,
+    data_creep,
+    data_ailerons,
+    data_rivers,
+    random_obs,
+    uniform_obs,
+)
+from .utils.plots import (
+    figure,
+    plot,
+    show,
+    plot_text,
+    plot_save,
+    plot_img,
+    show_img,
+    plot_matrix,
+    grid2d,
+    plot_2d,
+    style_seaborn,
+    style_normal,
+    style_big,
+    style_big_seaborn,
+    style_widget,
+)
+from .utils.lagrange import LagrangianConstraint, LagrangianMultiplier
+
+# numeric core
 from . import ops
+from .ops import (
+    safe_cholesky,
+    cho_solve,
+    solve_lower_triangular,
+    solve_upper_triangular,
+    gauss_hermite,
+    newton_inverse,
+)
+
+# hypers layer
+from .hypers import (
+    Hypers,
+    Param,
+    Freedom,
+    Flat,
+    ExpFlat,
+    FlatExp,
+    FlatPos,
+    FlatExpId,
+    Exponential,
+    Uniform as UniformPrior,
+    Null,
+)
+from .hypers.metrics import (
+    Metric,
+    One,
+    Delta,
+    DeltaEq,
+    DeltaEq2,
+    Minimum,
+    Difference,
+    L1,
+    L2,
+    ARD,
+    ARD_L1,
+    ARD_L2,
+    ARD_Dot,
+    ARD_DotBias,
+    PSD,
+    PSD_Dot,
+    PSD_L2,
+)
+from .hypers.kernels import (
+    Kernel,
+    KernelDot,
+    KernelStationary,
+    KernelSum,
+    KernelProd,
+    KernelScale,
+    KernelShift,
+    KernelMax,
+    KernelEquals,
+    KernelEquals2,
+    KernelNoise,
+    BW,
+    VAR,
+    NIL,
+    LIN,
+    POL,
+    NN,
+    WN,
+    RQ,
+    MAT32,
+    MAT52,
+    OU,
+    SE,
+    KernelPeriodic,
+    COS,
+    SIN,
+    SINC,
+    SM,
+)
+from .hypers.means import (
+    Mean,
+    Location,
+    BlackBox,
+    Zero,
+    Bias,
+    Linear,
+    Power,
+)
+from .hypers.mappings import (
+    Mapping,
+    MappingComposed,
+    Identity,
+    LinearMapping,
+    LogShifted,
+    BoxCoxShifted,
+    BoxCoxLinear,
+    BoxCoxLinear2,
+    WarpingTanh,
+    WarpingBoxCox,
+    ArcsinhLinear,
+    SinhArcsinh,
+    Logistic,
+)
+from .hypers.transports import (
+    Transport,
+    TransportComposed,
+    ID,
+    TElemwise,
+    TLinear,
+    TNoLinear,
+    TLocation,
+    TScale,
+    TMapping,
+    TKernel,
+    TTriangular,
+)
+
+# process layer
+from .models import (
+    StochasticProcess,
+    EllipticalProcess,
+    GaussianProcess,
+    WarpedGaussianProcess,
+    StudentTProcess,
+    WarpedStudentTProcess,
+    MarginalProcess,
+    Density,
+    SymmetricDensity,
+    Uniform,
+    Normal,
+    StudentT,
+    TransportProcess,
+    TransportGaussianProcess,
+    CopulaProcess,
+    CopulaGaussianProcess,
+    CopulaStudentTProcess,
+    TransformedStudentTProcess,
+    GP,
+    WGP,
+    TP,
+    WTP,
+    MP,
+    TGP,
+    CGP,
+    CSTP,
+)
+
+# bayesian layer
+from .bayesian import (
+    GraphicalModel,
+    Model,
+    get_model,
+    PlotModel,
+    optimize,
+    Experiment,
+    ensemble_sampler,
+    pt_sampler,
+    hmc_sampler,
+    mcmc_ensemble,
+    chains_to_datatrace,
+    datatrace_to_chains,
+    datatrace_to_kde,
+    kde_to_datatrace,
+    cluster_datatrace,
+    errors_datatrace,
+    marginal_datatrace,
+    conditional_datatrace,
+    marginal,
+    conditional,
+    find_candidates,
+    gelman_rubin,
+    burn_in_samples,
+    effective_sample_min,
+    effective_sample_size,
+    plot_datatrace,
+    plot_clusters,
+    kde_datatrace,
+    hist_datatrace,
+    scatter_datatrace,
+)
+
+from . import parallel
 
 __version__ = config.__version__

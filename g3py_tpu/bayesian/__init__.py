@@ -1,0 +1,29 @@
+"""Bayesian layer: model container, training, sampling, analysis
+(reference ``g3py/bayesian/``)."""
+
+from .registry import GraphicalModel, Model, get_model
+from .models import PlotModel
+from .selection import optimize, Experiment
+from .samplers import ensemble_sampler, pt_sampler, hmc_sampler, mcmc_ensemble
+from .average import (
+    chains_to_datatrace,
+    datatrace_to_chains,
+    datatrace_to_kde,
+    kde_to_datatrace,
+    cluster_datatrace,
+    errors_datatrace,
+    marginal_datatrace,
+    conditional_datatrace,
+    marginal,
+    conditional,
+    find_candidates,
+    gelman_rubin,
+    burn_in_samples,
+    effective_sample_min,
+    effective_sample_size,
+    plot_datatrace,
+    plot_clusters,
+    kde_datatrace,
+    hist_datatrace,
+    scatter_datatrace,
+)

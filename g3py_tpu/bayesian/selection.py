@@ -1,0 +1,259 @@
+"""Optimizer wrapper and the Experiment model-selection harness.
+
+Rebuild of ``/root/reference/g3py/bayesian/selection.py``: the hardened
+scipy BFGS/Powell wrapper (:14-42) and the repeated-simulation
+model-selection benchmark (:45-343).
+"""
+
+import time
+
+import numpy as np
+import scipy.optimize as sp_optimize
+
+from ..config import settings
+from ..utils import DictObj, MaxTime, nan_to_high, save_pkl, load_pkl
+
+__all__ = ["optimize", "Experiment"]
+
+
+def optimize(logp, start, dlogp=None, fmin=None, max_time=None, disp=False):
+    """Maximize ``logp`` from ``start`` with scipy fmin_bfgs (gradient when
+    available) or fmin_powell; the objective is hardened against NaN/Inf and
+    exceptions, and a wall-clock budget aborts via callback exception
+    (reference selection.py:14-42)."""
+    start = np.asarray(start, dtype=np.float64)
+
+    def objective(p):
+        try:
+            return float(nan_to_high(-logp(p.astype(settings.floatx))))
+        except Exception:
+            return 1.0e32
+
+    callback = None if max_time is None else MaxTime(max_time)
+    if fmin is None:
+        fmin = "bfgs" if dlogp is not None else "powell"
+    try:
+        if fmin == "bfgs" and dlogp is not None:
+            def grad(p):
+                try:
+                    g = -np.asarray(dlogp(p.astype(settings.floatx)), dtype=np.float64)
+                    return np.where(np.isfinite(g), g, 0.0)
+                except Exception:
+                    return np.zeros_like(p)
+
+            out = sp_optimize.fmin_bfgs(objective, start, fprime=grad, disp=disp,
+                                        callback=callback)
+        elif fmin == "bfgs":
+            out = sp_optimize.fmin_bfgs(objective, start, disp=disp, callback=callback)
+        else:
+            out = sp_optimize.fmin_powell(objective, start, disp=disp,
+                                          callback=callback)
+    except TimeoutError:
+        if disp:
+            print("Optimization time limit reached")
+        return start.astype(settings.floatx)
+    except Exception as m:
+        if disp:
+            print("Optimization error:", m)
+        return start.astype(settings.floatx)
+    return np.atleast_1d(np.asarray(out)).astype(settings.floatx)
+
+
+class Experiment:
+    """Repeated-simulation model-selection benchmark (reference
+    selection.py:45-343): per-simulation random splits, multi-start
+    training per model, obs/valid/test scores and wall-times persisted to
+    disk with resume-on-restart."""
+
+    def __init__(self, models=None, file=None, load=True):
+        self.models = list(models) if models is not None else []
+        self.file = file
+        self.data_x = None
+        self.data_y = None
+        self.data_p = None
+        self.data_limit = 1
+        self.data_method = "random"
+        self.scores_mean = True
+        self.scores_median = False
+        self.scores_variance = True
+        self.scores_logp = True
+        self.scores_time = True
+        self.find_MAP = True
+        self.starts = 1
+        self.master = None
+        self.points = 1
+        self.powell = True
+        self.max_time = None
+        self.holdout = 0.0
+        self.results = None
+        self.simulations = {}
+        if file is not None and load:
+            try:
+                state = load_pkl(file)
+                self.__dict__.update(state)
+                print("Loaded experiment " + file)
+            except Exception:
+                pass
+
+    # -- configuration (reference selection.py:60-133) -------------------------
+    def add_model(self, model):
+        self.models.append(model)
+
+    def set_data(self, x, y, p=0.5, limit=1.0, method="random", holdout=0.0):
+        self.data_x = np.asarray(x)
+        self.data_y = np.asarray(y)
+        self.data_p = p
+        self.data_limit = limit
+        self.data_method = method
+        self.holdout = holdout
+
+    def set_scores(self, mean=True, median=False, variance=True, logp=True, time=True):
+        self.scores_mean = mean
+        self.scores_median = median
+        self.scores_variance = variance
+        self.scores_logp = logp
+        self.scores_time = time
+
+    def set_selection(self, find_MAP=True, starts=1, points=1, powell=True,
+                      master=None, max_time=None):
+        self.find_MAP = find_MAP
+        self.starts = starts
+        self.points = points
+        self.powell = powell
+        self.master = master
+        self.max_time = max_time
+
+    def save(self, path=None):
+        path = path or self.file
+        if path is None:
+            return
+        state = {k: v for k, v in self.__dict__.items() if k != "models"}
+        save_pkl(state, path)
+
+    # -- data splits ------------------------------------------------------------
+    def new_data(self, seed=None):
+        from ..utils.data import random_obs, uniform_obs
+
+        rng = np.random.default_rng(seed)
+        n = len(self.data_x)
+        limit = int(self.data_limit * n) if self.data_limit <= 1 else int(self.data_limit)
+        if self.data_method == "uniform":
+            obs_i, test_i = uniform_obs(self.data_x[:limit], self.data_p)
+        else:
+            obs_i, test_i = random_obs(self.data_x[:limit], self.data_p, rng=rng)
+        valid_i = np.array([], dtype=int)
+        if self.holdout > 0:
+            k = int(len(obs_i) * self.holdout)
+            valid_i = obs_i[:k]
+            obs_i = obs_i[k:]
+        return obs_i, valid_i, test_i
+
+    # -- selection ---------------------------------------------------------------
+    def select_model(self, sp, display=False):
+        """Multi-start training with default/randomized starts and optional
+        master-model warm start; picks the best start by logp
+        (reference selection.py:183-235)."""
+        starts = [sp.params_default]
+        for _ in range(max(self.starts - 1, 0)):
+            starts.append(sp.params_random(mean=sp.params_default, sigma=0.2))
+        if self.master is not None and self.master is not sp:
+            try:
+                starts.append(sp.params_process(process=self.master))
+            except Exception:
+                pass
+        if not self.find_MAP:
+            best, best_ll = None, -np.inf
+            for s in starts:
+                ll = sp.logp(s)
+                if ll > best_ll:
+                    best, best_ll = s, ll
+            return best
+        return sp.find_MAP(start=starts, points=self.points, powell=self.powell,
+                           display=display, max_time=self.max_time)
+
+    def calc_scores(self, sp, params, index):
+        x = self.data_x[index]
+        y = self.data_y[index]
+        if len(index) == 0:
+            return DictObj()
+        return sp.scores(params, space=x, hidden=y, logp=self.scores_logp,
+                         variance=self.scores_variance, median=self.scores_median)
+
+    def add_result(self, row):
+        import pandas as pd
+
+        if self.results is None:
+            self.results = pd.DataFrame([row])
+        else:
+            self.results = pd.concat(
+                [self.results, pd.DataFrame([row])], ignore_index=True)
+        if self.file is not None:
+            self.save()
+
+    def run(self, n_simulations=1, repeat=False, display=False):
+        """Main loop (reference selection.py:237-292): per (simulation,
+        model) train + score, skipping pairs already persisted."""
+        for sim in range(n_simulations):
+            if sim not in self.simulations:
+                self.simulations[sim] = self.new_data(seed=sim)
+            obs_i, valid_i, test_i = self.simulations[sim]
+            for sp in self.models:
+                done = False
+                if self.results is not None and not repeat:
+                    done = ((self.results["_simulation"] == sim)
+                            & (self.results["_model"] == sp.name)).any()
+                if done:
+                    continue
+                x_obs = self.data_x[obs_i]
+                y_obs = self.data_y[obs_i]
+                t0 = time.time()
+                sp.observed(x_obs, y_obs)
+                time_obs = time.time() - t0
+                t0 = time.time()
+                params = self.select_model(sp, display=display)
+                time_params = time.time() - t0
+                row = DictObj()
+                row["_simulation"] = sim
+                row["_model"] = sp.name
+                row["time_obs"] = time_obs
+                row["time_params"] = time_params
+                t0 = time.time()
+                for k, v in self.calc_scores(sp, params, obs_i).items():
+                    row["obs" + k] = v
+                row["time_scores_obs"] = time.time() - t0
+                if len(valid_i):
+                    t0 = time.time()
+                    for k, v in self.calc_scores(sp, params, valid_i).items():
+                        row["valid" + k] = v
+                    row["time_valid"] = time.time() - t0
+                t0 = time.time()
+                for k, v in self.calc_scores(sp, params, test_i).items():
+                    row["test" + k] = v
+                row["time_test"] = time.time() - t0
+                for k, v in params.items():
+                    row[k] = np.asarray(v)
+                self.add_result(row)
+                if display:
+                    print(f"sim {sim} model {sp.name}: "
+                          + str({k: v for k, v in row.items() if k.startswith('test')}))
+        return self.results
+
+    # -- reporting ---------------------------------------------------------------
+    def describe(self, score="test_l2"):
+        """Pivot results per model (reference selection.py:297-324)."""
+        if self.results is None:
+            return None
+        return self.results.pivot_table(index="_simulation", columns="_model",
+                                        values=score)
+
+    def plot(self, score="test_l2", kind="violin"):
+        """Per-model score comparison (reference selection.py:329-339)."""
+        import seaborn as sb
+
+        df = self.results
+        if df is None:
+            return
+        if kind == "violin":
+            sb.violinplot(data=df, x="_model", y=score)
+        else:
+            sb.swarmplot(data=df, x="_model", y=score)

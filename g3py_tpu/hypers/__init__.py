@@ -153,13 +153,22 @@ class IntervalTransform(Transform):
 
 
 class Prior:
-    """Transform + log-prior contribution in unconstrained space."""
+    """Transform + log-prior contribution.
+
+    ``logp(u)`` is the contribution in *unconstrained* space (density plus
+    transform Jacobian — what a PyMC3 free RV's logp factor contributed in
+    the reference); ``logp_natural(v)`` is the identical quantity expressed
+    as a function of the natural-space value, so dict- and array-space logps
+    agree: ``logp(u) == logp_natural(backward(u))``."""
 
     transform = IdentityTransform()
 
     def logp(self, u):
         """Total log-prior term (including transform Jacobian) as a scalar."""
         return jnp.zeros((), dtype=u.dtype)
+
+    def logp_natural(self, v):
+        return jnp.zeros((), dtype=v.dtype)
 
     def testval(self, shape):
         return zeros(shape)
@@ -182,6 +191,9 @@ class ExpFlat(Prior):
     def logp(self, u):
         return jnp.sum(u)
 
+    def logp_natural(self, v):
+        return jnp.sum(jnp.log(v))
+
     def testval(self, shape):
         return ones(shape)
 
@@ -199,6 +211,9 @@ class FlatExp(Prior):
         bad = jnp.any(u <= self._wall)
         return jnp.where(bad, GUARD, 0.0)
 
+    def logp_natural(self, v):
+        return jnp.where(jnp.any(v <= 1e-6), GUARD, 0.0)
+
     def testval(self, shape):
         return ones(shape)
 
@@ -209,6 +224,8 @@ class FlatPos(Prior):
 
     def logp(self, u):
         return jnp.where(jnp.all(u > 0), 0.0, GUARD)
+
+    logp_natural = logp
 
     def testval(self, shape):
         return ones(shape)
@@ -222,6 +239,9 @@ class FlatExpId(Prior):
 
     def logp(self, u):
         return jnp.sum(jnp.minimum(u, 0.0))
+
+    def logp_natural(self, v):
+        return jnp.sum(jnp.where(v < 1.0, jnp.log(jnp.maximum(v, 1e-38)), 0.0))
 
     def testval(self, shape):
         return ones(shape)
@@ -239,6 +259,9 @@ class Exponential(Prior):
     def logp(self, u):
         v = jnp.exp(u)
         return jnp.sum(np.log(self.lam) - self.lam * v + u)
+
+    def logp_natural(self, v):
+        return jnp.sum(np.log(self.lam) - self.lam * v + jnp.log(v))
 
     def testval(self, shape):
         return ones(shape)
@@ -261,6 +284,14 @@ class Uniform(Prior):
             - jnp.logaddexp(0.0, u)
         )
         return jnp.sum(-np.log(self.upper - self.lower) + jac)
+
+    def logp_natural(self, v):
+        p = (v - self.lower) / (self.upper - self.lower)
+        inside = jnp.all((p > 0) & (p < 1))
+        jac = jnp.sum(jnp.log(jnp.clip(p, 1e-38, 1.0))
+                      + jnp.log(jnp.clip(1 - p, 1e-38, 1.0))
+                      + np.log(self.upper - self.lower))
+        return jnp.where(inside, -v.size * np.log(self.upper - self.lower) + jac, GUARD)
 
     def testval(self, shape):
         mid = 0.5 * (self.lower + self.upper)

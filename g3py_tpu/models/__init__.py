@@ -1,0 +1,74 @@
+"""Process-layer models (reference ``g3py/processes/__init__.py``)."""
+
+from .stochastic import StochasticProcess
+from .elliptical import EllipticalProcess
+from .gaussian import (
+    GaussianProcess,
+    WarpedGaussianProcess,
+    WarpedGaussianDistribution,
+    warped_gaussian_logp_cho,
+)
+from .studentt import (
+    StudentTProcess,
+    WarpedStudentTProcess,
+    WarpedStudentTDistribution,
+    warped_studentt_logp_cho,
+)
+from .marginal import (
+    MarginalProcess,
+    Density,
+    SymmetricDensity,
+    Uniform,
+    Normal,
+    StudentT,
+)
+from .transport import (
+    TransportProcess,
+    TransportGaussianProcess,
+    TransportGaussianDistribution,
+    transport_gaussian_logp_t,
+)
+from .copula import (
+    CopulaProcess,
+    CopulaGaussianProcess,
+    CopulaStudentTProcess,
+    TransformedStudentTProcess,
+)
+
+# aliases (reference processes/__init__.py:9-16)
+GP = GaussianProcess
+WGP = WarpedGaussianProcess
+TP = StudentTProcess
+WTP = WarpedStudentTProcess
+MP = MarginalProcess
+TGP = TransportGaussianProcess
+CGP = CopulaGaussianProcess
+CSTP = CopulaStudentTProcess
+
+__all__ = [
+    "StochasticProcess",
+    "EllipticalProcess",
+    "GaussianProcess",
+    "WarpedGaussianProcess",
+    "WarpedGaussianDistribution",
+    "warped_gaussian_logp_cho",
+    "StudentTProcess",
+    "WarpedStudentTProcess",
+    "WarpedStudentTDistribution",
+    "warped_studentt_logp_cho",
+    "MarginalProcess",
+    "Density",
+    "SymmetricDensity",
+    "Uniform",
+    "Normal",
+    "StudentT",
+    "TransportProcess",
+    "TransportGaussianProcess",
+    "TransportGaussianDistribution",
+    "transport_gaussian_logp_t",
+    "CopulaProcess",
+    "CopulaGaussianProcess",
+    "CopulaStudentTProcess",
+    "TransformedStudentTProcess",
+    "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP",
+]

@@ -1,0 +1,374 @@
+"""EllipticalProcess — shared posterior math for GP/TP families.
+
+Rebuild of ``/root/reference/g3py/processes/elliptical.py``: owns a location
+Mean, a Kernel (wrapped with additive KernelNoise when ``noisy=True``), a
+Mapping warping, and optionally a Freedom degree hyper; exposes the
+prior/posterior location/kernel/cholesky/diag selector methods.
+
+The reference built every tensor eagerly at graph definition
+(``th_define_process``, elliptical.py:60-107); here each selector returns a
+pure jax function and XLA's jit cache plays the role of the compile cache.
+Posterior algebra (elliptical.py:81-92) is computed through one robust
+Cholesky of the observed gram + triangular solves (the reference used a
+generic ``tsl.solve``):
+
+  location* = m(s) + K_si Kii^{-1} (T^{-1}y - m(i))
+  kernel*   = K_ss - K_si Kii^{-1} K_is
+
+with the diag variant evaluated directly as k_ss - sum_col(solve(L, K_is)^2)
+— never materializing the full posterior covariance for wide spaces.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import matplotlib.pyplot as plt
+from matplotlib import cm
+
+from ..config import settings
+from ..hypers import Freedom
+from ..hypers.kernels import KernelSum, KernelNoise
+from ..hypers.means import Mean, Zero
+from ..hypers.mappings import Mapping, Identity
+from ..ops.guards import to_cov, to_num, to_bounded
+from ..ops.linalg import safe_cholesky, solve_lower_triangular, cho_solve
+from ..utils.plots import plot_text, show, grid2d, plot_2d
+from .stochastic import StochasticProcess, zero32
+
+__all__ = ["EllipticalProcess"]
+
+
+class EllipticalProcess(StochasticProcess):
+    def __init__(self, space=None, location: Mean = None, kernel=None,
+                 mapping: Mapping = None, degree: Freedom = None, noisy=True,
+                 var_noise=None, *args, **kwargs):
+        self.f_location = location if location is not None else Zero()
+        self.f_degree = degree
+        self.f_mapping = mapping if mapping is not None else Identity()
+        self.f_kernel = kernel
+        if noisy:
+            self.f_kernel_noise = KernelSum(
+                self.f_kernel, KernelNoise(name="Noise", var=var_noise))
+        else:
+            self.f_kernel_noise = self.f_kernel
+        kwargs["space"] = space
+        super().__init__(*args, **kwargs)
+
+    # -- registration (reference elliptical.py:35-52) -------------------------
+    def _components(self):
+        comps = [self.f_location, self.f_kernel_noise, self.f_mapping]
+        if self.f_degree is not None:
+            comps.append(self.f_degree)
+        return comps
+
+    def _check_hypers(self):
+        self.f_location.check_dims(self.inputs)
+        self.f_kernel_noise.check_dims(self.inputs)
+        self.f_mapping.check_dims(self.inputs)
+        self.f_location.check_hypers(self.name + "_")
+        self.f_kernel_noise.check_hypers(self.name + "_")
+        self.f_mapping.check_hypers(self.name + "_")
+        if self.f_degree is not None:
+            self.f_degree.check_dims(None)
+            self.f_degree.check_hypers(self.name + "_")
+
+    def default_hypers(self):
+        x = self.inputs
+        y = self.outputs
+        out = {}
+        out.update(self.f_location.default_hypers_dims(x, y))
+        out.update(self.f_kernel_noise.default_hypers_dims(x, y))
+        out.update(self.f_mapping.default_hypers_dims(x, y))
+        if self.f_degree is not None:
+            out.update(self.f_degree.default_hypers_dims(x, y))
+        return out
+
+    # -- shared pure-math helpers ------------------------------------------------
+    def _latent_obs(self, params, outputs):
+        """T^{-1} y (reference mapping_outputs, elliptical.py:62)."""
+        return to_num(self.f_mapping.inv(params, outputs))
+
+    def _obs_chol(self, params, inputs):
+        """Robust Cholesky of the (noisy) observed gram."""
+        return safe_cholesky(to_cov(self.f_kernel_noise.cov(params, inputs)))
+
+    def _posterior_location(self, params, space, inputs, outputs, noise):
+        kernel = self.f_kernel_noise if noise else self.f_kernel
+        cross = to_num(kernel.cov(params, space, inputs))
+        chol = self._obs_chol(params, inputs)
+        resid = self._latent_obs(params, outputs) - self.f_location(params, inputs)
+        return self.f_location(params, space) + jnp.dot(cross, cho_solve(chol, resid))
+
+    def _posterior_kernel(self, params, space, inputs, outputs, noise):
+        kernel = self.f_kernel_noise if noise else self.f_kernel
+        cross = to_num(kernel.cov(params, space, inputs))
+        chol = self._obs_chol(params, inputs)
+        v = solve_lower_triangular(chol, cross.T)  # (n_obs, n_space)
+        k_ss = kernel.cov(params, space)
+        return k_ss - jnp.matmul(v.T, v, precision=settings.matmul_precision)
+
+    def _posterior_kernel_diag(self, params, space, inputs, outputs, noise):
+        kernel = self.f_kernel_noise if noise else self.f_kernel
+        cross = to_num(kernel.cov(params, space, inputs))
+        chol = self._obs_chol(params, inputs)
+        v = solve_lower_triangular(chol, cross.T)
+        if noise:
+            k_diag = jnp.diagonal(kernel.cov(params, space))
+        else:
+            k_diag = jnp.diagonal(self.f_kernel.cov(params, space))
+        return to_bounded(k_diag - jnp.sum(v * v, axis=0), zero32)
+
+    # -- selector th_* quantities (reference elliptical.py:109-188) --------------
+    def th_freedom(self, prior=False, noise=False):
+        if self.f_degree is None:
+            return None
+        deg = self.f_degree
+
+        if prior:
+            def fn(params, space, inputs, outputs, vector):
+                return deg(params)
+        else:
+            def fn(params, space, inputs, outputs, vector):
+                return deg(params) + jnp.asarray(jnp.shape(inputs)[0],
+                                                 settings.dtype)
+        return fn
+
+    def th_mapping_inv(self, prior=False, noise=False):
+        def fn(params, space, inputs, outputs, vector):
+            return self._latent_obs(params, outputs)
+        return fn
+
+    def th_mapping(self, prior=False, noise=False):
+        def fn(params, space, inputs, outputs, vector):
+            # forward warping of an arbitrary latent vector (callers pass the
+            # latent through ``vector=``, reference used ``outputs=``)
+            return self.f_mapping(params, vector)
+        return fn
+
+    def th_location(self, prior=False, noise=False):
+        if prior:
+            def fn(params, space, inputs, outputs, vector):
+                return self.f_location(params, space)
+        else:
+            def fn(params, space, inputs, outputs, vector):
+                return self._posterior_location(params, space, inputs, outputs, noise)
+        return fn
+
+    def th_kernel(self, prior=False, noise=False):
+        if prior:
+            kernel = self.f_kernel_noise if noise else self.f_kernel
+
+            def fn(params, space, inputs, outputs, vector):
+                return to_cov(kernel.cov(params, space))
+        else:
+            def fn(params, space, inputs, outputs, vector):
+                return self._posterior_kernel(params, space, inputs, outputs, noise)
+        return fn
+
+    def th_cholesky(self, prior=False, noise=False):
+        k_fn = self.th_kernel(prior=prior, noise=noise)
+
+        def fn(params, space, inputs, outputs, vector):
+            return safe_cholesky(to_cov(k_fn(params, space, inputs, outputs, vector)))
+        return fn
+
+    def th_kernel_diag(self, prior=False, noise=False):
+        if prior:
+            kernel = self.f_kernel_noise if noise else self.f_kernel
+
+            def fn(params, space, inputs, outputs, vector):
+                return to_bounded(jnp.diagonal(kernel.cov(params, space)), zero32)
+        else:
+            def fn(params, space, inputs, outputs, vector):
+                return self._posterior_kernel_diag(params, space, inputs, outputs,
+                                                   noise)
+        return fn
+
+    def th_kernel_sd(self, prior=False, noise=False):
+        diag_fn = self.th_kernel_diag(prior=prior, noise=noise)
+
+        def fn(params, space, inputs, outputs, vector):
+            return jnp.sqrt(diag_fn(params, space, inputs, outputs, vector))
+        return fn
+
+    def th_cholesky_diag(self, prior=False, noise=False):
+        sd_fn = self.th_kernel_sd(prior=prior, noise=noise)
+
+        def fn(params, space, inputs, outputs, vector):
+            return jnp.diag(sd_fn(params, space, inputs, outputs, vector))
+        return fn
+
+    # -- moments (reference elliptical.py:190-217) --------------------------------
+    def th_median(self, prior=False, noise=False, simulations=None):
+        loc_fn = self.th_location(prior=prior, noise=noise)
+
+        def fn(params, space, inputs, outputs, vector):
+            return self.f_mapping(params, loc_fn(params, space, inputs, outputs,
+                                                 vector))
+        return fn
+
+    def th_mean(self, prior=False, noise=False, simulations=None):
+        loc_fn = self.th_location(prior=prior, noise=noise)
+
+        def fn(params, space, inputs, outputs, vector):
+            return self.f_mapping(params, loc_fn(params, space, inputs, outputs,
+                                                 vector))
+        return fn
+
+    def th_variance(self, prior=False, noise=False, simulations=None):
+        return self.th_kernel_diag(prior=prior, noise=noise)
+
+    def th_covariance(self, prior=False, noise=False):
+        return self.th_kernel(prior=prior, noise=noise)
+
+    # -- dispatcher bindings -------------------------------------------------------
+    _dispatch_methods = dict(
+        StochasticProcess._dispatch_methods,
+        freedom="th_freedom",
+        mapping="th_mapping",
+        mapping_inv="th_mapping_inv",
+        location="th_location",
+        kernel="th_kernel",
+        cholesky="th_cholesky",
+        kernel_diag="th_kernel_diag",
+        kernel_sd="th_kernel_sd",
+        cholesky_diag="th_cholesky_diag",
+    )
+
+    # -- model plots (reference elliptical.py:219-333) -----------------------------
+    def plot_kernel(self, params=None, space=None, inputs=None, prior=True,
+                    noise=False, centers=(1 / 10, 1 / 2, 9 / 10)):
+        if params is None:
+            params = self.params
+        if space is None:
+            space = self.space
+        if inputs is None:
+            inputs = self.inputs
+        ksi = self.kernel(params=params, space=space, inputs=inputs, prior=prior,
+                          noise=noise).T
+        for ind in centers:
+            plt.plot(self.order, ksi[int(len(ksi) * ind), :],
+                     label="k(x_" + str(int(len(ksi) * ind)) + ")")
+        plot_text("Kernel", "Space x", "Kernel value k(x,v)")
+
+    def plot_concentration(self, params=None, space=None, prior=True, noise=True,
+                           color=True, cmap=cm.seismic, figsize=(6, 6),
+                           title="Concentration"):
+        if params is None:
+            params = self.params
+        if space is None:
+            space = self.space
+        concentration = self.kernel(params=params, space=space, prior=prior,
+                                    noise=noise)
+        if color:
+            if figsize is not None:
+                plt.figure(None, figsize)
+            v = np.max(np.abs(concentration))
+            plt.imshow(concentration, cmap=cmap, vmax=v, vmin=-v)
+        else:
+            plt.matshow(concentration)
+        plot_text(title, "Space x", "Space x", legend=False)
+
+    def plot_mapping(self, params=None, domain=None, inputs=None, outputs=None,
+                     neval=100, title=None, label="mapping"):
+        if params is None:
+            params = self.params
+        if outputs is None:
+            outputs = self.outputs
+        if domain is None:
+            domain = np.linspace(outputs.min(), outputs.max(), neval,
+                                 dtype=settings.floatx)
+        plt.plot(domain, np.asarray(self.f_mapping.inv(
+            {k: np.asarray(v) for k, v in params.items()}, domain)), label=label)
+        plot_text(title or "Mapping", "Domain y", "Domain T(y)")
+
+    def plot_model(self, params=None, indexs=None, kernel=True, mapping=True,
+                   marginals=True, bivariate=True):
+        if indexs is None:
+            mid = len(self.index) // 2
+            indexs = [int(self.index[mid]), int(self.index[mid]) + 1]
+        if kernel:
+            plt.subplot(121)
+            self.plot_kernel(params=params)
+        if mapping:
+            plt.subplot(122)
+            self.plot_mapping(params=params)
+        show()
+        if marginals:
+            plt.subplot(121)
+            self.plot_distribution(index=indexs[0], params=params,
+                                   space=self.space[indexs[0]:indexs[0] + 1, :],
+                                   prior=True)
+            self.plot_distribution(index=indexs[0], params=params,
+                                   space=self.space[indexs[0]:indexs[0] + 1, :])
+            plt.subplot(122)
+            self.plot_distribution(index=indexs[1], params=params,
+                                   space=self.space[indexs[1]:indexs[1] + 1, :],
+                                   prior=True)
+            self.plot_distribution(index=indexs[1], params=params,
+                                   space=self.space[indexs[1]:indexs[1] + 1, :])
+            show()
+        if bivariate:
+            self.plot_distribution2D(indexs=indexs, params=params,
+                                     space=self.space[indexs, :])
+            show()
+
+    def plot_distribution(self, index=0, params=None, space=None, inputs=None,
+                          outputs=None, mean=True, var=True, cov=False, median=False,
+                          quantiles=False, quantiles_noise=False, noise=False,
+                          prior=False, sigma=4, neval=100, title=None, swap=False,
+                          label=None):
+        pred = self.predict(params=params, space=space, inputs=inputs,
+                            outputs=outputs, mean=mean, var=var, cov=cov,
+                            median=median, quantiles=quantiles,
+                            quantiles_noise=quantiles_noise, noise=noise,
+                            distribution=True, prior=prior)
+        domain = np.linspace(pred.mean - sigma * pred.std,
+                             pred.mean + sigma * pred.std, neval).reshape(-1)
+        dist_plot = np.zeros(len(domain))
+        for i in range(len(domain)):
+            dist_plot[i] = pred.logpredictive(domain[i:i + 1])
+        dist_plot = np.exp(dist_plot)
+        if label is None:
+            label = "prior" if prior else "posterior"
+        if label is False:
+            label = None
+        if title is None:
+            title = "Marginal Distribution y_" + str(self.order[index])
+        if swap:
+            plt.plot(dist_plot, domain, label=label)
+            plot_text(title, "Density", "Domain y")
+        else:
+            plt.plot(domain, dist_plot, label=label)
+            plot_text(title, "Domain y", "Density")
+
+    def plot_distribution2D(self, indexs=(0, 1), params=None, space=None,
+                            inputs=None, outputs=None, mean=True, var=True,
+                            cov=False, median=False, quantiles=False,
+                            quantiles_noise=False, noise=False, prior=False,
+                            sigma_1=2, sigma_2=2, neval=33, title=None):
+        pred = self.predict(params=params, space=space, inputs=inputs,
+                            outputs=outputs, mean=mean, var=var, cov=cov,
+                            median=median, quantiles=quantiles,
+                            quantiles_noise=quantiles_noise, noise=noise,
+                            distribution=True, prior=prior)
+        dist1 = np.linspace(pred.mean[0] - sigma_1 * pred.std[0],
+                            pred.mean[0] + sigma_1 * pred.std[0], neval)
+        dist2 = np.linspace(pred.mean[1] - sigma_2 * pred.std[1],
+                            pred.mean[1] + sigma_2 * pred.std[1], neval)
+        xy, x2d, y2d = grid2d(dist1, dist2)
+        dist_plot = np.zeros(len(xy))
+        for i in range(len(xy)):
+            dist_plot[i] = pred.logpredictive(xy[i])
+        plot_2d(np.exp(dist_plot), x2d, y2d)
+        plot_text(title or "Distribution2D",
+                  "Domain y_" + str(self.order[indexs[0]]),
+                  "Domain y_" + str(self.order[indexs[1]]), legend=False)
+
+    def plot_location(self, params=None, space=None):
+        if params is None:
+            params = self.params
+        if space is None:
+            space = self.space
+        plt.plot(self.order, self.location(params=params, space=space, prior=True),
+                 label="location")
+        plot_text("Location", "Space x", "Location value m(x)")

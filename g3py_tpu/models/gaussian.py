@@ -1,0 +1,195 @@
+"""GaussianProcess / WarpedGaussianProcess and the warped-gaussian density.
+
+Rebuild of ``/root/reference/g3py/processes/gaussian.py``: the GP observed
+density is the warped multivariate normal
+
+  logp = -n/2 log 2pi - 1/2 |L^{-1}(T^{-1}y - mu)|^2 - sum log diag L
+         + log|det dT^{-1}(y)|
+
+with four NaN/Inf guards falling to -1e30 (reference gaussian.py:192-241);
+posterior moments come from the elliptical core; quantiles are analytic
+(``T(mu + z_q sigma)``, :56-73); samples push Cholesky-colored normals
+through the warping (:75-97); WGP moments use 10-point Gauss-Hermite
+quadrature of T and T^2 over the latent gaussian (:127-174).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy import stats
+
+from ..config import settings
+from ..ops.guards import to_num
+from ..ops.linalg import solve_lower_triangular
+from ..ops.quadrature import gauss_hermite
+from ..utils import DictObj
+from .elliptical import EllipticalProcess
+from .stochastic import zero32
+
+__all__ = ["GaussianProcess", "WarpedGaussianProcess",
+           "warped_gaussian_logp_cho", "WarpedGaussianDistribution"]
+
+GUARD = np.float32(-1e30)
+LOG2PI = np.float32(np.log(2.0 * np.pi))
+
+
+def warped_gaussian_logp_cho(value, mu, cho, mapping_inv_value, logdet_dinv):
+    """logp of a warped gaussian given a Cholesky factor (full or diagonal)
+    of the dispersion (reference ``WarpedGaussianDistribution.logp_cho``,
+    gaussian.py:192-241).  ``mapping_inv_value`` and ``logdet_dinv`` are the
+    already-applied warping pullbacks of ``value``."""
+    delta = mapping_inv_value - mu
+    lcho = solve_lower_triangular(cho, delta)
+    quad = jnp.dot(lcho, lcho)
+    n = jnp.asarray(jnp.shape(cho)[0], settings.dtype)
+    npi = -0.5 * n * LOG2PI
+    det_k = -jnp.sum(jnp.log(jnp.diagonal(cho)))
+    r = npi - 0.5 * quad + det_k + logdet_dinv
+    bad = (~jnp.all(jnp.isfinite(delta))) \
+        | (~jnp.isfinite(logdet_dinv)) \
+        | (~jnp.all(jnp.isfinite(cho))) \
+        | (~jnp.all(jnp.isfinite(lcho)))
+    return jnp.where(bad, GUARD, to_num(r, nan=GUARD, neginf=GUARD))
+
+
+class WarpedGaussianDistribution:
+    """Namespace kept for reference-API parity (gaussian.py:177-260)."""
+
+    logp_cho = staticmethod(warped_gaussian_logp_cho)
+
+
+class GaussianProcess(EllipticalProcess):
+    """Exact (optionally warped-observation) Gaussian process regression."""
+
+    def __init__(self, *args, **kwargs):
+        if "name" not in kwargs:
+            kwargs["name"] = "GP"
+        super().__init__(*args, **kwargs)
+
+    def th_define_process(self):
+        # the observed RV of the reference (gaussian.py:30-40) is the
+        # loglikelihood closure here
+        self.distribution = WarpedGaussianDistribution
+
+    def th_loglike_fn(self):
+        """Observed-data loglikelihood: warped MVN over the prior inputs
+        moments (reference gaussian.py:30-40)."""
+        mapping = self.f_mapping
+        location = self.f_location
+
+        def fn(params, space, inputs, outputs):
+            mu = location(params, inputs)
+            cho = self._obs_chol(params, inputs)
+            tinv = to_num(mapping.inv(params, outputs))
+            logdet = mapping.logdet_dinv(params, outputs)
+            return warped_gaussian_logp_cho(outputs, mu, cho, tinv, logdet)
+
+        return fn
+
+    def th_logpredictive(self, prior=False, noise=False):
+        """Independent-marginal log-predictive of an arbitrary vector using
+        the *diagonal* posterior cholesky (reference gaussian.py:42-54)."""
+        loc_fn = self.th_location(prior=prior, noise=noise)
+        sd_fn = self.th_kernel_sd(prior=prior, noise=True)
+        mapping = self.f_mapping
+
+        def fn(params, space, inputs, outputs, vector):
+            mu = loc_fn(params, space, inputs, outputs, vector)
+            sd = sd_fn(params, space, inputs, outputs, vector)
+            tinv = to_num(mapping.inv(params, vector))
+            logdet = mapping.logdet_dinv(params, vector)
+            cho = jnp.diag(sd)
+            return warped_gaussian_logp_cho(vector, mu, cho, tinv, logdet)
+
+        return fn
+
+    # -- host-side prediction helpers ------------------------------------------
+    def quantiler(self, params=None, space=None, inputs=None, outputs=None, q=0.975,
+                  prior=False, noise=False, simulations=None):
+        """Analytic quantile T(mu + z_q sigma) (reference gaussian.py:56-73)."""
+        p = np.float32(stats.norm.ppf(q))
+        loc = self.location(params, space, inputs, outputs, prior=prior, noise=noise)
+        sd = self.kernel_sd(params, space, inputs, outputs, prior=prior, noise=noise)
+        latent = loc + p * sd
+        return self.mapping(params, space, inputs, outputs, vector=latent)
+
+    def sampler(self, params=None, space=None, inputs=None, outputs=None, samples=1,
+                prior=False, noise=False, rng=None):
+        """Cholesky-colored normal draws pushed through the warping
+        (reference gaussian.py:75-97)."""
+        if space is None:
+            space = self.space
+        if rng is None:
+            rng = np.random.default_rng()
+        rand = rng.standard_normal((len(space), samples)).astype(settings.floatx)
+        loc = self.location(params, space, inputs, outputs, prior=prior, noise=noise)
+        cho = self.cholesky(params, space, inputs, outputs, prior=prior, noise=noise)
+        latent = loc[:, None] + cho.dot(rand)
+        return np.stack(
+            [self.mapping(params, space, inputs, outputs, vector=latent[:, k])
+             for k in range(samples)], axis=1)
+
+    def th_cross_mean(self, prior=False, noise=False, cross_kernel=None):
+        """Cross-process posterior mean through an explicit cross-kernel
+        (reference gaussian.py:99-112)."""
+        if cross_kernel is None:
+            cross_kernel = self.f_kernel
+        location = self.f_location
+        mapping = self.f_mapping
+
+        def fn(params, space, inputs, outputs, vector):
+            if prior:
+                return location(params, space)
+            from ..ops.linalg import cho_solve
+
+            cross = to_num(cross_kernel.cov(params, space, inputs))
+            chol = self._obs_chol(params, inputs)
+            resid = to_num(mapping.inv(params, outputs)) - location(params, inputs)
+            return location(params, space) + jnp.dot(cross, cho_solve(chol, resid))
+
+        return fn
+
+
+class WarpedGaussianProcess(GaussianProcess):
+    """GP with non-analytic warped moments via Gauss-Hermite quadrature
+    (reference gaussian.py:115-174)."""
+
+    def __init__(self, *args, **kwargs):
+        if "name" not in kwargs:
+            kwargs["name"] = "WGP"
+        super().__init__(*args, **kwargs)
+
+    def th_mean(self, prior=False, noise=False, simulations=None, n=None):
+        if n is None:
+            n = settings.quadrature_degree
+        loc_fn = self.th_location(prior=prior, noise=noise)
+        sd_fn = self.th_kernel_sd(prior=prior, noise=noise)
+        mapping = self.f_mapping
+
+        def fn(params, space, inputs, outputs, vector):
+            mu = loc_fn(params, space, inputs, outputs, vector)
+            sd = sd_fn(params, space, inputs, outputs, vector)
+            return gauss_hermite(lambda v: mapping(params, v), mu, sd, n=n)
+
+        return fn
+
+    def th_variance(self, prior=False, noise=False, simulations=None, n=None):
+        if n is None:
+            n = settings.quadrature_degree
+        loc_fn = self.th_location(prior=prior, noise=noise)
+        sd_fn = self.th_kernel_sd(prior=prior, noise=noise)
+        mapping = self.f_mapping
+
+        def fn(params, space, inputs, outputs, vector):
+            mu = loc_fn(params, space, inputs, outputs, vector)
+            sd = sd_fn(params, space, inputs, outputs, vector)
+            m1 = gauss_hermite(lambda v: mapping(params, v), mu, sd, n=n)
+            m2 = gauss_hermite(lambda v: mapping(params, v) ** 2, mu, sd, n=n)
+            return m2 - m1**2
+
+        return fn
+
+    def th_covariance(self, prior=False, noise=False):
+        return None
+
+    gauss_hermite = staticmethod(gauss_hermite)

@@ -1,0 +1,1005 @@
+"""StochasticProcess — the abstract model driving every process family.
+
+TPU-native rebuild of the reference ``StochasticProcess``
+(``/root/reference/g3py/processes/stochastic.py``).  Architectural mapping:
+
+* Theano shared variables + ``makefn`` compile cache + ``types.MethodType``
+  rebinding (reference :46-71, :328-430)  ->  host numpy data attributes +
+  pure jax functions of ``(params, space, inputs, outputs, vector)`` jitted
+  and cached in ``self.compiles`` under the reference's cache-key naming
+  (``posterior_mean``, ``array_posterior_logp``, ...), with per-function
+  ``executed`` counters.
+* PyMC3 RV registration -> :class:`~g3py_tpu.bayesian.registry.GraphicalModel`
+  param registry (shared across processes for graphical models).
+* ``th_logp`` = prior terms + observed loglikes + potentials
+  (reference :300-313); the ``array_*`` variants take the unconstrained flat
+  vector and differentiate through the bijection with ``jax.grad``.
+* ``fixed_*`` Rao-Blackwellized logps (reference :523-564) are vmapped over
+  the pinned chain instead of Python loops.
+* ``find_MAP`` multi-start alternating BFGS/Powell (reference :566-674) and
+  ``sample_hypers`` ensemble-MCMC driver (reference :676-800) keep their
+  recipes; chain parallelism is jax-native (vmap over walkers) rather than
+  ``multiprocessing``.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import matplotlib.pyplot as plt
+
+from ..config import settings, asarray_x
+from ..utils import DictObj, save_pkl, load_pkl, load_datatrace, save_datatrace
+from ..bayesian.registry import GraphicalModel
+from ..bayesian.models import PlotModel
+from ..bayesian.selection import optimize
+from ..bayesian.average import mcmc_ensemble, chains_to_datatrace, plot_datatrace
+
+__all__ = ["StochasticProcess", "CompiledFn", "zero32"]
+
+zero32 = np.float32(0.0)
+
+
+class CompiledFn:
+    """jit wrapper with an executed counter (the reference's ``makefn``
+    compiled-function object, tensors.py:35-74)."""
+
+    def __init__(self, fn, name=""):
+        self.fn = jax.jit(fn)
+        self.name = name
+        self.executed = 0
+
+    def __call__(self, *args):
+        self.executed += 1
+        out = self.fn(*args)
+        return np.asarray(out)
+
+
+def _prep_matrix(x):
+    x = asarray_x(np.asarray(x))
+    if x.ndim < 2:
+        x = x.reshape(len(x), 1)
+    return x
+
+
+def _prep_vector(y):
+    y = asarray_x(np.asarray(y))
+    if y.ndim > 1:
+        y = y.reshape(len(y))
+    return y
+
+
+class StochasticProcess(PlotModel):
+    """Abstract stochastic-process model (see module docstring)."""
+
+    def __init__(self, space=None, order=None, inputs=None, outputs=None, hidden=None,
+                 index=None, name="SP", distribution=None, active=False,
+                 precompile=False, file=None, load=True, compile_logp=True,
+                 *args, **kwargs):
+        # ---- load-from-file path (reference :25-34) -------------------------
+        if file is not None and load:
+            try:
+                loaded = load_pkl(file)
+                self.__dict__.update(loaded.__dict__)
+                self._compile_methods(compile_logp)
+                print("Loaded model " + file)
+                self.set_space(space=space, hidden=hidden, order=order, inputs=inputs,
+                               outputs=outputs, index=index)
+                return
+            except Exception:
+                print("Model Not Found in " + str(file))
+
+        ndim = 1
+        if space is not None:
+            if hasattr(space, "shape"):
+                if len(space.shape) > 1:
+                    ndim = space.shape[1]
+            else:
+                ndim = int(space)
+        self.nspace = ndim
+        self.name = name
+
+        # host-side data state (the reference's shared variables, :46-71)
+        default_mat = np.array([[0.0, 1.0]] * self.nspace, dtype=settings.floatx).T
+        default_vec = np.array([0.0, 1.0], dtype=settings.floatx)
+        self._space = default_mat.copy()
+        self._inputs = default_mat.copy()
+        self._outputs = default_vec.copy()
+        self._order = default_vec.copy()
+        self._index = default_vec.copy()
+        self.np_hidden = None
+        self.is_observed = False
+        self._data_version = 0
+
+        self.distribution = distribution
+        # graphical-model attach (reference :74-82)
+        if active is True:
+            if GraphicalModel.active is None:
+                GraphicalModel.active = GraphicalModel("GM_" + self.name)
+            self.active = GraphicalModel.active
+        elif active is False:
+            self.active = GraphicalModel("GM_" + self.name)
+        else:
+            self.active = active
+        self.active.add_component(self)
+        self.compiles = DictObj()
+        self.precompile = precompile
+
+        super().__init__(*args, **kwargs)
+
+        # register hyperparameters & potentials, then define the process
+        self._check_hypers()
+        self._register_params()
+        self.th_define_process()
+        self.set_space(space=space, hidden=hidden, order=order, inputs=inputs,
+                       outputs=outputs, index=index)
+        self._compile_methods(compile_logp)
+        if hidden is None:
+            self.hidden = hidden
+
+        if file is not None:
+            self.file = file
+            try:
+                self.save()
+            except Exception:
+                print("Error in file " + str(file))
+
+    # ------------------------------------------------------------------ hooks
+    def _components(self):
+        """Hypers-bearing components of this process (subclass hook)."""
+        return []
+
+    def _check_hypers(self):
+        pass
+
+    def th_define_process(self):
+        pass
+
+    def default_hypers(self):
+        return {}
+
+    def _register_params(self):
+        for comp in self._components():
+            if comp is None:
+                continue
+            for p in comp.hypers:
+                self.active.register_param(p)
+            if getattr(comp, "potential", None) is not None:
+                cname = f"{self.name}_{comp.name}_potential"
+                self.active.register_potential(cname, comp.potential_logp)
+
+    # ------------------------------------------------------------- persistence
+    def save(self, path=None, params=None):
+        if path is None:
+            path = self.file
+        if params is not None:
+            self.set_params(params)
+        try:
+            if os.path.isfile(path):
+                os.remove(path)
+            compiles, self.compiles = self.compiles, DictObj()
+            try:
+                save_pkl(self, path)
+            finally:
+                self.compiles = compiles
+            print("Model saved on " + path)
+        except Exception as details:
+            print("Error saving model " + str(path), details)
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["compiles"] = DictObj()  # jitted callables don't pickle
+        # bound runtime closures are rebuilt by _compile_methods on load
+        for public in type(self)._dispatch_methods:
+            state.pop(public, None)
+        state.pop("_cluster", None)
+        return state
+
+    # ----------------------------------------------------------------- params
+    def set_params(self, *args, **kwargs):
+        return self.active.set_params(*args, **kwargs)
+
+    def params_random(self, *args, **kwargs):
+        return self.active.params_random(*args, **kwargs)
+
+    def params_datatrace(self, *args, **kwargs):
+        return self.active.params_datatrace(*args, **kwargs)
+
+    def transform_params(self, *args, **kwargs):
+        return self.active.transform_params(*args, **kwargs)
+
+    def params_process(self, process=None, params=None, current=None, fixed=False):
+        """Map another process's params onto this one by name prefix
+        (reference :140-152)."""
+        if process is None:
+            process = self
+        if params is None:
+            params = process.params
+        if current is None:
+            current = self.params
+        params_transform = {k.replace(process.name, self.name, 1): v
+                            for k, v in params.items()}
+        out = DictObj({k: v for k, v in params_transform.items() if k in current})
+        out.update({k: v for k, v in current.items() if k not in params_transform})
+        return out
+
+    @property
+    def model(self):
+        return self.active
+
+    @property
+    def params(self):
+        return self.active.params
+
+    @property
+    def params_default(self):
+        return self.active.params_default
+
+    @property
+    def params_test(self):
+        return self.active.params_test
+
+    @property
+    def ndim(self):
+        return self.active.ndim
+
+    # ------------------------------------------------------------------- data
+    def set_space(self, space=None, hidden=None, order=None, inputs=None,
+                  outputs=None, index=None):
+        """Assign domain/data arrays with the reference's reshaping semantics
+        (stochastic.py:150-184)."""
+        changed = False
+        if space is not None:
+            self._space = _prep_matrix(space)
+            changed = True
+        if hidden is not None:
+            self.np_hidden = _prep_vector(hidden)
+        if order is not None:
+            self._order = _prep_vector(order)
+        elif self.nspace == 1 and space is not None:
+            self._order = self._space.reshape(len(self._space))
+        if inputs is not None:
+            self._inputs = _prep_matrix(inputs)
+            changed = True
+        if outputs is not None:
+            self._outputs = _prep_vector(outputs)
+            changed = True
+        if index is not None:
+            self._index = _prep_vector(index)
+        elif self.nspace == 1 and inputs is not None:
+            self._index = self._inputs.reshape(len(self._inputs))
+        if len(self._order) != len(self._space):
+            self._order = np.arange(len(self._space), dtype=settings.floatx)
+        if len(self._index) != len(self._inputs):
+            self._index = np.arange(len(self._inputs), dtype=settings.floatx)
+        if changed:
+            self._data_version += 1
+
+    def observed(self, inputs=None, outputs=None, order=None, index=None, hidden=None):
+        """Assign observations; computes nothing until asked
+        (reference :186-201)."""
+        self.set_space(inputs=inputs, outputs=outputs, order=order, index=index,
+                       hidden=hidden)
+        self.is_observed = not (inputs is None and outputs is None)
+
+    # data properties (reference exposed shared-variable get/set, :216-266)
+    @property
+    def space(self):
+        return self._space
+
+    @space.setter
+    def space(self, value):
+        self.set_space(space=value)
+
+    @property
+    def hidden(self):
+        return self.np_hidden
+
+    @hidden.setter
+    def hidden(self, value):
+        self.np_hidden = value
+
+    @property
+    def inputs(self):
+        return self._inputs
+
+    @inputs.setter
+    def inputs(self, value):
+        self.set_space(inputs=value)
+
+    @property
+    def outputs(self):
+        return self._outputs
+
+    @outputs.setter
+    def outputs(self, value):
+        self.set_space(outputs=value)
+
+    @property
+    def order(self):
+        return self._order
+
+    @order.setter
+    def order(self, value):
+        self._order = _prep_vector(value)
+
+    @property
+    def index(self):
+        return self._index
+
+    @index.setter
+    def index(self, value):
+        self._index = _prep_vector(value)
+
+    # ---------------------------------------------------------------- th_* API
+    # Each th_* returns a pure function fn(params, space, inputs, outputs,
+    # vector) -> array, or None when the quantity is undefined for the class.
+
+    def th_median(self, prior=False, noise=False, simulations=None):
+        return None
+
+    def th_mean(self, prior=False, noise=False, simulations=None):
+        return None
+
+    def th_variance(self, prior=False, noise=False, simulations=None):
+        return None
+
+    def th_covariance(self, prior=False, noise=False):
+        return None
+
+    def th_logpredictive(self, prior=False, noise=False):
+        return None
+
+    def th_cross_mean(self, prior=False, noise=False, cross_kernel=None):
+        return None
+
+    def th_std(self, *args, **kwargs):
+        var_fn = self.th_variance(*args, **kwargs)
+        if var_fn is None:
+            return None
+
+        def fn(params, space, inputs, outputs, vector):
+            return jnp.sqrt(var_fn(params, space, inputs, outputs, vector))
+
+        return fn
+
+    def th_loglike_fn(self):
+        """Pure observed-data loglikelihood of THIS process (subclass hook;
+        what the observed RV's logp factor contributed in the reference)."""
+        return None
+
+    def th_error_l1(self, prior=False, noise=False):
+        mean_fn = self.th_mean(prior=prior, noise=noise)
+        if mean_fn is None:
+            return None
+
+        def fn(params, space, inputs, outputs, vector):
+            return jnp.mean(jnp.abs(vector - mean_fn(params, space, inputs, outputs, vector)))
+
+        return fn
+
+    def th_error_l2(self, prior=False, noise=False):
+        mean_fn = self.th_mean(prior=prior, noise=noise)
+        if mean_fn is None:
+            return None
+
+        def fn(params, space, inputs, outputs, vector):
+            return jnp.mean((vector - mean_fn(params, space, inputs, outputs, vector)) ** 2)
+
+        return fn
+
+    def th_error_mse(self, prior=False, noise=False):
+        def fn(params, space, inputs, outputs, vector):
+            a = jnp.abs(vector - outputs)
+            return jnp.mean(a) ** 2 + jnp.var(a)
+
+        return fn
+
+    # ------------------------------------------------------- method machinery
+    _dispatch_methods = {
+        "mean": "th_mean",
+        "median": "th_median",
+        "variance": "th_variance",
+        "std": "th_std",
+        "covariance": "th_covariance",
+        "logpredictive": "th_logpredictive",
+        "error_l1": "th_error_l1",
+        "error_l2": "th_error_l2",
+        "error_mse": "th_error_mse",
+        "cross_mean": "th_cross_mean",
+    }
+
+    def _compile_methods(self, compile_logp=True):
+        """Probe th_* quantities and bind runtime methods (reference
+        :328-380); jit tracing itself stays lazy."""
+        if not hasattr(self, "compiles") or self.compiles is None:
+            self.compiles = DictObj()
+        for public, th_name in type(self)._dispatch_methods.items():
+            try:
+                available = getattr(self, th_name)() is not None
+            except Exception:
+                available = False
+            if available:
+                setattr(self, public,
+                        self._make_runtime_method(public, th_name))
+        if compile_logp and self.precompile:
+            _ = self.logp(array=True)
+            _ = self.logp(array=True, prior=True)
+            _ = self.dlogp(array=True)
+
+    def _make_runtime_method(self, public, th_name):
+        def runtime(params=None, space=None, inputs=None, outputs=None, vector=None,
+                    prior=False, noise=False, array=False, *args, **kwargs):
+            return self._call_method(th_name, params=params, space=space,
+                                     inputs=inputs, outputs=outputs, vector=vector,
+                                     prior=prior, noise=noise, array=array,
+                                     *args, **kwargs)
+
+        runtime.__name__ = public
+        return runtime
+
+    def _resolve_data(self, space, inputs, outputs):
+        space = self._space if space is None else _prep_matrix(space)
+        inputs = self._inputs if inputs is None else _prep_matrix(inputs)
+        outputs = self._outputs if outputs is None else _prep_vector(outputs)
+        return space, inputs, outputs
+
+    def _cache_name(self, method, prior, noise, args, kwargs):
+        name = "prior" if prior else "posterior"
+        name += method.replace("th", "")  # e.g. th_mean -> _mean
+        if noise:
+            name += "_noise"
+        if len(args) > 0:
+            name += str(args)
+        if len(kwargs) > 0:
+            name += str(kwargs)
+        return name
+
+    def _call_method(self, th_name, params=None, space=None, inputs=None,
+                     outputs=None, vector=None, prior=False, noise=False,
+                     array=False, *args, **kwargs):
+        if params is None:
+            params = self.active.dict_to_array(self.params) if array else self.params
+        elif not array and isinstance(params, dict):
+            params = self.filter_params(params)
+        if inputs is None and not self.is_observed:
+            prior = True
+        space, inputs, outputs = self._resolve_data(space, inputs, outputs)
+        if vector is None:
+            vector = np.zeros(len(space), dtype=settings.floatx)
+        else:
+            vector = _prep_vector(vector)
+
+        name = self._cache_name(th_name, prior, noise, args, kwargs)
+        if name not in self.compiles:
+            pure = getattr(self, th_name)(prior=prior, noise=noise, *args, **kwargs)
+            self.compiles[name] = CompiledFn(pure, name)
+        if array:
+            aname = "array_" + name
+            if aname not in self.compiles:
+                pure = getattr(self, th_name)(prior=prior, noise=noise, *args, **kwargs)
+                reg = self.active
+
+                def apure(u, s, i, o, v):
+                    return pure(reg.array_to_dict_jax(u), s, i, o, v)
+
+                self.compiles[aname] = CompiledFn(apure, aname)
+            name = aname
+            params = np.asarray(params, dtype=settings.floatx)
+        else:
+            params = {k: asarray_x(v) for k, v in params.items()}
+        return self.compiles[name](params, space, inputs, outputs, vector)
+
+    @property
+    def executed(self):
+        return {k: v.executed for k, v in self.compiles.items()}
+
+    @property
+    def transformations(self):
+        return self.active.original_to_transformed_names
+
+    @property
+    def potentials(self):
+        return self.active.potentials
+
+    # ----------------------------------------------------------------- logp
+    def _logp_pure(self, prior=False, like=True):
+        """Pure logp over natural-space params dicts: prior terms +
+        potentials (+ every component's observed loglike unless
+        ``prior``) — reference th_logp semantics (stochastic.py:300-313)."""
+        reg = self.active
+        like_fns = []
+        if like and not prior:
+            for comp in reg.components.values():
+                fn = comp.th_loglike_fn()
+                if fn is None:
+                    continue
+                if comp is self:
+                    like_fns.append((fn, None))
+                else:
+                    # other processes' data are baked at trace time; cache key
+                    # includes their data versions (see _logp_compiled)
+                    like_fns.append((fn, (comp.space, comp.inputs, comp.outputs)))
+
+        def fn(params, space, inputs, outputs, vector):
+            total = reg.logp_prior_dict(params) + reg.logp_potentials(params)
+            for like_fn, baked in like_fns:
+                if baked is None:
+                    total = total + like_fn(params, space, inputs, outputs)
+                else:
+                    s, i, o = baked
+                    total = total + like_fn(params, jnp.asarray(s), jnp.asarray(i),
+                                            jnp.asarray(o))
+            return total
+
+        return fn
+
+    def _loglike_pure(self):
+        reg = self.active
+        like_fns = []
+        for comp in reg.components.values():
+            fn = comp.th_loglike_fn()
+            if fn is None:
+                continue
+            like_fns.append((fn, None if comp is self else
+                             (comp.space, comp.inputs, comp.outputs)))
+
+        def fn(params, space, inputs, outputs, vector):
+            total = jnp.zeros((), dtype=settings.dtype)
+            for like_fn, baked in like_fns:
+                if baked is None:
+                    total = total + like_fn(params, space, inputs, outputs)
+                else:
+                    s, i, o = baked
+                    total = total + like_fn(params, jnp.asarray(s), jnp.asarray(i),
+                                            jnp.asarray(o))
+            return total
+
+        return fn
+
+    def _other_versions(self):
+        return tuple(
+            getattr(c, "_data_version", 0)
+            for c in self.active.components.values()
+            if c is not self
+        )
+
+    def _get_logp_compiled(self, kind, prior=False, array=False):
+        """kind in {'logp', 'loglike', 'dlogp'}; returns CompiledFn."""
+        base = "prior" if prior else "posterior"
+        name = f"{base}_{kind}" + ("", "")[0]
+        if array:
+            name = "array_" + name
+        vers = self._other_versions()
+        tag = name + (str(vers) if vers else "")
+        if tag in self.compiles:
+            return self.compiles[tag]
+        reg = self.active
+        if kind == "loglike":
+            pure = self._loglike_pure()
+        else:
+            pure = self._logp_pure(prior=prior)
+        if kind == "dlogp":
+            def apure(u, s, i, o, v):
+                return jax.grad(
+                    lambda uu: pure(reg.array_to_dict_jax(uu), s, i, o, v)
+                )(u)
+            self.compiles[tag] = CompiledFn(apure, tag)
+        elif array:
+            def apure(u, s, i, o, v):
+                return pure(reg.array_to_dict_jax(u), s, i, o, v)
+            self.compiles[tag] = CompiledFn(apure, tag)
+        else:
+            self.compiles[tag] = CompiledFn(pure, tag)
+        return self.compiles[tag]
+
+    def logp(self, params=None, space=None, inputs=None, outputs=None, prior=False,
+             array=False, **kwargs):
+        if params is None:
+            params = self.active.dict_to_array(self.params) if array else self.params
+        space, inputs, outputs = self._resolve_data(space, inputs, outputs)
+        vector = np.zeros(0, dtype=settings.floatx)
+        fn = self._get_logp_compiled("logp", prior=prior, array=array)
+        if array:
+            params = np.asarray(params, dtype=settings.floatx)
+        else:
+            params = {k: asarray_x(v) for k, v in params.items()}
+        return float(fn(params, space, inputs, outputs, vector))
+
+    def loglike(self, params=None, space=None, inputs=None, outputs=None,
+                array=False, **kwargs):
+        if params is None:
+            params = self.active.dict_to_array(self.params) if array else self.params
+        space, inputs, outputs = self._resolve_data(space, inputs, outputs)
+        vector = np.zeros(0, dtype=settings.floatx)
+        # loglike is prior-independent; keep reference naming
+        name = ("array_" if array else "") + "posterior_loglike"
+        vers = self._other_versions()
+        tag = name + (str(vers) if vers else "")
+        if tag not in self.compiles:
+            pure = self._loglike_pure()
+            reg = self.active
+            if array:
+                def apure(u, s, i, o, v):
+                    return pure(reg.array_to_dict_jax(u), s, i, o, v)
+                self.compiles[tag] = CompiledFn(apure, tag)
+            else:
+                self.compiles[tag] = CompiledFn(pure, tag)
+        if array:
+            params = np.asarray(params, dtype=settings.floatx)
+        else:
+            params = {k: asarray_x(v) for k, v in params.items()}
+        return float(self.compiles[tag](params, space, inputs, outputs, vector))
+
+    def dlogp(self, params=None, space=None, inputs=None, outputs=None, prior=False,
+              array=True, **kwargs):
+        """Gradient of logp w.r.t. the unconstrained flat array (the
+        reference's flat concatenated gradient, tensors.py:11-22)."""
+        if params is None:
+            params = self.active.dict_to_array(self.params)
+        elif isinstance(params, dict):
+            params = self.active.dict_to_array(params)
+        space, inputs, outputs = self._resolve_data(space, inputs, outputs)
+        vector = np.zeros(0, dtype=settings.floatx)
+        base = "prior" if prior else "posterior"
+        vers = self._other_versions()
+        tag = f"array_{base}_dlogp" + (str(vers) if vers else "")
+        if tag not in self.compiles:
+            pure = self._logp_pure(prior=prior)
+            reg = self.active
+
+            def apure(u, s, i, o, v):
+                return jax.grad(
+                    lambda uu: pure(reg.array_to_dict_jax(uu), s, i, o, v)
+                )(u)
+
+            self.compiles[tag] = CompiledFn(apure, tag)
+        return self.compiles[tag](np.asarray(params, dtype=settings.floatx),
+                                  space, inputs, outputs, vector)
+
+    def logp_chain(self, chain, prior=False):
+        """Vectorized logp over chain rows (reference looped, :518-523)."""
+        tag = ("prior" if prior else "posterior") + "_logp_chain"
+        if tag not in self.compiles:
+            pure = self._logp_pure(prior=prior)
+            reg = self.active
+
+            def vfun(chain_, s, i, o, v):
+                return jax.vmap(
+                    lambda u: pure(reg.array_to_dict_jax(u), s, i, o, v)
+                )(chain_)
+
+            self.compiles[tag] = CompiledFn(vfun, tag)
+        space, inputs, outputs = self._resolve_data(None, None, None)
+        vector = np.zeros(0, dtype=settings.floatx)
+        return self.compiles[tag](np.asarray(chain, dtype=settings.floatx),
+                                  space, inputs, outputs, vector)
+
+    # -------------------------------------------------- fixed (marginalized)
+    def _fixed_eval(self, kind, sampling_params, return_array):
+        reg = self.active
+        chain = reg.fixed_chain.copy()
+        chain[:, reg.sampling_dims] = sampling_params
+        tag = f"fixed_{kind}"
+        if tag not in self.compiles:
+            prior = kind == "logprior"
+            if kind == "loglike":
+                pure = self._loglike_pure()
+            else:
+                pure = self._logp_pure(prior=prior)
+
+            def one(u, s, i, o, v):
+                return pure(reg.array_to_dict_jax(u), s, i, o, v)
+
+            if kind == "dlogp":
+                def vfun(chain_, s, i, o, v):
+                    return jax.vmap(lambda u: jax.grad(
+                        lambda uu: one(uu, s, i, o, v))(u))(chain_)
+            else:
+                def vfun(chain_, s, i, o, v):
+                    return jax.vmap(lambda u: one(u, s, i, o, v))(chain_)
+
+            self.compiles[tag] = CompiledFn(vfun, tag)
+        space, inputs, outputs = self._resolve_data(None, None, None)
+        vector = np.zeros(0, dtype=settings.floatx)
+        r = self.compiles[tag](chain, space, inputs, outputs, vector)
+        if kind == "dlogp":
+            r = r[:, reg.sampling_dims]
+        if return_array:
+            return r
+        return np.mean(r, axis=0)
+
+    def fixed_logp(self, sampling_params, return_array=False):
+        """Chain-averaged posterior logp over pinned hypers (reference
+        :528-537)."""
+        return self._fixed_eval("logp", sampling_params, return_array)
+
+    def fixed_dlogp(self, sampling_params, return_array=False):
+        return self._fixed_eval("dlogp", sampling_params, return_array)
+
+    def fixed_loglike(self, sampling_params, return_array=False):
+        return self._fixed_eval("loglike", sampling_params, return_array)
+
+    def fixed_logprior(self, sampling_params, return_array=False):
+        return self._fixed_eval("logprior", sampling_params, return_array)
+
+    # ----------------------------------------------------------------- predict
+    def sampler(self, params=None, space=None, inputs=None, outputs=None, samples=1,
+                prior=False, noise=False):
+        return None
+
+    def quantiler(self, params=None, space=None, inputs=None, outputs=None, q=0.975,
+                  prior=False, noise=False, simulations=None):
+        return None
+
+    def predict(self, params=None, space=None, inputs=None, outputs=None, mean=True,
+                std=True, var=False, cov=False, median=False, quantiles=False,
+                quantiles_noise=False, samples=0, distribution=False, prior=False,
+                noise=False, simulations=None):
+        """Dict of requested statistics (reference :444-513)."""
+        if params is None:
+            params = self.params
+        if not self.is_observed:
+            prior = True
+        if space is None:
+            space = self.space
+        if inputs is None:
+            inputs = self.inputs
+        if outputs is None:
+            outputs = self.outputs
+
+        n_simulations = 1
+        if isinstance(simulations, int):
+            n_simulations = simulations
+            simulations = self.sampler(params, space, inputs, outputs, prior=prior,
+                                       noise=noise, samples=simulations)
+        values = DictObj()
+        if mean:
+            values["mean"] = self.mean(params, space, inputs, outputs, prior=prior,
+                                       noise=noise, simulations=simulations)
+        if var:
+            values["variance"] = self.variance(params, space, inputs, outputs,
+                                               prior=prior, noise=noise,
+                                               simulations=simulations)
+        if std:
+            values["std"] = self.std(params, space, inputs, outputs, prior=prior,
+                                     noise=noise, simulations=simulations)
+        if cov:
+            values["covariance"] = self.covariance(params, space, inputs, outputs,
+                                                   prior=prior, noise=noise)
+        if median:
+            values["median"] = self.median(params, space, inputs, outputs, prior=prior,
+                                           noise=noise, simulations=simulations)
+        if quantiles:
+            values["quantile_up"] = self.quantiler(params, space, inputs, outputs,
+                                                   q=0.975, prior=prior, noise=noise,
+                                                   simulations=simulations)
+            values["quantile_down"] = self.quantiler(params, space, inputs, outputs,
+                                                     q=0.025, prior=prior, noise=noise,
+                                                     simulations=simulations)
+        if quantiles_noise:
+            sims_noise = self.sampler(params, space, inputs, outputs, prior=prior,
+                                      noise=True, samples=n_simulations)
+            values["noise_std"] = self.std(params, space, inputs, outputs, prior=prior,
+                                           noise=True, simulations=sims_noise)
+            values["noise_up"] = self.quantiler(params, space, inputs, outputs, q=0.975,
+                                                prior=prior, noise=True,
+                                                simulations=n_simulations)
+            values["noise_down"] = self.quantiler(params, space, inputs, outputs,
+                                                  q=0.025, prior=prior, noise=True,
+                                                  simulations=n_simulations)
+        if samples > 0:
+            values["samples"] = self.sampler(params, space, inputs, outputs,
+                                             samples=samples, prior=prior, noise=noise)
+        if distribution:
+            values["logpredictive"] = lambda x: self.logpredictive(
+                params, space, inputs, outputs, vector=x, prior=prior, noise=True)
+        return values
+
+    # ----------------------------------------------------------------- find_MAP
+    def find_MAP(self, start=None, points=1, return_points=False, plot=False,
+                 display=True, powell=True, bfgs=True, init="bfgs", max_time=None):
+        """Multi-start alternating BFGS/Powell MAP search (reference :566-674)."""
+        points_list = []
+        if start is None:
+            start = self.params
+        reg = self.active
+        if reg.fixed_datatrace is None:
+            logp = lambda p: self._array_logp_sampling(p)
+            dlogp = lambda p: self._array_dlogp_sampling(p)
+        else:
+            logp = self.fixed_logp
+            dlogp = self.fixed_dlogp
+        try:
+            dlogp(reg.sampling_params(start if not isinstance(start, list) else start[0]))
+        except Exception as m:
+            print(m)
+            dlogp = None
+
+        if isinstance(start, list):
+            for i, s in enumerate(start, start=1):
+                points_list.append(("start" + str(i), logp(reg.sampling_params(s)), s))
+        else:
+            points_list.append(("start", logp(reg.sampling_params(start)), start))
+        n_starts = len(points_list)
+        if self.outputs is None:
+            print("For find_MAP it is necessary to have observations")
+            return start
+        if display:
+            print("Starting function value (-logp): "
+                  + str(-logp(reg.sampling_params(points_list[0][2]))))
+        if plot:
+            plt.figure(0)
+            self.plot(params=points_list[0][2], title="start")
+            plt.show()
+        check = 0 if init == "bfgs" else 1
+        i = -1
+        points -= 1
+        while i < points:
+            i += 1
+            if powell:
+                name, _, start_i = points_list[i // 2]
+            else:
+                name, _, start_i = points_list[i]
+            if (i % 2 == check or not powell) and bfgs:
+                if name.endswith("_bfgs"):
+                    if i > n_starts:
+                        points += 1
+                    continue
+                name += "_bfgs"
+                if display:
+                    print(name)
+                new = optimize(logp=logp, start=reg.sampling_params(start_i),
+                               dlogp=dlogp, fmin="bfgs", max_time=max_time,
+                               disp=display)
+            else:
+                if name.endswith("_powell"):
+                    if i > n_starts:
+                        points += 1
+                    continue
+                name += "_powell"
+                if display:
+                    print(name)
+                new = optimize(logp=logp, start=reg.sampling_params(start_i),
+                               fmin="powell", max_time=max_time, disp=display)
+            points_list.append((name, logp(new), reg.dict_from_sampling_array(new)))
+            if plot:
+                plt.figure(i + 1)
+                self.plot(params=reg.dict_from_sampling_array(new), title=name)
+                plt.show()
+
+        optimal = points_list[0]
+        for test in points_list:
+            if test[1] > optimal[1]:
+                optimal = test
+        _name, _ll, params = optimal
+        params = DictObj(params)
+        if display:
+            print("find_MAP", params)
+        if return_points is False:
+            return params
+        return params, points_list
+
+    def _array_logp_sampling(self, p):
+        """array logp over sampling dims (full dims when nothing is fixed)."""
+        reg = self.active
+        if reg.fixed_datatrace is not None:
+            return self.fixed_logp(p)
+        fn = self._get_logp_compiled("logp", prior=False, array=True)
+        space, inputs, outputs = self._resolve_data(None, None, None)
+        return float(fn(np.asarray(p, dtype=settings.floatx), space, inputs, outputs,
+                        np.zeros(0, dtype=settings.floatx)))
+
+    def _array_dlogp_sampling(self, p):
+        reg = self.active
+        if reg.fixed_datatrace is not None:
+            return self.fixed_dlogp(p)
+        return np.asarray(self.dlogp(np.asarray(p, dtype=settings.floatx)))
+
+    # --------------------------------------------------------------- sampling
+    def sample_hypers(self, start=None, samples=1000, chains=None, ntemps=None,
+                      raw=False, noise_mult=0.1, noise_sum=0.01, burnin_tol=0.001,
+                      burnin_method="multi-sum", outlayer_percentile=0.0005,
+                      clusters=None, prior=False, parallel=False, threads=1,
+                      plot=False, file=None, load=True, seed=0):
+        """Ensemble-MCMC over the hyperparameter posterior (reference
+        :676-800).  Chains run vmapped (and device-sharded when ``parallel``)
+        inside one jitted sampler instead of multiprocessing pools."""
+        reg = self.active
+        ndim = len(reg.sampling_dims)
+        if chains is None:
+            chains = 2 * ndim
+        if file is not None and load:
+            try:
+                datatrace = load_datatrace(file)
+                if datatrace is not None:
+                    if (datatrace._niter.max() == samples - 1
+                            and datatrace._nchain.max() == chains - 1):
+                        if plot:
+                            plot_datatrace(datatrace)
+                        return datatrace
+            except Exception:
+                pass
+        if start is None:
+            start = self.find_MAP(display=False)
+        if isinstance(start, dict):
+            start = reg.dict_to_array(start)
+        start = np.asarray(start, dtype=settings.floatx)
+        if start.ndim == 1:
+            start = start[reg.sampling_dims]
+        elif start.ndim == 2:
+            start = start[:, reg.sampling_dims]
+        elif start.ndim == 3:
+            start = start[:, :, reg.sampling_dims]
+
+        # pick traceable log-density callables (reference :737-766)
+        logp_tr, loglike_tr, logprior_tr = self._sampling_logps(prior=prior,
+                                                                tempered=ntemps is not None)
+
+        lnprob, echain = mcmc_ensemble(
+            ndim, samples=samples, chains=chains, ntemps=ntemps, start=start,
+            logp=logp_tr, loglike=loglike_tr, logprior=logprior_tr,
+            noise_mult=noise_mult, noise_sum=noise_sum, threads=threads,
+            parallel=parallel, seed=seed)
+
+        complete_chain = np.empty((echain.shape[0], echain.shape[1], self.ndim),
+                                  dtype=settings.floatx)
+        complete_chain[:, :, reg.sampling_dims] = echain
+        if reg.fixed_datatrace is not None:
+            complete_chain[:, :, reg.fixed_dims] = \
+                reg.fixed_chain[:, reg.fixed_dims].mean(axis=0)
+        if raw:
+            return complete_chain, lnprob
+        datatrace = chains_to_datatrace(
+            self, complete_chain, ll=lnprob, burnin_tol=burnin_tol,
+            burnin_method=burnin_method, burnin_dims=reg.sampling_dims,
+            outlayer_percentile=outlayer_percentile, clusters=clusters)
+        if file is not None:
+            save_datatrace(datatrace, file)
+        if plot:
+            plot_datatrace(datatrace)
+        return datatrace
+
+    def _sampling_logps(self, prior=False, tempered=False):
+        """jax-traceable (logp | loglike+logprior) over the sampling dims,
+        marginalizing over any fixed chain."""
+        reg = self.active
+        space, inputs, outputs = self._resolve_data(None, None, None)
+        space, inputs, outputs = (jnp.asarray(space), jnp.asarray(inputs),
+                                  jnp.asarray(outputs))
+        vec = jnp.zeros(0, dtype=settings.dtype)
+        sampling_dims = np.asarray(reg.sampling_dims, dtype=np.int32)
+
+        post_pure = self._logp_pure(prior=False)
+        prior_pure = self._logp_pure(prior=True)
+        like_pure = self._loglike_pure()
+
+        if reg.fixed_datatrace is None:
+            full = jnp.asarray(reg.dict_to_array(reg.params))
+
+            def embed(p):
+                if len(sampling_dims) == reg.ndim:
+                    return p
+                return full.at[sampling_dims].set(p)
+
+            def mk(pure):
+                return lambda p: pure(reg.array_to_dict_jax(embed(p)), space,
+                                      inputs, outputs, vec)
+        else:
+            chain = jnp.asarray(reg.fixed_chain)
+
+            def mk(pure):
+                def f(p):
+                    rows = chain.at[:, sampling_dims].set(
+                        jnp.broadcast_to(p, (chain.shape[0], len(sampling_dims))))
+                    vals = jax.vmap(lambda u: pure(reg.array_to_dict_jax(u), space,
+                                                   inputs, outputs, vec))(rows)
+                    return jnp.mean(vals)
+                return f
+
+        if not tempered:
+            return (mk(prior_pure) if prior else mk(post_pure)), None, None
+        logprior = mk(prior_pure)
+        loglike = (lambda p: jnp.zeros((), settings.dtype)) if prior else mk(like_pure)
+        return None, loglike, logprior

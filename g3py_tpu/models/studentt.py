@@ -1,0 +1,218 @@
+"""Student-t processes (TP / WTP) and the warped multivariate-t density.
+
+Rebuild of ``/root/reference/g3py/processes/studentT.py``: a Freedom degree
+hyper (default = n_obs), posterior df = nu + n, posterior covariance scaled
+by ``(nu + beta - 2)/(nu + n - 2)`` where beta is the Mahalanobis norm of
+the observations (studentT.py:36-43), Student-t analytic quantiles,
+inverse-gamma-scaled samples, and the multivariate-t log-density with its
+large-nu gaussian limit (studentT.py:114-146).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+from scipy import stats
+
+from ..config import settings
+from ..hypers import Freedom
+from ..ops.guards import to_num
+from ..ops.linalg import solve_lower_triangular
+from ..ops.quadrature import gauss_hermite
+from .elliptical import EllipticalProcess
+from .gaussian import GaussianProcess
+
+__all__ = ["StudentTProcess", "WarpedStudentTProcess",
+           "warped_studentt_logp_cho", "WarpedStudentTDistribution"]
+
+GUARD = np.float32(-1e30)
+
+
+def warped_studentt_logp_cho(value, mu, cho, freedom, mapping_inv_value,
+                             logdet_dinv):
+    """Multivariate-t logp given the scale-matrix Cholesky (covariance
+    parameterization with the (nu-2) normalization, reference
+    studentT.py:114-146); falls to the gaussian limit for nu >= 1e6."""
+    delta = mapping_inv_value - mu
+    lcho = solve_lower_triangular(cho, delta)
+    beta = jnp.dot(lcho, lcho)
+    n = jnp.asarray(jnp.shape(cho)[0], settings.dtype)
+    r1 = -0.5 * (freedom + n) * jnp.log1p(beta / (freedom - 2.0))
+    gaussian_limit = -n * 0.5 * jnp.log(2.0 * jnp.asarray(np.pi, settings.dtype))
+    student = (gammaln((freedom + n) * 0.5) - gammaln(freedom * 0.5)
+               - 0.5 * n * jnp.log((freedom - 2.0) * jnp.asarray(np.pi, settings.dtype)))
+    r2 = jnp.where(freedom >= 1e6, gaussian_limit, student)
+    r3 = -jnp.sum(jnp.log(jnp.diagonal(cho)))
+    r = r1 + r2 + r3 + logdet_dinv
+    bad = (~jnp.all(jnp.isfinite(delta))) \
+        | (~jnp.isfinite(logdet_dinv)) \
+        | (~jnp.all(jnp.isfinite(cho))) \
+        | (~jnp.all(jnp.isfinite(lcho)))
+    return jnp.where(bad, GUARD, to_num(r, nan=GUARD, neginf=GUARD))
+
+
+class WarpedStudentTDistribution:
+    """Namespace kept for reference-API parity (studentT.py:105-156)."""
+
+    logp_cho = staticmethod(warped_studentt_logp_cho)
+
+
+class StudentTProcess(EllipticalProcess):
+    def __init__(self, *args, **kwargs):
+        if "name" not in kwargs:
+            kwargs["name"] = "TP"
+        if "degree" not in kwargs or kwargs["degree"] is None:
+            kwargs["degree"] = Freedom()
+        super().__init__(*args, **kwargs)
+
+    def th_define_process(self):
+        self.distribution = WarpedStudentTDistribution
+
+    def th_loglike_fn(self):
+        mapping = self.f_mapping
+        location = self.f_location
+        degree = self.f_degree
+
+        def fn(params, space, inputs, outputs):
+            mu = location(params, inputs)
+            cho = self._obs_chol(params, inputs)
+            tinv = to_num(mapping.inv(params, outputs))
+            logdet = mapping.logdet_dinv(params, outputs)
+            nu = degree(params)
+            return warped_studentt_logp_cho(outputs, mu, cho, nu, tinv, logdet)
+
+        return fn
+
+    # -- posterior scaling (reference studentT.py:36-49) -----------------------
+    def _scaling_fn(self, prior):
+        if prior:
+            return lambda params, space, inputs, outputs, vector: jnp.asarray(
+                1.0, settings.dtype)
+        location = self.f_location
+        mapping = self.f_mapping
+        degree = self.f_degree
+
+        def fn(params, space, inputs, outputs, vector):
+            chol = self._obs_chol(params, inputs)
+            resid = to_num(mapping.inv(params, outputs)) - location(params, inputs)
+            alpha = solve_lower_triangular(chol, resid)
+            beta = jnp.dot(alpha, alpha)
+            n = jnp.asarray(jnp.shape(inputs)[0], settings.dtype)
+            nu = degree(params)
+            return (nu + beta - 2.0) / (nu + n - 2.0)
+
+        return fn
+
+    def th_variance(self, prior=False, noise=False, simulations=None):
+        base = super().th_variance(prior=prior, noise=noise)
+        scale = self._scaling_fn(prior)
+
+        def fn(params, space, inputs, outputs, vector):
+            return base(params, space, inputs, outputs, vector) * scale(
+                params, space, inputs, outputs, vector)
+
+        return fn
+
+    def th_covariance(self, prior=False, noise=False):
+        base = super().th_covariance(prior=prior, noise=noise)
+        scale = self._scaling_fn(prior)
+
+        def fn(params, space, inputs, outputs, vector):
+            return base(params, space, inputs, outputs, vector) * scale(
+                params, space, inputs, outputs, vector)
+
+        return fn
+
+    def th_logpredictive(self, prior=False, noise=False):
+        """Independent-marginal Student-t log-predictive (diagonal scale)."""
+        loc_fn = self.th_location(prior=prior, noise=noise)
+        sd_fn = self.th_kernel_sd(prior=prior, noise=True)
+        free_fn = self.th_freedom(prior=prior, noise=noise)
+        scale = self._scaling_fn(prior)
+        mapping = self.f_mapping
+
+        def fn(params, space, inputs, outputs, vector):
+            mu = loc_fn(params, space, inputs, outputs, vector)
+            sd = sd_fn(params, space, inputs, outputs, vector) * jnp.sqrt(
+                scale(params, space, inputs, outputs, vector))
+            nu = free_fn(params, space, inputs, outputs, vector)
+            tinv = to_num(mapping.inv(params, vector))
+            logdet = mapping.logdet_dinv(params, vector)
+            return warped_studentt_logp_cho(vector, mu, jnp.diag(sd), nu, tinv,
+                                            logdet)
+
+        return fn
+
+    # -- host-side prediction (reference studentT.py:51-67) --------------------
+    def quantiler(self, params=None, space=None, inputs=None, outputs=None, q=0.975,
+                  prior=False, noise=False, simulations=None):
+        df = float(self.freedom(params, space, inputs, outputs, prior=prior,
+                                noise=noise))
+        p = np.float32(stats.t.ppf(q, df=df))
+        loc = self.location(params, space, inputs, outputs, prior=prior, noise=noise)
+        sd = self.kernel_sd(params, space, inputs, outputs, prior=prior, noise=noise)
+        latent = loc + p * sd
+        return self.mapping(params, space, inputs, outputs, vector=latent)
+
+    def sampler(self, params=None, space=None, inputs=None, outputs=None, samples=1,
+                prior=False, noise=False, rng=None):
+        if space is None:
+            space = self.space
+        if rng is None:
+            rng = np.random.default_rng()
+        free = float(self.freedom(params, space, inputs, outputs, prior=prior,
+                                  noise=noise))
+        rand = rng.standard_normal((len(space), samples)).astype(settings.floatx)
+        rand = rand * stats.invgamma.rvs(a=free / 2, scale=(free - 2) / 2,
+                                         size=samples).astype(settings.floatx)
+        loc = self.location(params, space, inputs, outputs, prior=prior, noise=noise)
+        cho = self.cholesky(params, space, inputs, outputs, prior=prior, noise=noise)
+        latent = loc[:, None] + cho.dot(rand)
+        return np.stack(
+            [self.mapping(params, space, inputs, outputs, vector=latent[:, k])
+             for k in range(samples)], axis=1)
+
+
+class WarpedStudentTProcess(StudentTProcess):
+    """TP with Gauss-Hermite warped moments (reference studentT.py:70-102)."""
+
+    def __init__(self, *args, **kwargs):
+        if "name" not in kwargs:
+            kwargs["name"] = "WTP"
+        if "degree" not in kwargs or kwargs["degree"] is None:
+            kwargs["degree"] = Freedom()
+        super().__init__(*args, **kwargs)
+
+    def th_mean(self, prior=False, noise=False, simulations=None, n=None):
+        if n is None:
+            n = settings.quadrature_degree
+        loc_fn = self.th_location(prior=prior, noise=noise)
+        sd_fn = self.th_kernel_sd(prior=prior, noise=noise)
+        mapping = self.f_mapping
+
+        def fn(params, space, inputs, outputs, vector):
+            mu = loc_fn(params, space, inputs, outputs, vector)
+            sd = sd_fn(params, space, inputs, outputs, vector)
+            return gauss_hermite(lambda v: mapping(params, v), mu, sd, n=n)
+
+        return fn
+
+    def th_variance(self, prior=False, noise=False, simulations=None, n=None):
+        if n is None:
+            n = settings.quadrature_degree
+        loc_fn = self.th_location(prior=prior, noise=noise)
+        sd_fn = self.th_kernel_sd(prior=prior, noise=noise)
+        mapping = self.f_mapping
+
+        def fn(params, space, inputs, outputs, vector):
+            mu = loc_fn(params, space, inputs, outputs, vector)
+            sd = sd_fn(params, space, inputs, outputs, vector)
+            m1 = gauss_hermite(lambda v: mapping(params, v), mu, sd, n=n)
+            m2 = gauss_hermite(lambda v: mapping(params, v) ** 2, mu, sd, n=n)
+            return m2 - m1**2
+
+        return fn
+
+    def th_covariance(self, prior=False, noise=False):
+        return None
+
+    gauss_hermite = staticmethod(gauss_hermite)

@@ -1,0 +1,232 @@
+"""Dataset loaders and observation splitters.
+
+Rebuild of ``/root/reference/g3py/libs/data.py``.  The reference bundled
+CSV datasets and fetched others via statsmodels/sklearn; this build looks
+for the same files under ``G3PY_DATASETS`` (or a sibling ``datasets/``
+directory) and otherwise falls back to deterministic synthetic surrogates
+with matching shapes, so every loader works offline.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+__all__ = [
+    "data_sunspots",
+    "data_co2",
+    "data_engel",
+    "data_heart",
+    "data_eurusd",
+    "data_abalone",
+    "data_creep",
+    "data_ailerons",
+    "data_rivers",
+    "random_obs",
+    "uniform_obs",
+    "datasets_path",
+]
+
+
+def datasets_path():
+    """Search order: $G3PY_DATASETS, package-local datasets/."""
+    cands = [os.environ.get("G3PY_DATASETS")]
+    cands.append(os.path.join(os.path.dirname(__file__), "datasets"))
+    for c in cands:
+        if c and os.path.isdir(c):
+            return c
+    return None
+
+
+def _synthetic_series(n, seed, trend=0.0, period=None, noise=0.1):
+    rng = np.random.default_rng(seed)
+    x = np.arange(n, dtype=np.float32)
+    y = trend * x + noise * rng.standard_normal(n)
+    if period:
+        y = y + np.sin(2 * np.pi * x / period) ** 2 * 100
+    return x, y.astype(np.float32)
+
+
+def data_sunspots():
+    """Yearly sunspot activity (reference data.py:11-17; statsmodels there,
+    synthetic 11-year-cycle surrogate when unavailable)."""
+    try:
+        import statsmodels.api as sm
+
+        data = sm.datasets.sunspots.load_pandas().data["SUNACTIVITY"]
+        return data.index.values[:], data.values[:]
+    except Exception:
+        return _synthetic_series(309, seed=11, period=11.0, noise=5.0)
+
+
+def data_co2():
+    """Mauna-Loa CO2 (reference data.py:20-33)."""
+    try:
+        import statsmodels.api as sm
+
+        data = sm.datasets.co2.load_pandas().data
+        return data.index.values[:], data.values[:, 0]
+    except Exception:
+        x = np.arange(2225, dtype=np.float32)
+        y = 315 + 0.004 * x + 3 * np.sin(2 * np.pi * x / 52.0)
+        return x, y.astype(np.float32)
+
+
+def data_engel():
+    """Engel food-expenditure data (reference data.py:36-44)."""
+    try:
+        import statsmodels.api as sm
+
+        data = sm.datasets.engel.load_pandas().data
+        return data.index.values, data["income"].values
+    except Exception:
+        rng = np.random.default_rng(7)
+        inc = np.sort(rng.lognormal(6.5, 0.5, 235)).astype(np.float32)
+        return np.arange(235), inc
+
+
+def _load_csv(name, **kwargs):
+    path = datasets_path()
+    if path is None:
+        return None
+    f = os.path.join(path, name)
+    if not os.path.isfile(f):
+        return None
+    return pd.read_csv(f, **kwargs)
+
+
+def data_heart():
+    """Heart-rate series (reference data.py:47-49)."""
+    hr = _load_csv("hr2.txt", names=["hr"], dtype=np.float32)
+    if hr is None:
+        x, y = _synthetic_series(1800, seed=3, period=60.0, noise=2.0)
+        y = 90 + 0.1 * y
+        return x, y.reshape(-1, 1)
+    return hr.index.values, hr.values
+
+
+def data_eurusd():
+    """EURUSD series (reference data.py:52-54)."""
+    fx = _load_csv("EURUSD-1401-1510.txt", names=["EURUSD"], dtype=np.float32)
+    if fx is None:
+        rng = np.random.default_rng(5)
+        y = 1.3 + np.cumsum(0.001 * rng.standard_normal(721)).astype(np.float32)
+        return np.arange(721), y.reshape(-1, 1)
+    return fx.index.values, fx.values
+
+
+def data_abalone(dataframe=False, raw=False):
+    """UCI abalone, 4177 x 9 (reference data.py:57-69) — the benchmark
+    workload's dataset."""
+    names = ["Sex", "Length", "Diam", "Height", "Whole", "Shucked", "Viscera",
+             "Shell", "Rings"]
+    abalone = _load_csv("abalone.data", names=names)
+    if abalone is None:
+        rng = np.random.default_rng(42)
+        n = 4177
+        length = rng.uniform(0.1, 0.8, n)
+        abalone = pd.DataFrame({
+            "Sex": rng.choice(["M", "F", "I"], n),
+            "Length": length,
+            "Diam": length * 0.8 + 0.01 * rng.standard_normal(n),
+            "Height": length * 0.35 + 0.01 * rng.standard_normal(n),
+            "Whole": length**3 * 4 + 0.05 * rng.standard_normal(n),
+            "Shucked": length**3 * 1.7 + 0.03 * rng.standard_normal(n),
+            "Viscera": length**3 * 0.9 + 0.02 * rng.standard_normal(n),
+            "Shell": length**3 * 1.2 + 0.02 * rng.standard_normal(n),
+            "Rings": np.clip(np.round(3 + length * 15
+                                      + rng.standard_normal(n)), 1, 29),
+        })[names]
+    if not raw:
+        abalone = abalone.copy()
+        abalone["Sex"] = (abalone["Sex"] == "M") * 1.0 + (abalone["Sex"] == "F") * 0.0
+    if dataframe:
+        return abalone
+    x = abalone.drop("Rings", axis=1).values.astype(np.float32)
+    y = abalone["Rings"].values.astype(np.float32)
+    return x, y
+
+
+def data_creep(dataframe=False, raw=False):
+    """Materials creep-rupture data, 2066 x 31 (reference data.py:72-89)."""
+    names = ["Lifetime", "Rupture_stress", "Temperature"] + [
+        f"f{i}" for i in range(28)]
+    path = datasets_path()
+    creep = None
+    if path is not None and os.path.isfile(os.path.join(path, "creep")):
+        creep = pd.read_table(os.path.join(path, "creep"), header=None)
+        creep.columns = names[: creep.shape[1]]
+    if creep is None:
+        rng = np.random.default_rng(13)
+        n = 2066
+        creep = pd.DataFrame(
+            rng.standard_normal((n, len(names))).astype(np.float32), columns=names)
+        creep["Rupture_stress"] = (100 + 30 * creep["Temperature"]
+                                   + 5 * rng.standard_normal(n))
+    if dataframe:
+        return creep
+    x = creep.drop("Rupture_stress", axis=1).values.astype(np.float32)
+    y = creep["Rupture_stress"].values.astype(np.float32)
+    return x, y
+
+
+def data_ailerons(dataframe=False, raw=False):
+    """F16 ailerons control data, 7154 x 41 (reference data.py:92-110)."""
+    names = [f"a{i}" for i in range(40)] + ["goal"]
+    ail = _load_csv("ailerons.data", names=names)
+    if ail is None:
+        rng = np.random.default_rng(17)
+        n = 7154
+        ail = pd.DataFrame(
+            rng.standard_normal((n, 41)).astype(np.float32), columns=names)
+        ail["goal"] = (ail["a0"] * 0.5 - ail["a1"] * 0.2
+                       + 0.05 * rng.standard_normal(n))
+    if dataframe:
+        return ail
+    x = ail.drop("goal", axis=1).values.astype(np.float32)
+    y = ail["goal"].values.astype(np.float32)
+    return x, y
+
+
+def data_rivers():
+    """River flow logs (reference data.py:113-118)."""
+    path = datasets_path()
+    cols = ["bmau", "bmis", "cip", "col", "mau"]
+    if path is not None:
+        try:
+            frames = [np.exp(pd.read_csv(os.path.join(path, f"log{c}.csv"),
+                                         names=[c], dtype=np.float32, skiprows=1))
+                      for c in cols]
+            return pd.concat(frames, axis=1)
+        except Exception:
+            pass
+    rng = np.random.default_rng(23)
+    n = 500
+    return pd.DataFrame(
+        {c: np.exp(2 + 0.5 * rng.standard_normal(n)).astype(np.float32)
+         for c in cols})
+
+
+def random_obs(x, p=0.2, s=1.0, rng=None, plot=False):
+    """Random train/test index split: fraction p observed out of the first
+    s-fraction of the data (reference data.py:129-164)."""
+    if rng is None:
+        rng = np.random.default_rng()
+    n = len(x)
+    limit = int(n * s) if s <= 1 else int(s)
+    nobs = int(limit * p) if p <= 1 else int(p)
+    perm = rng.permutation(limit)
+    obs = np.sort(perm[:nobs])
+    test = np.sort(perm[nobs:])
+    return obs, test
+
+
+def uniform_obs(x, p=0.2, s=1.0, plot=False):
+    """Evenly-spaced train/test split (reference data.py:167-190)."""
+    n = len(x)
+    limit = int(n * s) if s <= 1 else int(s)
+    nobs = int(limit * p) if p <= 1 else int(p)
+    nobs = max(nobs, 1)
+    obs = np.unique(np.linspace(0, limit - 1, nobs).astype(int))
+    test = np.setdiff1d(np.arange(limit), obs)
+    return obs, test
