@@ -1,0 +1,108 @@
+"""Benchmark driver: prints ONE JSON line.
+
+Headline metric: exact-GP NLL+gradient evaluations/second at N=4096
+(SE kernel + noise, 8-D inputs, float32) on the default backend — the
+driver-set target metric (BASELINE.json: "NLL+grad evals/sec at N=4k/16k").
+
+``vs_baseline``: the reference's only recorded measurement is a single
+compiled posterior-logp eval at 878 us on the abalone WGP workload
+(N~125 obs, 8-D, SE kernel + BoxCoxLinear warping + noise; Theano f32 CPU —
+see BASELINE.md).  We time the same workload (logp only, N=125) here and
+report ``vs_baseline = 878us / ours`` (>1 means faster than the reference).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, repeat=50, warmup=5, best_of=3):
+    for _ in range(warmup):
+        r = fn(*args)
+    _block(r)
+    times = []
+    for _ in range(best_of):
+        t0 = time.perf_counter()
+        for _ in range(repeat):
+            r = fn(*args)
+        _block(r)
+        times.append((time.perf_counter() - t0) / repeat)
+    return min(times)
+
+
+def _block(r):
+    try:
+        import jax
+
+        jax.block_until_ready(r)
+    except Exception:
+        pass
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import g3py_tpu as g3
+
+    rng = np.random.default_rng(0)
+
+    # ---- headline: NLL+grad at N=4096, d=8 ---------------------------------
+    n, d = 4096, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    gp = g3.GP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x), name="BGP")
+    gp.observed(x, y)
+    reg = gp.active
+    pure = gp._logp_pure(prior=False)
+    u0 = jnp.asarray(reg.dict_to_array(gp.params_default))
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    @jax.jit
+    def nll_grad(u):
+        def nll(uu):
+            return -pure(reg.array_to_dict_jax(uu), xj, xj, yj,
+                         jnp.zeros(0, dtype=uu.dtype))
+
+        return jax.value_and_grad(nll)(u)
+
+    t_main = _timeit(nll_grad, u0, repeat=20)
+    evals_per_sec = 1.0 / t_main
+
+    # ---- vs_baseline: WGP logp at N=125, d=8 (reference 878 us) -------------
+    n2 = 125
+    x2 = rng.standard_normal((n2, d)).astype(np.float32)
+    y2 = (np.abs(np.sin(x2[:, 0])) + 0.5
+          + 0.1 * rng.standard_normal(n2)).astype(np.float32)
+    wgp = g3.WGP(space=x2[:4], location=g3.Bias(), kernel=g3.SE(x2),
+                 mapping=g3.BoxCoxLinear(y2), name="BWGP")
+    wgp.observed(x2, y2)
+    reg2 = wgp.active
+    pure2 = wgp._logp_pure(prior=False)
+    u2 = jnp.asarray(reg2.dict_to_array(wgp.params_default))
+    x2j, y2j = jnp.asarray(x2), jnp.asarray(y2)
+
+    @jax.jit
+    def wgp_logp(u):
+        return pure2(reg2.array_to_dict_jax(u), x2j, x2j, y2j,
+                     jnp.zeros(0, dtype=u.dtype))
+
+    t_ref_workload = _timeit(wgp_logp, u2, repeat=200, warmup=20)
+    vs_baseline = 878e-6 / t_ref_workload
+
+    print(json.dumps({
+        "metric": "gp_nll_grad_evals_per_sec_n4096_d8",
+        "value": round(evals_per_sec, 3),
+        "unit": "evals/sec",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+    print(
+        f"# backend={jax.default_backend()} t_nll_grad_n4096={t_main*1e3:.2f}ms "
+        f"t_wgp_logp_n125={t_ref_workload*1e6:.0f}us (ref 878us)",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

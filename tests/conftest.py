@@ -1,17 +1,21 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initializes a backend, hence the top-of-file
-environment mutation.
+The hosted axon TPU plugin overrides the JAX_PLATFORMS environment variable,
+so the platform must be forced through jax.config before any backend
+initializes (hence the top-of-file ordering).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
