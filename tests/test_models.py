@@ -1,0 +1,183 @@
+"""Model-family tests: Student-t, marginal, transport, copula processes."""
+
+import numpy as np
+import pytest
+from scipy import stats
+
+from g3py_tpu.models import (
+    TP, WTP, MP, TGP, CGP, CSTP, GP,
+    Normal, StudentT, Uniform,
+)
+from g3py_tpu.hypers.kernels import SE
+from g3py_tpu.hypers.means import Bias, Zero
+from g3py_tpu.hypers.transports import TKernel, TLocation, TScale, TMapping
+from g3py_tpu.hypers.mappings import ArcsinhLinear
+
+
+@pytest.fixture
+def data(rng):
+    x = np.linspace(0, 6, 18).astype(np.float32).reshape(-1, 1)
+    y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(18)).astype(np.float32)
+    return x, y
+
+
+class TestStudentT:
+    def test_logp_matches_scipy_mvt(self, data):
+        x, y = data
+        tp = TP(space=x, location=Zero(), kernel=SE(x), name="TPA")
+        tp.observed(x, y)
+        params = tp.params_default
+        # scipy multivariate t with the same (nu-2)-normalized scale matrix
+        var = float(params["TPA_SE_var"])
+        rate = float(params["TPA_SE_rate"][0])
+        nv = float(params["TPA_Noise_var"])
+        nu = 2.0 + float(params["TPA_Freedom_degree"])
+        d = (x[:, 0:1] - x[:, 0:1].T) ** 2
+        K = var * np.exp(-0.5 * rate**2 * d) + nv * np.eye(len(x))
+        scale = K  # covariance parameterization: Sigma = (nu-2)/nu * shape
+        shape = scale * nu / (nu - 2.0)
+        want = stats.multivariate_t.logpdf(y, loc=np.zeros(len(x)),
+                                           shape=shape * (nu - 2.0) / nu, df=nu)
+        # reference parameterization: logp uses (nu-2) normalization directly
+        # -> build it by hand instead
+        L = np.linalg.cholesky(K)
+        z = np.linalg.solve(L, y)
+        beta = z @ z
+        n = len(x)
+        from scipy.special import gammaln
+
+        hand = (-0.5 * (nu + n) * np.log1p(beta / (nu - 2))
+                + gammaln((nu + n) / 2) - gammaln(nu / 2)
+                - 0.5 * n * np.log((nu - 2) * np.pi)
+                - np.sum(np.log(np.diag(L))))
+        np.testing.assert_allclose(tp.logp(params), hand, rtol=1e-4, atol=1e-3)
+
+    def test_posterior_scaling_reduces_to_one_at_prior(self, data):
+        x, y = data
+        tp = TP(space=x, location=Zero(), kernel=SE(x), name="TPB")
+        tp.observed(x, y)
+        params = tp.params_default
+        var_prior = tp.variance(params, prior=True)
+        var_post = tp.variance(params)
+        assert np.all(np.isfinite(var_post))
+        # posterior freedom = prior freedom + n
+        f_prior = tp.freedom(params, prior=True)
+        f_post = tp.freedom(params)
+        np.testing.assert_allclose(f_post - f_prior, len(x), atol=1e-4)
+
+    def test_quantiles_and_sampler(self, data):
+        x, y = data
+        tp = TP(space=x, location=Bias(), kernel=SE(x), name="TPC")
+        tp.observed(x, y)
+        pred = tp.predict(quantiles=True, samples=3)
+        assert np.all(pred["quantile_up"] >= pred["quantile_down"])
+        assert pred["samples"].shape == (len(x), 3)
+
+    def test_warped_tp(self, data):
+        x, y = data
+        y_pos = (np.exp(0.3 * y) + 1).astype(np.float32)
+        wtp = WTP(space=x, location=Bias(), kernel=SE(x),
+                  mapping=ArcsinhLinear(y_pos), name="WTPA")
+        wtp.observed(x, y_pos)
+        assert np.isfinite(wtp.logp())
+        assert np.all(np.isfinite(wtp.predict()["mean"]))
+
+
+class TestMarginal:
+    def test_normal_density_logp(self, data, rng):
+        x, y = data
+        mp = MP(space=x, density=Normal(mu=Bias(x), sigma=Bias(x, name="S")),
+                name="MPA")
+        mp.observed(x, y)
+        params = {"MPA_Bias_Bias": np.float32(0.2), "MPA_S_Bias": np.float32(0.5)}
+        want = stats.norm.logpdf(y, loc=0.2, scale=0.5).sum()
+        np.testing.assert_allclose(mp.logp(params), want, rtol=1e-4)
+
+    def test_uniform_density(self, data):
+        x, y = data
+        mp = MP(space=x, density=Uniform(lower=Bias(x, name="L"),
+                                         upper=Bias(x, name="U")), name="MPB")
+        mp.observed(x, y)
+        params = {"MPB_L_Bias": np.float32(-3.0), "MPB_U_Bias": np.float32(3.0)}
+        want = -len(y) * np.log(6.0)
+        np.testing.assert_allclose(mp.logp(params), want, rtol=1e-5)
+        # outside support -> guard
+        params_bad = {"MPB_L_Bias": np.float32(0.5), "MPB_U_Bias": np.float32(0.6)}
+        assert mp.logp(params_bad) < -1e29
+
+    def test_studentt_density_and_predict(self, data):
+        x, y = data
+        mp = MP(space=x, density=StudentT(mu=Bias(x), sigma=Bias(x, name="S"),
+                                          nu=Bias(x, name="N")), name="MPC")
+        mp.observed(x, y)
+        params = {"MPC_Bias_Bias": np.float32(0.0), "MPC_S_Bias": np.float32(1.0),
+                  "MPC_N_Bias": np.float32(5.0)}
+        want = stats.t.logpdf(y, 5.0, loc=0.0, scale=1.0).sum()
+        np.testing.assert_allclose(mp.logp(params), want, rtol=1e-4)
+        pred = mp.predict(params=params, quantiles=True)
+        assert np.all(np.isfinite(pred["mean"]))
+
+
+class TestTransport:
+    def test_tkernel_matches_gp_loglike(self, data):
+        """A pure TKernel transport with zero-location is exactly the
+        (unwarped, zero-mean) GP likelihood."""
+        x, y = data
+        tgp = TGP(space=x, transport=TKernel(SE(x), noisy=True), name="TGPA")
+        tgp.observed(x, y)
+        gp = GP(space=x, location=Zero(), kernel=SE(x), name="GPT")
+        gp.observed(x, y)
+        p_t = tgp.params_default
+        p_g = gp.params_default
+        # align param values (names differ: the transport prefixes NoiseSE)
+        lt = tgp.loglike(p_t)
+        lg = gp.loglike(p_g)
+        np.testing.assert_allclose(lt, lg, rtol=1e-3, atol=1e-3)
+
+    def test_composed_transport(self, data):
+        x, y = data
+        t = TLocation(Bias(x)) @ TKernel(SE(x), noisy=True)
+        tgp = TGP(space=x, transport=t, name="TGPB")
+        tgp.observed(x, y)
+        assert np.isfinite(tgp.logp())
+        g = np.asarray(tgp.dlogp())
+        assert np.all(np.isfinite(g))
+        pred = tgp.predict(quantiles=True, simulations=16)
+        assert np.all(np.isfinite(pred["mean"]))
+
+    def test_find_map_on_tgp(self, data):
+        x, y = data
+        tgp = TGP(space=x, transport=TKernel(SE(x), noisy=True), name="TGPC")
+        tgp.observed(x, y)
+        lp0 = tgp.logp()
+        params = tgp.find_MAP(points=1, powell=False, display=False)
+        assert tgp.logp(params) >= lp0 - 1e-6
+
+
+class TestCopula:
+    def test_gaussian_copula_with_normal_marginals_matches_gp_shape(self, data):
+        x, y = data
+        cgp = CGP(space=x, kernel=SE(x),
+                  marginal=Normal(mu=Bias(x, name="CM"), sigma=Bias(x, name="CS")),
+                  name="CGPA")
+        cgp.observed(x, y)
+        assert np.isfinite(cgp.logp())
+        assert np.all(np.isfinite(np.asarray(cgp.dlogp())))
+
+    def test_copula_quantiles_monotone(self, data):
+        x, y = data
+        cgp = CGP(space=x, kernel=SE(x),
+                  marginal=Normal(mu=Bias(x, name="CM"), sigma=Bias(x, name="CS")),
+                  name="CGPB")
+        cgp.observed(x, y)
+        q1 = cgp.quantiler(q=0.25)
+        q2 = cgp.quantiler(q=0.75)
+        assert np.all(q2 >= q1 - 1e-5)
+
+    def test_studentt_copula(self, data):
+        x, y = data
+        cstp = CSTP(space=x, kernel=SE(x),
+                    marginal=Normal(mu=Bias(x, name="CM"), sigma=Bias(x, name="CS")),
+                    name="CSTPA")
+        cstp.observed(x, y)
+        assert np.isfinite(cstp.logp())

@@ -1,0 +1,102 @@
+"""Sampler tests: ensemble/PT/HMC recover known target moments."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from g3py_tpu.bayesian.samplers import (
+    ensemble_sampler,
+    pt_sampler,
+    hmc_sampler,
+    mcmc_ensemble,
+)
+
+
+def gauss_logp(mu, sd):
+    mu = jnp.asarray(mu)
+    sd = jnp.asarray(sd)
+
+    def logp(p):
+        return -0.5 * jnp.sum(((p - mu) / sd) ** 2)
+
+    return logp
+
+
+class TestEnsemble:
+    def test_recovers_gaussian_moments(self):
+        mu = np.array([1.0, -2.0], np.float32)
+        sd = np.array([0.5, 2.0], np.float32)
+        # spread starts: identical walkers make the stretch move degenerate
+        p0 = np.random.default_rng(0).standard_normal((32, 2)).astype(np.float32)
+        chain, lnprob = ensemble_sampler(gauss_logp(mu, sd), p0, samples=800,
+                                         key=0)
+        assert chain.shape == (32, 800, 2)
+        assert lnprob.shape == (32, 800)
+        flat = chain[:, 400:, :].reshape(-1, 2)
+        np.testing.assert_allclose(flat.mean(0), mu, atol=0.2)
+        np.testing.assert_allclose(flat.std(0), sd, rtol=0.25)
+
+    def test_rejects_odd_chains(self):
+        with pytest.raises(ValueError):
+            ensemble_sampler(gauss_logp([0.0], [1.0]),
+                             np.zeros((3, 1), np.float32), samples=5)
+
+    def test_sharded_runs(self):
+        # walker axis over the 8-device CPU mesh
+        p0 = np.random.default_rng(0).standard_normal((16, 2)).astype(np.float32)
+        chain, lnprob = ensemble_sampler(gauss_logp([0.0, 0.0], [1.0, 1.0]), p0,
+                                         samples=50, key=1, shard=True)
+        assert np.all(np.isfinite(lnprob[:, -1]))
+
+
+class TestParallelTempering:
+    def test_multimodal_mixing(self):
+        # two well-separated modes: PT should visit both
+        def loglike(p):
+            m = 4.0
+            return jnp.logaddexp(-0.5 * jnp.sum((p - m) ** 2),
+                                 -0.5 * jnp.sum((p + m) ** 2))
+
+        def logprior(p):
+            return -0.5 * jnp.sum((p / 10.0) ** 2)
+
+        rng = np.random.default_rng(0)
+        p0 = rng.standard_normal((4, 16, 1)).astype(np.float32) * 6
+        chain, lnprob = pt_sampler(loglike, logprior, p0, samples=600, key=0)
+        assert chain.shape == (16, 600, 1)
+        flat = chain[:, 300:, 0].ravel()
+        # both modes visited
+        assert (flat > 2).mean() > 0.1
+        assert (flat < -2).mean() > 0.1
+
+
+class TestHMC:
+    def test_recovers_gaussian(self):
+        chain, lnprob = hmc_sampler(gauss_logp([0.5], [1.5]),
+                                    np.zeros(1, np.float32), samples=2000,
+                                    key=0, step_size=0.3, leapfrog_steps=8,
+                                    chains=4)
+        assert chain.shape == (4, 2000, 1)
+        flat = chain[:, 1000:, 0].ravel()
+        np.testing.assert_allclose(flat.mean(), 0.5, atol=0.2)
+        np.testing.assert_allclose(flat.std(), 1.5, rtol=0.25)
+
+
+class TestDriver:
+    def test_mcmc_ensemble_jitters_start(self):
+        lnprob, chain = mcmc_ensemble(2, samples=50, chains=8,
+                                      start=np.array([1.0, 1.0], np.float32),
+                                      logp=gauss_logp([1.0, 1.0], [1.0, 1.0]),
+                                      seed=3)
+        assert chain.shape == (8, 50, 2)
+        # start jitter must not leave all walkers identical
+        assert np.std(chain[:, 0, 0]) > 0
+
+    def test_mcmc_ensemble_tempered(self):
+        lnprob, chain = mcmc_ensemble(
+            1, samples=50, chains=8, ntemps=3,
+            start=np.array([0.5], np.float32),
+            loglike=gauss_logp([0.0], [1.0]),
+            logprior=gauss_logp([0.0], [3.0]), seed=4)
+        assert chain.shape == (8, 50, 1)
+        assert np.all(np.isfinite(lnprob))
