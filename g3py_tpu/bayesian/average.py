@@ -20,6 +20,7 @@ import matplotlib.pyplot as plt
 
 from ..config import settings
 from ..utils.plots import plot_text, show
+from .. import native as _native
 from .samplers import mcmc_ensemble  # noqa: F401  (re-export, reference parity)
 
 __all__ = [
@@ -333,14 +334,8 @@ def gelman_rubin(chains, method="multi-sum"):
                                 + ((nwalkers + 1) / nwalkers) * np.sum(eig.real) - 1))
         return float(np.abs((nsamples - 1) / nsamples
                             + ((nwalkers + 1) / nwalkers) * np.max(eig.real) - 1))
-    rhat = np.zeros(ndim)
-    for i in range(ndim):
-        x = chains[:, :, i]
-        B = nsamples * np.var(np.mean(x, axis=1), axis=0, ddof=1)
-        W = np.mean(np.var(x, axis=1, ddof=1), axis=0)
-        Vhat = W * (nsamples - 1) / nsamples + B / nsamples
-        rhat[i] = np.sqrt(Vhat / W) if W > 0 else 1.0
-    return float(np.max(np.abs(rhat - 1)))
+    worst, _rhat = _native.gelman_rubin_uni(chains)
+    return worst
 
 
 def burn_in_samples(chains, tol=0.1, method="multi-sum"):
@@ -428,28 +423,17 @@ def _is_positive_definite(m):
 
 
 def _autocov_matrix(chain, lag):
-    n = chain.shape[0]
-    x = chain - np.mean(chain, axis=0)
-    return (1 / n) * (x[: (n - lag), :].T.dot(x[lag:, :]))
+    return _native.autocov_matrix(chain, lag)
 
 
 def _autocov_matrix_2(chain, i):
-    return _autocov_matrix(chain, lag=2 * i) + _autocov_matrix(chain, lag=2 * i + 1)
+    return _native.autocov_matrix_2(chain, i)
 
 
 def _sigma_batch(chain, batch_size):
-    """Batch-means Markov-CLT covariance (reference :795-808)."""
-    nsamples, ndim = chain.shape
-    a = int(np.floor(nsamples / batch_size))
-    mu = np.mean(chain)
-    block_means = np.zeros((a, ndim))
-    k = np.arange(a) * batch_size
-    for i in range(batch_size):
-        block_means += chain[k, :]
-        k += 1
-    block_means /= batch_size
-    A = block_means - mu
-    return (batch_size / (a - 1)) * np.matmul(A.T, A)
+    """Batch-means Markov-CLT covariance (reference :795-808; native C++
+    core with a numpy fallback)."""
+    return _native.sigma_batch(chain, batch_size)
 
 
 def _sigma_mIS(chain):

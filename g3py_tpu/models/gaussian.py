@@ -19,8 +19,8 @@ import jax.numpy as jnp
 from scipy import stats
 
 from ..config import settings
-from ..ops.guards import to_num
-from ..ops.linalg import solve_lower_triangular
+from ..ops.guards import to_num, to_cov
+from ..ops.linalg import solve_lower_triangular, mvn_quad_logdet
 from ..ops.quadrature import gauss_hermite
 from ..utils import DictObj
 from .elliptical import EllipticalProcess
@@ -73,16 +73,23 @@ class GaussianProcess(EllipticalProcess):
 
     def th_loglike_fn(self):
         """Observed-data loglikelihood: warped MVN over the prior inputs
-        moments (reference gaussian.py:30-40)."""
+        moments (reference gaussian.py:30-40), computed through the fused
+        ``mvn_quad_logdet`` primitive (analytic-gradient robust-Cholesky
+        pipeline — see ops/linalg.py)."""
         mapping = self.f_mapping
         location = self.f_location
+        kernel_noise = self.f_kernel_noise
 
         def fn(params, space, inputs, outputs):
             mu = location(params, inputs)
-            cho = self._obs_chol(params, inputs)
+            cov = to_cov(kernel_noise.cov(params, inputs))
             tinv = to_num(mapping.inv(params, outputs))
-            logdet = mapping.logdet_dinv(params, outputs)
-            return warped_gaussian_logp_cho(outputs, mu, cho, tinv, logdet)
+            logdet_map = mapping.logdet_dinv(params, outputs)
+            quad, logdet_half, ok = mvn_quad_logdet(cov, tinv - mu)
+            n = jnp.asarray(jnp.shape(inputs)[0], settings.dtype)
+            r = -0.5 * n * LOG2PI - 0.5 * quad - logdet_half + logdet_map
+            bad = (ok == 0) | (~jnp.isfinite(quad)) | (~jnp.isfinite(logdet_map))
+            return jnp.where(bad, GUARD, to_num(r, nan=GUARD, neginf=GUARD))
 
         return fn
 

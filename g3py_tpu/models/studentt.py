@@ -15,8 +15,8 @@ from scipy import stats
 
 from ..config import settings
 from ..hypers import Freedom
-from ..ops.guards import to_num
-from ..ops.linalg import solve_lower_triangular
+from ..ops.guards import to_num, to_cov
+from ..ops.linalg import solve_lower_triangular, mvn_quad_logdet
 from ..ops.quadrature import gauss_hermite
 from .elliptical import EllipticalProcess
 from .gaussian import GaussianProcess
@@ -71,14 +71,25 @@ class StudentTProcess(EllipticalProcess):
         mapping = self.f_mapping
         location = self.f_location
         degree = self.f_degree
+        kernel_noise = self.f_kernel_noise
 
         def fn(params, space, inputs, outputs):
             mu = location(params, inputs)
-            cho = self._obs_chol(params, inputs)
+            cov = to_cov(kernel_noise.cov(params, inputs))
             tinv = to_num(mapping.inv(params, outputs))
-            logdet = mapping.logdet_dinv(params, outputs)
+            logdet_map = mapping.logdet_dinv(params, outputs)
             nu = degree(params)
-            return warped_studentt_logp_cho(outputs, mu, cho, nu, tinv, logdet)
+            beta, logdet_half, ok = mvn_quad_logdet(cov, tinv - mu)
+            n = jnp.asarray(jnp.shape(inputs)[0], settings.dtype)
+            pi_x = jnp.asarray(np.pi, settings.dtype)
+            r1 = -0.5 * (nu + n) * jnp.log1p(beta / (nu - 2.0))
+            gaussian_limit = -n * 0.5 * jnp.log(2.0 * pi_x)
+            student = (gammaln((nu + n) * 0.5) - gammaln(nu * 0.5)
+                       - 0.5 * n * jnp.log((nu - 2.0) * pi_x))
+            r2 = jnp.where(nu >= 1e6, gaussian_limit, student)
+            r = r1 + r2 - logdet_half + logdet_map
+            bad = (ok == 0) | (~jnp.isfinite(beta)) | (~jnp.isfinite(logdet_map))
+            return jnp.where(bad, GUARD, to_num(r, nan=GUARD, neginf=GUARD))
 
         return fn
 

@@ -11,6 +11,8 @@ from .linalg import (
     solve_upper_triangular,
     cho_solve,
     log_det_from_chol,
+    blocked_trtri,
+    mvn_quad_logdet,
 )
 from .gram import (
     weighted_sqdist,
@@ -32,6 +34,8 @@ __all__ = [
     "solve_upper_triangular",
     "cho_solve",
     "log_det_from_chol",
+    "blocked_trtri",
+    "mvn_quad_logdet",
     "weighted_sqdist",
     "weighted_dot",
     "pairwise_sum",
