@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import matplotlib.pyplot as plt
 
 from ..config import settings, asarray_x
+from ..ops.guards import to_num
 from ..utils import DictObj, save_pkl, load_pkl, load_datatrace, save_datatrace
 from ..bayesian.registry import GraphicalModel
 from ..bayesian.models import PlotModel
@@ -582,9 +583,10 @@ class StochasticProcess(PlotModel):
             pure = self._logp_pure(prior=prior)
         if kind == "dlogp":
             def apure(u, s, i, o, v):
-                return jax.grad(
+                g = jax.grad(
                     lambda uu: pure(reg.array_to_dict_jax(uu), s, i, o, v)
                 )(u)
+                return to_num(g)  # NaN-robust gradients (reference models.py:26-37)
             self.compiles[tag] = CompiledFn(apure, tag)
         elif array:
             def apure(u, s, i, o, v):
@@ -650,9 +652,10 @@ class StochasticProcess(PlotModel):
             reg = self.active
 
             def apure(u, s, i, o, v):
-                return jax.grad(
+                g = jax.grad(
                     lambda uu: pure(reg.array_to_dict_jax(uu), s, i, o, v)
                 )(u)
+                return to_num(g)  # NaN-robust gradients (reference models.py:26-37)
 
             self.compiles[tag] = CompiledFn(apure, tag)
         return self.compiles[tag](np.asarray(params, dtype=settings.floatx),
@@ -694,8 +697,8 @@ class StochasticProcess(PlotModel):
 
             if kind == "dlogp":
                 def vfun(chain_, s, i, o, v):
-                    return jax.vmap(lambda u: jax.grad(
-                        lambda uu: one(uu, s, i, o, v))(u))(chain_)
+                    return to_num(jax.vmap(lambda u: jax.grad(
+                        lambda uu: one(uu, s, i, o, v))(u))(chain_))
             else:
                 def vfun(chain_, s, i, o, v):
                     return jax.vmap(lambda u: one(u, s, i, o, v))(chain_)

@@ -1,0 +1,122 @@
+"""Experiment harness, datasets/splitters, native core, parallel wrappers."""
+
+import numpy as np
+import pytest
+
+import g3py_tpu as g3
+from g3py_tpu import native
+from g3py_tpu.utils.data import random_obs, uniform_obs, data_sunspots, data_abalone
+from g3py_tpu.bayesian.selection import Experiment
+
+
+class TestSplitters:
+    def test_random_obs_partition(self, rng):
+        x = np.arange(100)
+        obs, test = random_obs(x, p=0.3, rng=rng)
+        assert len(obs) == 30
+        assert len(np.intersect1d(obs, test)) == 0
+        assert len(obs) + len(test) == 100
+
+    def test_uniform_obs(self):
+        x = np.arange(50)
+        obs, test = uniform_obs(x, p=0.2)
+        assert len(obs) >= 1
+        assert len(np.intersect1d(obs, test)) == 0
+
+
+class TestData:
+    def test_sunspots_loads(self):
+        x, y = data_sunspots()
+        assert len(x) == len(y) > 100
+
+    def test_abalone_shape(self):
+        x, y = data_abalone()
+        assert x.shape == (4177, 8)
+        assert y.shape == (4177,)
+        assert x.dtype == np.float32
+
+
+class TestNative:
+    def test_autocov_matches_numpy(self, rng):
+        chain = rng.standard_normal((200, 3))
+        got = native.autocov_matrix(chain, 5)
+        x = chain - chain.mean(0)
+        want = (1 / 200) * (x[:195].T @ x[5:])
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+    def test_gelman_uni_close_to_one_for_iid(self, rng):
+        chains = rng.standard_normal((6, 500, 2))
+        worst, rhat = native.gelman_rubin_uni(chains)
+        assert worst < 0.05
+        assert rhat.shape == (2,)
+
+    def test_sigma_batch_psd_ish(self, rng):
+        chain = rng.standard_normal((300, 3))
+        s = native.sigma_batch(chain, 10)
+        w = np.linalg.eigvalsh((s + s.T) / 2)
+        assert w.min() > -1e-8
+
+
+class TestExperiment:
+    def test_run_two_models(self, rng, tmp_path):
+        x = np.linspace(0, 8, 40).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(40)).astype(np.float32)
+        gp1 = g3.GP(space=x, location=g3.Zero(), kernel=g3.SE(x), name="EA")
+        gp2 = g3.GP(space=x, location=g3.Bias(), kernel=g3.OU(x), name="EB")
+        exp = Experiment(models=[gp1, gp2], file=str(tmp_path / "exp.pkl"))
+        exp.set_data(x, y, p=0.5)
+        exp.set_selection(find_MAP=True, starts=1, points=1, powell=False)
+        results = exp.run(n_simulations=2, display=False)
+        assert len(results) == 4  # 2 sims x 2 models
+        assert set(results["_model"]) == {"EA", "EB"}
+        for col in ["time_params", "obs_l1", "test_l1"]:
+            assert col in results.columns
+        # resume: re-running skips completed pairs
+        results2 = exp.run(n_simulations=2, display=False)
+        assert len(results2) == 4
+        # pivot
+        piv = exp.describe(score="test_l1")
+        assert piv.shape == (2, 2)
+
+    def test_selection_without_map(self, rng):
+        x = np.linspace(0, 8, 30).astype(np.float32).reshape(-1, 1)
+        y = np.sin(x[:, 0]).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Zero(), kernel=g3.SE(x), name="EC")
+        exp = Experiment(models=[gp])
+        exp.set_data(x, y, p=0.5)
+        exp.set_selection(find_MAP=False, starts=3)
+        gp.observed(x[:15], y[:15])
+        params = exp.select_model(gp)
+        assert np.isfinite(gp.logp(params))
+
+
+class TestParallelWrappers:
+    def test_sharded_logp_matches(self, rng):
+        from g3py_tpu.parallel import make_mesh, sharded_logp_fn
+
+        x = rng.standard_normal((32, 2)).astype(np.float32)
+        y = np.sin(x[:, 0]).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Zero(), kernel=g3.SE(x), name="PAR")
+        gp.observed(x, y)
+        u = gp.active.dict_to_array(gp.params_default)
+        want = gp.logp(u, array=True)
+        mesh = make_mesh(axis_names=("dp",))
+        fn, place = sharded_logp_fn(gp, mesh)
+        s, i, o = place(x, x, y)
+        got = float(fn(u, s, i, o))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+    def test_sharded_ensemble_step(self, rng):
+        import jax.numpy as jnp
+        from g3py_tpu.parallel import make_mesh, sharded_ensemble_step
+        from jax import random
+
+        def logp(p):
+            return -0.5 * jnp.sum(p**2)
+
+        mesh = make_mesh(axis_names=("chains",))
+        step, place, logp_vm = sharded_ensemble_step(logp, mesh)
+        p0 = place(rng.standard_normal((16, 3)).astype(np.float32))
+        lp = logp_vm(p0)
+        x1, lp1 = step(random.PRNGKey(0), p0, lp)
+        assert np.all(np.isfinite(np.asarray(lp1)))
