@@ -215,6 +215,8 @@ from .bayesian import (
     pt_sampler,
     hmc_sampler,
     mcmc_ensemble,
+    nuts_sampler,
+    nuts_warmup,
     chains_to_datatrace,
     datatrace_to_chains,
     datatrace_to_kde,

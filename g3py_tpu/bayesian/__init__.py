@@ -5,6 +5,7 @@ from .registry import GraphicalModel, Model, get_model
 from .models import PlotModel
 from .selection import optimize, Experiment
 from .samplers import ensemble_sampler, pt_sampler, hmc_sampler, mcmc_ensemble
+from .nuts import nuts_sampler, nuts_warmup
 from .average import (
     chains_to_datatrace,
     datatrace_to_chains,

@@ -905,10 +905,16 @@ class StochasticProcess(PlotModel):
                       raw=False, noise_mult=0.1, noise_sum=0.01, burnin_tol=0.001,
                       burnin_method="multi-sum", outlayer_percentile=0.0005,
                       clusters=None, prior=False, parallel=False, threads=1,
-                      plot=False, file=None, load=True, seed=0):
-        """Ensemble-MCMC over the hyperparameter posterior (reference
-        :676-800).  Chains run vmapped (and device-sharded when ``parallel``)
-        inside one jitted sampler instead of multiprocessing pools."""
+                      plot=False, file=None, load=True, seed=0, method="ensemble",
+                      nuts_warmup=200, max_depth=8):
+        """MCMC over the hyperparameter posterior (reference :676-800).
+
+        ``method='ensemble'`` (default) is the reference's affine-invariant
+        sampler (parallel-tempered when ``ntemps``); ``method='nuts'`` runs
+        the jax-native No-U-Turn sampler (gradient-based, far higher
+        effective-sample rate per iteration for smooth posteriors).  Chains
+        run vmapped (and device-sharded when ``parallel``) inside one jitted
+        sampler instead of multiprocessing pools."""
         reg = self.active
         ndim = len(reg.sampling_dims)
         if chains is None:
@@ -940,11 +946,25 @@ class StochasticProcess(PlotModel):
         logp_tr, loglike_tr, logprior_tr = self._sampling_logps(prior=prior,
                                                                 tempered=ntemps is not None)
 
-        lnprob, echain = mcmc_ensemble(
-            ndim, samples=samples, chains=chains, ntemps=ntemps, start=start,
-            logp=logp_tr, loglike=loglike_tr, logprior=logprior_tr,
-            noise_mult=noise_mult, noise_sum=noise_sum, threads=threads,
-            parallel=parallel, seed=seed)
+        if method == "nuts":
+            from ..bayesian.nuts import nuts_sampler
+
+            if logp_tr is None:
+                logp_tr = lambda p: loglike_tr(p) + logprior_tr(p)
+            rng_jitter = np.random.default_rng(seed)
+            z0 = start if start.ndim == 2 else (
+                start[None, :] * (1 + noise_mult
+                                  * rng_jitter.standard_normal((chains, ndim))
+                                  ).astype(settings.floatx))
+            echain, lnprob, _info = nuts_sampler(
+                logp_tr, z0, samples, warmup=nuts_warmup, key=seed,
+                max_depth=max_depth, chains=chains)
+        else:
+            lnprob, echain = mcmc_ensemble(
+                ndim, samples=samples, chains=chains, ntemps=ntemps, start=start,
+                logp=logp_tr, loglike=loglike_tr, logprior=logprior_tr,
+                noise_mult=noise_mult, noise_sum=noise_sum, threads=threads,
+                parallel=parallel, seed=seed)
 
         complete_chain = np.empty((echain.shape[0], echain.shape[1], self.ndim),
                                   dtype=settings.floatx)

@@ -100,3 +100,37 @@ class TestDriver:
             logprior=gauss_logp([0.0], [3.0]), seed=4)
         assert chain.shape == (8, 50, 1)
         assert np.all(np.isfinite(lnprob))
+
+
+class TestNUTS:
+    def test_recovers_correlated_gaussian(self):
+        import jax.numpy as jnp
+        from g3py_tpu.bayesian.nuts import nuts_sampler
+
+        cov = np.array([[1.0, 0.8], [0.8, 2.0]], np.float32)
+        prec = jnp.asarray(np.linalg.inv(cov))
+
+        def logp(p):
+            return -0.5 * p @ prec @ p
+
+        chain, lnprob, info = nuts_sampler(logp, np.zeros(2, np.float32),
+                                           samples=800, warmup=200, key=0,
+                                           chains=2)
+        flat = chain[:, 300:, :].reshape(-1, 2)
+        got = np.cov(flat.T)
+        np.testing.assert_allclose(got, cov, atol=0.4)
+        assert np.all(info["divergences"] == 0)
+        assert np.all(info["accept_rate"] > 0.5)
+
+    def test_gp_hypers_via_nuts(self, rng):
+        import g3py_tpu as g3
+
+        x = np.linspace(0, 6, 16).astype(np.float32).reshape(-1, 1)
+        y = np.sin(x[:, 0]).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Zero(), kernel=g3.SE(x), name="NUTSGP")
+        gp.observed(x, y)
+        dt = gp.sample_hypers(start=gp.params_default, samples=40, chains=2,
+                              method="nuts", nuts_warmup=40, burnin_tol=None,
+                              outlayer_percentile=None, seed=0)
+        assert len(dt) == 80
+        assert np.all(np.isfinite(dt._ll))
