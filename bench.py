@@ -91,17 +91,66 @@ def main():
     t_ref_workload = _timeit(wgp_logp, u2, repeat=200, warmup=20)
     vs_baseline = 878e-6 / t_ref_workload
 
+    # headline FIRST — the sampler diagnostics below are best-effort and can
+    # stress the experimental TPU tunnel
     print(json.dumps({
         "metric": "gp_nll_grad_evals_per_sec_n4096_d8",
         "value": round(evals_per_sec, 3),
         "unit": "evals/sec",
         "vs_baseline": round(vs_baseline, 3),
-    }))
+    }), flush=True)
     print(
         f"# backend={jax.default_backend()} t_nll_grad_n4096={t_main*1e3:.2f}ms "
         f"t_wgp_logp_n125={t_ref_workload*1e6:.0f}us (ref 878us)",
-        file=sys.stderr,
+        file=sys.stderr, flush=True,
     )
+
+    # ---- optional: ensemble iteration rate + NUTS eff. samples/sec ---------
+    import os
+
+    if not os.environ.get("G3PY_BENCH_SAMPLERS"):
+        return
+    try:
+        n3 = 256
+        x3 = rng.standard_normal((n3, d)).astype(np.float32)
+        y3 = (np.sin(x3[:, 0])
+              + 0.1 * rng.standard_normal(n3)).astype(np.float32)
+        gp3 = g3.GP(space=x3[:4], location=g3.Bias(), kernel=g3.SE(x3),
+                    name="BGP3")
+        gp3.observed(x3, y3)
+        logp_tr, _, _ = gp3._sampling_logps(prior=False)
+        u3 = gp3.active.dict_to_array(gp3.params_default)
+        ndim3 = gp3.ndim
+
+        from g3py_tpu.bayesian.samplers import ensemble_sampler
+        from g3py_tpu.bayesian.nuts import nuts_sampler
+        from g3py_tpu.bayesian.average import _mESS
+
+        chains, iters = 32, 300
+        p0 = (u3[None, :] * (1 + 0.1 * rng.standard_normal((chains, ndim3)))
+              ).astype(np.float32)
+        _ = ensemble_sampler(logp_tr, p0, 10, key=0)  # warm the jit
+        t0 = time.perf_counter()
+        ch_e, lp_e = ensemble_sampler(logp_tr, p0, iters, key=1)
+        t_ens = time.perf_counter() - t0
+        ens_logp_per_sec = chains * iters / t_ens
+
+        t0 = time.perf_counter()
+        ch_n, lp_n, info = nuts_sampler(logp_tr, u3, samples=200, warmup=80,
+                                        key=0, chains=2, max_depth=6)
+        t_nuts = time.perf_counter() - t0
+        half = ch_n[:, 100:, :]
+        ess = sum(_mESS(half[c]) for c in range(half.shape[0]))
+        nuts_ess_per_sec = ess / t_nuts
+        print(
+            f"# ensemble_logp/s_n256={ens_logp_per_sec:.0f} "
+            f"nuts_ess/s_n256={nuts_ess_per_sec:.1f} "
+            f"(accept={info['accept_rate'].mean():.2f}, "
+            f"div={int(info['divergences'].sum())})",
+            file=sys.stderr, flush=True,
+        )
+    except Exception as e:  # diagnostics only — never break the headline
+        print(f"# sampler bench skipped: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

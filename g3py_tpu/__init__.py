@@ -60,6 +60,14 @@ from .utils.plots import (
     style_widget,
 )
 from .utils.lagrange import LagrangianConstraint, LagrangianMultiplier
+from .utils.debug import (
+    debug,
+    show_graph,
+    print_graph,
+    debug_mode,
+    profile_trace,
+    set_debug,
+)
 
 # numeric core
 from . import ops
