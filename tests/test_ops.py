@@ -173,3 +173,87 @@ class TestCholSolvers:
         np.testing.assert_allclose(a @ x, b, rtol=2e-3, atol=2e-3)
         ld = float(log_det_from_chol(L))
         np.testing.assert_allclose(ld, np.linalg.slogdet(a.astype(np.float64))[1], rtol=1e-4)
+
+
+class TestPallasCholesky:
+    def test_interpret_mode_matches(self, rng):
+        from g3py_tpu.ops.pallas_cholesky import pallas_cholesky
+
+        n, B = 256, 128
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        A = a @ a.T + n * np.eye(n, dtype=np.float32)
+        L, dinv = pallas_cholesky(A, block=B, interpret=True)
+        L = np.tril(np.asarray(L))
+        Lref = scipy.linalg.cholesky(A.astype(np.float64), lower=True)
+        np.testing.assert_allclose(L, Lref, rtol=1e-4, atol=1e-3)
+        for k in range(n // B):
+            blk = L[k * B:(k + 1) * B, k * B:(k + 1) * B]
+            np.testing.assert_allclose(np.asarray(dinv)[k] @ blk, np.eye(B),
+                                       atol=1e-4)
+
+
+class TestBlockedTrtri:
+    def test_matches_solve(self, rng):
+        from g3py_tpu.ops.linalg import blocked_trtri
+
+        n = 96
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        A = a @ a.T + n * np.eye(n, dtype=np.float32)
+        L = np.linalg.cholesky(A)
+        Linv = np.asarray(blocked_trtri(jnp.asarray(L), block=32))
+        np.testing.assert_allclose(Linv @ L, np.eye(n), atol=1e-4)
+
+    def test_non_divisible_padding(self, rng):
+        from g3py_tpu.ops.linalg import blocked_trtri
+
+        n = 50
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        A = a @ a.T + n * np.eye(n, dtype=np.float32)
+        L = np.linalg.cholesky(A)
+        Linv = np.asarray(blocked_trtri(jnp.asarray(L), block=16))
+        np.testing.assert_allclose(Linv @ L, np.eye(n), atol=1e-4)
+
+
+class TestMvnQuadLogdet:
+    def test_values_and_grads(self, rng):
+        from g3py_tpu.ops.linalg import mvn_quad_logdet
+
+        n = 24
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        A = jnp.asarray(a @ a.T + n * np.eye(n, dtype=np.float32))
+        r = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+        quad, ldh, ok = mvn_quad_logdet(A, r)
+        Anp = np.asarray(A, np.float64)
+        np.testing.assert_allclose(float(quad), r @ np.linalg.solve(Anp, r),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(ldh),
+                                   0.5 * np.linalg.slogdet(Anp)[1], rtol=1e-4)
+        assert float(ok) == 1.0
+
+        # analytic backward vs autodiff through jnp.linalg
+        def f_ours(K, v):
+            q, l, _ = mvn_quad_logdet(K, v)
+            return 0.7 * q + 1.3 * l
+
+        def f_ref(K, v):
+            L = jnp.linalg.cholesky(K)
+            z = jax.scipy.linalg.solve_triangular(L, v, lower=True)
+            return 0.7 * jnp.dot(z, z) + 1.3 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+        gK, gv = jax.grad(f_ours, argnums=(0, 1))(A, r)
+        gK_ref, gv_ref = jax.grad(f_ref, argnums=(0, 1))(A, r)
+        np.testing.assert_allclose(np.asarray(gK), np.asarray(gK_ref),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_failure_path_zero_grad(self):
+        from g3py_tpu.ops.linalg import mvn_quad_logdet
+
+        A = jnp.full((4, 4), jnp.nan, dtype=jnp.float32)
+        r = jnp.ones(4, dtype=jnp.float32)
+        quad, ldh, ok = mvn_quad_logdet(A, r)
+        assert float(ok) == 0.0
+        g = jax.grad(lambda K: mvn_quad_logdet(K, r)[0])(A)
+        assert np.all(np.isfinite(np.asarray(g)))
