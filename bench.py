@@ -105,6 +105,34 @@ def main():
         file=sys.stderr, flush=True,
     )
 
+    # ---- scaling point: N=16384 (BASELINE asks N=4k/16k) --------------------
+    try:
+        n16 = 16384
+        x16 = rng.standard_normal((n16, d)).astype(np.float32)
+        y16 = (np.sin(x16[:, 0])
+               + 0.1 * rng.standard_normal(n16)).astype(np.float32)
+        gp16 = g3.GP(space=x16[:4], location=g3.Bias(), kernel=g3.SE(x16),
+                     name="BGP16")
+        gp16.observed(x16, y16)
+        reg16 = gp16.active
+        pure16 = gp16._logp_pure(prior=False)
+        u16 = jnp.asarray(reg16.dict_to_array(gp16.params_default))
+        x16j, y16j = jnp.asarray(x16), jnp.asarray(y16)
+
+        @jax.jit
+        def nll_grad16(u):
+            def nll(uu):
+                return -pure16(reg16.array_to_dict_jax(uu), x16j, x16j, y16j,
+                               jnp.zeros(0, dtype=uu.dtype))
+
+            return jax.value_and_grad(nll)(u)
+
+        t16 = _timeit(nll_grad16, u16, repeat=3, warmup=2, best_of=2)
+        print(f"# t_nll_grad_n16384={t16*1e3:.1f}ms "
+              f"({1.0/t16:.2f} evals/sec)", file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"# n16384 point skipped: {e}", file=sys.stderr)
+
     # ---- optional: ensemble iteration rate + NUTS eff. samples/sec ---------
     import os
 
