@@ -94,13 +94,14 @@ class PlotModel:
             if scores:
                 pred.update(self.scores(params, *args, **kwargs))
             if average is None:
-                average = pred
+                # jax-backed outputs arrive as read-only views; copy
+                average = DictObj({k: np.array(v) for k, v in pred.items()})
             else:
                 for key in pred.keys():
-                    average[key] += pred[key]
+                    average[key] = average[key] + pred[key]
         n = len(datatrace)
         for key in pred.keys():
-            average[key] /= n
+            average[key] = average[key] / n
         return average
 
     def particles(self, datatrace, nsamples=None, *args, **kwargs):

@@ -1,0 +1,140 @@
+"""Datatrace analytics & plotting coverage: KDE round trips, clustering,
+candidates, per-row errors, plot smoke tests (Agg backend)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import g3py_tpu as g3
+from g3py_tpu.bayesian.average import (
+    datatrace_to_kde,
+    kde_to_datatrace,
+    cluster_datatrace,
+    errors_datatrace,
+    find_candidates,
+    marginal_datatrace,
+    conditional_datatrace,
+    plot_datatrace,
+    hist_datatrace,
+    kde_datatrace,
+    scatter_datatrace,
+)
+
+
+@pytest.fixture(scope="module")
+def gp_with_trace():
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 8, 24).astype(np.float32).reshape(-1, 1)
+    y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(24)).astype(np.float32)
+    gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x), name="ANL")
+    gp.observed(x, y)
+    gp.hidden = y
+    dt = gp.sample_hypers(start=gp.params_default, samples=80, chains=8,
+                          burnin_tol=0.2, seed=0)
+    return gp, dt
+
+
+class TestAnalytics:
+    def test_kde_roundtrip(self, gp_with_trace):
+        gp, dt = gp_with_trace
+        kde = datatrace_to_kde(gp, dt, bandwidth=0.05)
+        kde_dt = kde_to_datatrace(gp, kde, nsamples=50)
+        assert len(kde_dt) >= 50
+        assert np.all(np.isfinite(kde_dt["_ll"]))
+
+    def test_clustering_and_candidates(self, gp_with_trace):
+        gp, dt = gp_with_trace
+        cluster_datatrace(gp, dt, n_components=2)
+        assert "_cluster" in dt
+        assert hasattr(gp, "_cluster")
+        cands = find_candidates(dt, ll=2, mean=True, median=True)
+        assert len(cands) >= 2
+        assert "_ll" in cands
+
+    def test_errors_datatrace(self, gp_with_trace):
+        gp, dt = gp_with_trace
+        sub = dt.iloc[:10].copy()
+        errors_datatrace(gp, sub, space=gp.space, hidden=gp.hidden,
+                         inputs=gp.inputs, outputs=gp.outputs, nlpd=True)
+        assert "_l1" in sub and "_l2" in sub and "_nlpd" in sub
+        assert np.isfinite(sub["_l1"]).all()
+
+    def test_marginal_conditional(self, gp_with_trace):
+        gp, dt = gp_with_trace
+        m = marginal_datatrace(dt, like="SE", samples=20)
+        assert len(m) == 20
+        c = conditional_datatrace(dt, dt._ll > dt._ll.median())
+        assert 0 < len(c) <= len(dt)
+
+    def test_effective_sample_metrics(self, gp_with_trace):
+        gp, dt = gp_with_trace
+        target = g3.effective_sample_min(gp, p=2)
+        assert target > 0
+        for method in ["mIS", "adjusted", "batch"]:
+            ess = g3.effective_sample_size(gp, dt, method=method, burnin=False,
+                                           batch_size=5 if method == "batch" else None)
+            assert ess >= 1, method
+
+
+class TestPlots:
+    def test_plot_datatrace(self, gp_with_trace):
+        gp, dt = gp_with_trace
+        fig = plot_datatrace(dt, varnames=gp.active.param_names()[:2])
+        assert fig is not None
+
+    def test_hist_and_scatter(self, gp_with_trace):
+        gp, dt = gp_with_trace
+        hist_datatrace(dt, varnames=gp.active.param_names()[:2],
+                       reference=gp.params_default)
+        scatter_datatrace(dt, varnames=gp.active.param_names()[:2], samples=50)
+
+    def test_process_plots(self, gp_with_trace):
+        import matplotlib.pyplot as plt
+
+        gp, dt = gp_with_trace
+        gp.plot(quantiles_noise=False)
+        plt.close("all")
+        gp.plot_kernel()
+        plt.close("all")
+        gp.plot_concentration(figsize=None)
+        plt.close("all")
+        gp.plot_location()
+        plt.close("all")
+        gp.plot_space(observed=True)
+        plt.close("all")
+
+    def test_average_and_particles(self, gp_with_trace):
+        gp, dt = gp_with_trace
+        sub = dt.iloc[:: len(dt) // 4][:3]
+        avg = gp.average(sub, quantiles=False, scores=True)
+        assert "mean" in avg and "_l1" in avg
+        parts = gp.particles(sub, nsamples=3)
+        assert parts.shape == (len(gp.space), 3)
+
+    def test_sample_api(self, gp_with_trace):
+        gp, dt = gp_with_trace
+        s = gp.sample(samples=2)
+        assert s.shape == (len(gp.space), 2)
+
+
+class TestFindMapJax:
+    def test_jax_engine_matches_scipy(self):
+        rng = np.random.default_rng(1)
+        x = np.linspace(0, 8, 24).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(24)).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Zero(), kernel=g3.SE(x), name="JOPT")
+        gp.observed(x, y)
+        p_jax = gp.find_MAP(points=2, engine="jax", display=False)
+        p_sci = gp.find_MAP(points=2, display=False)
+        np.testing.assert_allclose(gp.logp(p_jax), gp.logp(p_sci),
+                                   rtol=1e-2, atol=0.5)
+
+    def test_return_points(self):
+        rng = np.random.default_rng(2)
+        x = np.linspace(0, 4, 12).astype(np.float32).reshape(-1, 1)
+        y = np.sin(x[:, 0]).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Zero(), kernel=g3.SE(x), name="JOPT2")
+        gp.observed(x, y)
+        params, plist = gp.find_MAP(points=3, engine="jax",
+                                    return_points=True, display=False)
+        assert len(plist) == 3
