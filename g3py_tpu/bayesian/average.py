@@ -127,7 +127,8 @@ def chains_to_datatrace(process, chains, ll=None, transforms=True, burnin_tol=0.
 
 def datatrace_to_chains(process, dt, flat=False, burnin=False):
     """Inverse of :func:`chains_to_datatrace` (reference :126-135)."""
-    if burnin and "_burnin" in dt:
+    if burnin and "_burnin" in dt and dt._burnin.any():
+        # fall back to the full trace when burn-in never converged
         chain = dt[dt._burnin]
     else:
         chain = dt

@@ -175,7 +175,8 @@ class ARD_L1(ARD):
     def default_hypers(self, x=None, y=None):
         if not is_param(self.rate):
             return {}
-        return {self.rate: 1.0 / np.abs(np.diff(x, axis=0)).mean(axis=0)}
+        spacing = np.maximum(np.abs(np.diff(x, axis=0)).mean(axis=0), 1e-6)
+        return {self.rate: 1.0 / spacing}
 
     def input_sensitivity(self, params):
         return ones(self.shape) * hval(self.rate, params)
@@ -195,7 +196,10 @@ class ARD_L2(ARD):
         if not is_param(self.rate):
             return {}
         try:
-            return {self.rate: 0.5 / np.abs(np.diff(x, axis=0)).mean(axis=0)}
+            # clip zero spacing (constant input columns) so the default stays
+            # finite instead of tripping the logp guards
+            spacing = np.maximum(np.abs(np.diff(x, axis=0)).mean(axis=0), 1e-6)
+            return {self.rate: 0.5 / spacing}
         except Exception:
             return {}
 
