@@ -15,6 +15,7 @@ TPU-native equivalents here:
 
 from .mesh import make_mesh, data_sharding, replicate
 from .sharded import sharded_logp_fn, sharded_ensemble_step
+from .cholesky import distributed_cholesky, distributed_gp_nll
 
 __all__ = [
     "make_mesh",
@@ -22,4 +23,6 @@ __all__ = [
     "replicate",
     "sharded_logp_fn",
     "sharded_ensemble_step",
+    "distributed_cholesky",
+    "distributed_gp_nll",
 ]
