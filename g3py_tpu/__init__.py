@@ -60,6 +60,7 @@ from .utils.plots import (
     style_widget,
 )
 from .utils.lagrange import LagrangianConstraint, LagrangianMultiplier
+from .utils.checkpoint import save_checkpoint, load_checkpoint
 from .utils.debug import (
     debug,
     show_graph,

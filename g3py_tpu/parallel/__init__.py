@@ -14,7 +14,7 @@ TPU-native equivalents here:
 """
 
 from .mesh import make_mesh, data_sharding, replicate
-from .sharded import sharded_logp_fn, sharded_ensemble_step
+from .sharded import sharded_logp_fn, sharded_ensemble_step, pt_sampler_sharded
 from .cholesky import distributed_cholesky, distributed_gp_nll
 
 __all__ = [
@@ -23,6 +23,7 @@ __all__ = [
     "replicate",
     "sharded_logp_fn",
     "sharded_ensemble_step",
+    "pt_sampler_sharded",
     "distributed_cholesky",
     "distributed_gp_nll",
 ]

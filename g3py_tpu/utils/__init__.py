@@ -105,8 +105,24 @@ def load_pkl(path="file.pkl"):
 
 
 def save_datatrace(dt, path="datatrace.parquet", key="datatrace", mode="w"):
-    """Persist a datatrace frame (reference saved HDF5, libs/__init__.py:76-82)."""
+    """Persist a datatrace frame.  Parquet by default; ``.h5`` paths write
+    the reference's HDF5 format through h5py (no pytables in the env,
+    reference libs/__init__.py:76-82)."""
     _ensure_dir(path)
+    if path.endswith((".h5", ".hdf5")):
+        import h5py
+
+        with h5py.File(path, mode) as f:
+            if key in f:
+                del f[key]
+            grp = f.create_group(key)
+            grp.attrs["columns"] = list(dt.columns)
+            for c in dt.columns:
+                col = dt[c].to_numpy()
+                if col.dtype == object:
+                    col = col.astype("S")
+                grp.create_dataset(c, data=col)
+        return
     dt.to_parquet(path)
 
 
@@ -114,6 +130,15 @@ def load_datatrace(path="datatrace.parquet"):
     import pandas as pd
 
     try:
+        if path.endswith((".h5", ".hdf5")):
+            import h5py
+
+            with h5py.File(path, "r") as f:
+                key = list(f.keys())[0]
+                grp = f[key]
+                cols = [c if isinstance(c, str) else c.decode()
+                        for c in grp.attrs["columns"]]
+                return pd.DataFrame({c: grp[c][:] for c in cols})[cols]
         return pd.read_parquet(path)
     except Exception as e:  # mirror reference's forgiving loader (:84-87)
         print(e)

@@ -159,3 +159,56 @@ class TestDistributedCholesky:
         z = np.linalg.solve(L, y)
         want = 0.5 * z @ z + np.log(np.diag(L)).sum() + 0.5 * n * np.log(2 * np.pi)
         np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+class TestPersistenceFormats:
+    def test_datatrace_h5_roundtrip(self, tmp_path):
+        import pandas as pd
+        from g3py_tpu.utils import save_datatrace, load_datatrace
+
+        dt = pd.DataFrame({"a": np.arange(5.0), "_burnin": [True] * 5,
+                           "_nchain": np.zeros(5, int)})
+        path = str(tmp_path / "trace.h5")
+        save_datatrace(dt, path)
+        back = load_datatrace(path)
+        np.testing.assert_allclose(back["a"], dt["a"])
+        assert list(back.columns) == list(dt.columns)
+
+    def test_checkpoint_npz_and_orbax(self, tmp_path):
+        from g3py_tpu.utils.checkpoint import save_checkpoint, load_checkpoint
+
+        tree = {"w": np.arange(6.0).reshape(2, 3), "b": np.float32(1.5)}
+        p1 = str(tmp_path / "ck.npz")
+        save_checkpoint(tree, p1)
+        back = load_checkpoint(p1)
+        np.testing.assert_allclose(back["w"], tree["w"])
+        try:
+            import orbax.checkpoint  # noqa
+        except ImportError:
+            return
+        p2 = str(tmp_path / "orbax_ck")
+        save_checkpoint(tree, p2)
+        back2 = load_checkpoint(p2)
+        np.testing.assert_allclose(np.asarray(back2["w"]), tree["w"])
+
+
+class TestShardedPT:
+    def test_temperature_sharded_pt_mixes(self, rng):
+        import jax.numpy as jnp
+        from g3py_tpu.parallel import pt_sampler_sharded, make_mesh
+
+        def loglike(p):
+            m = 4.0
+            return jnp.logaddexp(-0.5 * jnp.sum((p - m) ** 2),
+                                 -0.5 * jnp.sum((p + m) ** 2))
+
+        def logprior(p):
+            return -0.5 * jnp.sum((p / 10.0) ** 2)
+
+        p0 = (rng.standard_normal((8, 16, 1)) * 6).astype(np.float32)
+        mesh = make_mesh(axis_names=("temps",))
+        chain0 = pt_sampler_sharded(loglike, logprior, p0, samples=400,
+                                    mesh=mesh, key=0)
+        flat = chain0[:, 200:, 0].ravel()
+        assert (flat > 2).mean() > 0.1
+        assert (flat < -2).mean() > 0.1
