@@ -23,6 +23,7 @@ from .gram import (
 )
 from .quadrature import gauss_hermite, hermgauss
 from .root import newton_inverse
+from .iterative import cg_solve, slq_logdet, lazy_kernel_matvec, iterative_gp_nll
 
 __all__ = [
     "to_num",
@@ -44,4 +45,8 @@ __all__ = [
     "gauss_hermite",
     "hermgauss",
     "newton_inverse",
+    "cg_solve",
+    "slq_logdet",
+    "lazy_kernel_matvec",
+    "iterative_gp_nll",
 ]

@@ -1,0 +1,173 @@
+"""Matrix-free (iterative) GP inference: CG solves + stochastic Lanczos
+log-determinants.
+
+The reference's exact-inference ceiling was O(N^3) Cholesky with an O(N^2)
+materialized gram (SURVEY.md section 5 "long-context").  Following the BBMM
+line of work (GPyTorch, arXiv:1809.11165; preconditioned scalable GP
+hyperparameter optimization, arXiv:2107.00243 — see PAPERS.md), this module
+provides the TPU-native iterative path:
+
+* :func:`cg_solve` — batched conjugate gradients against any matvec; the
+  RHS axis vmaps, so the linear solve, the probe solves and (through the
+  probes) the gradient trace estimate all run as one batched matmul stream
+  on the MXU.
+* :func:`slq_logdet` — stochastic Lanczos quadrature: m-step Lanczos per
+  Rademacher probe, logdet estimated through the tridiagonal eigenpairs.
+* :func:`lazy_kernel_matvec` — K @ v without materializing K: the gram is
+  built one row-block at a time (O(block * N) memory), which is what makes
+  N=50k feasible on one chip.
+* :func:`iterative_gp_nll` — the assembled marginal likelihood with a
+  Hutchinson-estimator custom VJP (dlogdet/dK ~ mean of K^{-1}z z^T over
+  probes), matching the exact NLL within Monte-Carlo error.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax, random
+
+from ..config import settings
+
+__all__ = ["cg_solve", "slq_logdet", "lazy_kernel_matvec", "iterative_gp_nll"]
+
+
+def cg_solve(matvec, b, tol=1e-6, maxiter=100, x0=None):
+    """Conjugate gradients for PSD systems; ``b`` may be (n,) or (k, n)
+    (batched RHS, vmapped)."""
+    b = jnp.asarray(b)
+    if b.ndim == 2:
+        return jax.vmap(lambda bb: cg_solve(matvec, bb, tol, maxiter, x0))(b)
+
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    p = r
+    rs = jnp.dot(r, r)
+
+    def cond(state):
+        _, _, _, rs_, it = state
+        return (rs_ > tol**2) & (it < maxiter)
+
+    def body(state):
+        x_, r_, p_, rs_, it = state
+        ap = matvec(p_)
+        alpha = rs_ / jnp.maximum(jnp.dot(p_, ap), 1e-30)
+        x_ = x_ + alpha * p_
+        r_ = r_ - alpha * ap
+        rs_new = jnp.dot(r_, r_)
+        p_ = r_ + (rs_new / jnp.maximum(rs_, 1e-30)) * p_
+        return x_, r_, p_, rs_new, it + 1
+
+    x, _, _, _, _ = lax.while_loop(cond, body, (x, r, p, rs, 0))
+    return x
+
+
+def _lanczos(matvec, z, m):
+    """m-step Lanczos: returns (alphas (m,), betas (m-1,), |z|)."""
+    znorm = jnp.linalg.norm(z)
+    q = z / jnp.maximum(znorm, 1e-30)
+
+    def body(carry, _):
+        q_prev, q_cur, beta_prev = carry
+        w = matvec(q_cur) - beta_prev * q_prev
+        alpha = jnp.dot(w, q_cur)
+        w = w - alpha * q_cur
+        # full reorthogonalization is O(m n) extra; one-step is standard SLQ
+        beta = jnp.linalg.norm(w)
+        q_next = w / jnp.maximum(beta, 1e-30)
+        return (q_cur, q_next, beta), (alpha, beta)
+
+    (_, _, _), (alphas, betas) = lax.scan(
+        body, (jnp.zeros_like(q), q, jnp.zeros((), q.dtype)), None, length=m)
+    return alphas, betas[:-1], znorm
+
+
+def slq_logdet(matvec, n, key, probes=16, lanczos_iters=30):
+    """Stochastic Lanczos quadrature estimate of log det (PSD matvec).
+
+    logdet ~ mean_z |z|^2 * sum_j w_j log(theta_j) with (theta, w) the
+    eigenpairs of the Lanczos tridiagonal (w_j = first-component^2)."""
+    zs = random.rademacher(key, (probes, n), dtype=settings.dtype)
+
+    def one(z):
+        alphas, betas, znorm = _lanczos(matvec, z, lanczos_iters)
+        t = (jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1))
+        theta, vecs = jnp.linalg.eigh(t)
+        w = vecs[0, :] ** 2
+        theta = jnp.maximum(theta, 1e-30)
+        return znorm**2 * jnp.sum(w * jnp.log(theta))
+
+    return jnp.mean(jax.vmap(one)(zs))
+
+
+def lazy_kernel_matvec(kernel, params, x, v, block=2048):
+    """K(params, x) @ v without materializing the N x N gram: the gram is
+    built one (block, N) row-slab at a time.  O(block * N) peak memory."""
+    n = x.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+    def row_block(i):
+        rows = lax.dynamic_slice(xp, (i * block, 0), (block, x.shape[1]))
+        slab = kernel.cov(params, rows, x)  # (block, n)
+        return jnp.dot(slab, v, precision=lax.Precision.HIGHEST)
+
+    out = jnp.concatenate([row_block(i) for i in range(nb)])
+    return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# assembled NLL with Hutchinson-VJP
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _quad_logdet_iter(k, resid, probes, cg_iters, lanczos_iters, seed):
+    return _quad_logdet_iter_fwd(k, resid, probes, cg_iters, lanczos_iters,
+                                 seed)[0]
+
+
+def _quad_logdet_iter_fwd(k, resid, probes, cg_iters, lanczos_iters, seed):
+    n = k.shape[-1]
+    mv = lambda v: jnp.matmul(k, v, precision=lax.Precision.HIGHEST)
+    key = random.PRNGKey(seed)
+    alpha = cg_solve(mv, resid, maxiter=cg_iters)
+    quad = jnp.dot(resid, alpha)
+    logdet_half = 0.5 * slq_logdet(mv, n, key, probes=probes,
+                                   lanczos_iters=lanczos_iters)
+    # probe solves for the gradient's Hutchinson trace estimator
+    zs = random.rademacher(random.fold_in(key, 1), (probes, n),
+                           dtype=k.dtype)
+    zhat = cg_solve(mv, zs, maxiter=cg_iters)
+    return (quad, logdet_half), (alpha, zs, zhat)
+
+
+def _quad_logdet_iter_bwd(probes, cg_iters, lanczos_iters, seed, res, cots):
+    alpha, zs, zhat = res
+    g_quad, g_logdet = cots
+    # E[K^{-1} z z^T] = K^{-1}; symmetrized Hutchinson estimate
+    kinv_est = jnp.einsum("pi,pj->ij", zhat, zs) / zs.shape[0]
+    kinv_est = 0.5 * (kinv_est + kinv_est.T)
+    dk = (-g_quad) * jnp.outer(alpha, alpha) + (0.5 * g_logdet) * kinv_est
+    dresid = (2.0 * g_quad) * alpha
+    return dk, dresid
+
+
+_quad_logdet_iter.defvjp(_quad_logdet_iter_fwd, _quad_logdet_iter_bwd)
+
+
+def iterative_gp_nll(cov, resid, probes=16, cg_iters=100, lanczos_iters=30,
+                     seed=0):
+    """Matrix-free exact-GP negative log marginal likelihood:
+
+      nll = 1/2 resid^T K^{-1} resid + 1/2 logdet K + n/2 log 2pi
+
+    quadratic form by CG, logdet by SLQ, gradients by the Hutchinson probe
+    estimator — all matmul streams on the MXU, no factorization."""
+    n = cov.shape[-1]
+    quad, logdet_half = _quad_logdet_iter(cov, resid, probes, cg_iters,
+                                          lanczos_iters, seed)
+    return (0.5 * quad + logdet_half
+            + 0.5 * n * np.float32(np.log(2 * np.pi)))

@@ -257,3 +257,84 @@ class TestMvnQuadLogdet:
         assert float(ok) == 0.0
         g = jax.grad(lambda K: mvn_quad_logdet(K, r)[0])(A)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestIterativeInference:
+    def test_cg_solves(self, rng):
+        from g3py_tpu.ops.iterative import cg_solve
+
+        n = 64
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        K = jnp.asarray(a @ a.T / n + np.eye(n, dtype=np.float32))
+        b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        x = cg_solve(lambda v: K @ v, b, maxiter=200)
+        np.testing.assert_allclose(np.asarray(K @ x), np.asarray(b), atol=1e-3)
+        # batched RHS
+        B = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32))
+        X = cg_solve(lambda v: K @ v, B, maxiter=200)
+        np.testing.assert_allclose(np.asarray(X @ K.T), np.asarray(B), atol=1e-3)
+
+    def test_slq_logdet_close(self, rng):
+        import jax
+        from jax import random
+        from g3py_tpu.ops.iterative import slq_logdet
+
+        n = 128
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        K = jnp.asarray(a @ a.T / n + np.eye(n, dtype=np.float32))
+        ld = float(slq_logdet(lambda v: K @ v, n, random.PRNGKey(0),
+                              probes=32, lanczos_iters=40))
+        want = np.linalg.slogdet(np.asarray(K, np.float64))[1]
+        np.testing.assert_allclose(ld, want, rtol=0.05)
+
+    def test_iterative_nll_matches_exact(self, rng):
+        from g3py_tpu.ops.iterative import iterative_gp_nll
+
+        n = 128
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        K = jnp.asarray(a @ a.T / n + np.eye(n, dtype=np.float32))
+        y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        got = float(iterative_gp_nll(K, y, probes=32, cg_iters=200,
+                                     lanczos_iters=40))
+        L = np.linalg.cholesky(np.asarray(K, np.float64))
+        z = np.linalg.solve(L, np.asarray(y))
+        want = 0.5 * z @ z + np.log(np.diag(L)).sum() + 0.5 * n * np.log(2 * np.pi)
+        np.testing.assert_allclose(got, want, rtol=0.02)
+
+    def test_gradient_direction(self, rng):
+        from g3py_tpu.ops.iterative import iterative_gp_nll
+
+        n = 96
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        K = jnp.asarray(a @ a.T / n + np.eye(n, dtype=np.float32))
+        y = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+        def f_iter(Km):
+            return iterative_gp_nll(Km, y, probes=32, cg_iters=200,
+                                    lanczos_iters=40)
+
+        def f_exact(Km):
+            Lm = jnp.linalg.cholesky(Km)
+            zz = jax.scipy.linalg.solve_triangular(Lm, y, lower=True)
+            return (0.5 * jnp.dot(zz, zz)
+                    + jnp.sum(jnp.log(jnp.diagonal(Lm))))
+
+        g1 = np.asarray(jax.grad(f_iter)(K)).ravel()
+        g2 = np.asarray(jax.grad(f_exact)(K)).ravel()
+        cos = (g1 @ g2) / np.sqrt((g1 @ g1) * (g2 @ g2))
+        assert cos > 0.9
+
+    def test_lazy_matvec(self, rng):
+        from g3py_tpu.ops.iterative import lazy_kernel_matvec
+        from g3py_tpu.hypers.kernels import SE
+
+        x = rng.standard_normal((100, 3)).astype(np.float32)
+        k = SE(x)
+        k.check_dims(x)
+        k.check_hypers("LZ_")
+        params = {p.name: p.testval() for p in k.hypers}
+        v = jnp.asarray(rng.standard_normal(100).astype(np.float32))
+        got = np.asarray(lazy_kernel_matvec(k, params, jnp.asarray(x), v,
+                                            block=32))
+        want = np.asarray(k.cov(params, jnp.asarray(x)) @ v)
+        np.testing.assert_allclose(got, want, atol=1e-4)
