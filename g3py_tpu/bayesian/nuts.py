@@ -38,19 +38,21 @@ __all__ = ["nuts_sampler", "nuts_warmup"]
 _DIVERGENCE = 1000.0
 
 
-def _leapfrog(grad_fn, z, r, eps_signed):
+def _leapfrog(grad_fn, z, r, eps_signed, inv_mass):
     r = r + 0.5 * eps_signed * grad_fn(z)
-    z = z + eps_signed * r
+    z = z + eps_signed * r * inv_mass
     r = r + 0.5 * eps_signed * grad_fn(z)
     return z, r
 
 
-def _uturn(r_sum, r_first, r_last):
-    return (jnp.dot(r_sum, r_first) <= 0.0) | (jnp.dot(r_sum, r_last) <= 0.0)
+def _uturn(r_sum, r_first, r_last, inv_mass):
+    """Generalized U-turn criterion on velocities v = M^{-1} r."""
+    v = r_sum * inv_mass
+    return (jnp.dot(v, r_first) <= 0.0) | (jnp.dot(v, r_last) <= 0.0)
 
 
 def _build_subtree(logp_fn, grad_fn, key, z0, r0, eps_signed, depth,
-                   max_depth, energy0):
+                   max_depth, energy0, inv_mass):
     """Simulate 2^depth leapfrog steps from edge state (z0, r0) with
     iterative U-turn checks and progressive multinomial proposal selection.
     Bounded fori_loop masked beyond 2^depth so one trace serves all depths.
@@ -69,8 +71,8 @@ def _build_subtree(logp_fn, grad_fn, key, z0, r0, eps_signed, depth,
          cr, cs) = state
         key_, k_sel = random.split(key_)
 
-        z_new, r_new = _leapfrog(grad_fn, z, r, eps_signed)
-        energy = -logp_fn(z_new) + 0.5 * jnp.dot(r_new, r_new)
+        z_new, r_new = _leapfrog(grad_fn, z, r, eps_signed, inv_mass)
+        energy = -logp_fn(z_new) + 0.5 * jnp.dot(r_new * inv_mass, r_new)
         delta = energy - energy0
         div = ~jnp.isfinite(delta) | (delta > _DIVERGENCE)
         logw_leaf = jnp.where(div, -jnp.inf, -delta)
@@ -86,8 +88,8 @@ def _build_subtree(logp_fn, grad_fn, key, z0, r0, eps_signed, depth,
         # close ranges ending at this leaf: slot k when (n+1) % 2^k == 0
         close = (jnp.mod(n + 1, 2**ks) == 0) & (ks >= 1)
         range_sum = r_sum_new[None, :] - cs_new
-        turn_k = jax.vmap(lambda rs, rf: _uturn(rs, rf, r_new))(range_sum,
-                                                                cr_new)
+        turn_k = jax.vmap(
+            lambda rs, rf: _uturn(rs, rf, r_new, inv_mass))(range_sum, cr_new)
         turning_new = turning | jnp.any(close & turn_k)
 
         # progressive multinomial proposal within the subtree
@@ -113,11 +115,14 @@ def _build_subtree(logp_fn, grad_fn, key, z0, r0, eps_signed, depth,
     return z_end, r_end, r_sum, z_prop, logw, acc_sum, turning, diverging
 
 
-def _nuts_step(logp_fn, grad_fn, key, z, eps, max_depth):
+def _nuts_step(logp_fn, grad_fn, key, z, eps, max_depth, inv_mass=None):
     ndim = z.shape[0]
+    if inv_mass is None:
+        inv_mass = jnp.ones((ndim,), z.dtype)
     k_mom, k_tree = random.split(key)
-    r0 = random.normal(k_mom, (ndim,), dtype=z.dtype)
-    energy0 = -logp_fn(z) + 0.5 * jnp.dot(r0, r0)
+    # r ~ N(0, M): std = sqrt(m) = 1/sqrt(inv_mass)
+    r0 = random.normal(k_mom, (ndim,), dtype=z.dtype) * lax.rsqrt(inv_mass)
+    energy0 = -logp_fn(z) + 0.5 * jnp.dot(r0 * inv_mass, r0)
 
     def cond(state):
         depth, turning, diverging = state[1], state[10], state[11]
@@ -134,7 +139,8 @@ def _nuts_step(logp_fn, grad_fn, key, z, eps, max_depth):
 
         (z_end, r_end, sub_sum, sub_prop, sub_logw, sub_acc, sub_turn,
          sub_div) = _build_subtree(logp_fn, grad_fn, k_sub, z_edge, r_edge,
-                                   eps * direction, depth, max_depth, energy0)
+                                   eps * direction, depth, max_depth, energy0,
+                                   inv_mass)
 
         z_left = jnp.where(go_right, z_left, z_end)
         r_left = jnp.where(go_right, r_left, r_end)
@@ -148,7 +154,7 @@ def _nuts_step(logp_fn, grad_fn, key, z, eps, max_depth):
         z_prop = jnp.where(ok & swap, sub_prop, z_prop)
         logw = jnp.where(ok, jnp.logaddexp(logw, sub_logw), logw)
         r_sum_new = r_sum + jnp.where(ok, sub_sum, jnp.zeros_like(sub_sum))
-        turning_total = _uturn(r_sum_new, r_left, r_right)
+        turning_total = _uturn(r_sum_new, r_left, r_right, inv_mass)
         acc = (acc[0] + sub_acc, acc[1] + 2.0**depth)
         return (key_, depth + 1, z_left, r_left, z_right, r_right, r_sum_new,
                 z_prop, logw, acc, sub_turn | turning_total,
@@ -169,13 +175,15 @@ def _nuts_step(logp_fn, grad_fn, key, z, eps, max_depth):
 
 
 @partial(jax.jit, static_argnames=("logp_fn", "samples", "max_depth"))
-def _nuts_chain(logp_fn, z0, eps, samples, key, max_depth):
+def _nuts_chain(logp_fn, z0, eps, samples, key, max_depth, inv_mass=None):
     grad_fn = jax.grad(logp_fn)
+    if inv_mass is None:
+        inv_mass = jnp.ones_like(z0)
 
     def step(carry, k):
         z = carry
         z_new, accept, depth, div = _nuts_step(logp_fn, grad_fn, k, z, eps,
-                                               max_depth)
+                                               max_depth, inv_mass)
         return z_new, (z_new, logp_fn(z_new), accept, depth, div)
 
     keys = random.split(key, samples)
@@ -183,51 +191,81 @@ def _nuts_chain(logp_fn, z0, eps, samples, key, max_depth):
     return chain, lnprob, accepts, depths, divs
 
 
-def _nuts_warmup_impl(logp_fn, z0, key, warmup, max_depth, target=0.8,
-                      eps0=0.1):
-    """Dual-averaging step-size adaptation (Hoffman & Gelman Algorithm 5)."""
-    grad_fn = jax.grad(logp_fn)
+def _dual_avg_phase(logp_fn, grad_fn, z0, key, iters, max_depth, inv_mass,
+                    target=0.8, eps0=0.1, collect_var=False):
+    """One dual-averaging phase (Hoffman & Gelman Algorithm 5), optionally
+    accumulating a Welford posterior-variance estimate for mass adaptation."""
     mu = jnp.log(10.0 * eps0)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
     def step(carry, inp):
-        z, log_eps, log_eps_bar, h_bar = carry
+        z, log_eps, log_eps_bar, h_bar, w_mean, w_m2 = carry
         k, m = inp
         eps = jnp.exp(log_eps)
         z_new, accept, _, _ = _nuts_step(logp_fn, grad_fn, k, z, eps,
-                                         max_depth)
+                                         max_depth, inv_mass)
         mm = m.astype(z0.dtype) + 1.0
         eta = 1.0 / (mm + t0)
         h_bar = (1.0 - eta) * h_bar + eta * (target - accept)
         log_eps = mu - jnp.sqrt(mm) / gamma * h_bar
         w = mm ** (-kappa)
         log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        return (z_new, log_eps, log_eps_bar, h_bar), None
+        # Welford accumulation of posterior variance
+        delta = z_new - w_mean
+        w_mean = w_mean + delta / mm
+        w_m2 = w_m2 + delta * (z_new - w_mean)
+        return (z_new, log_eps, log_eps_bar, h_bar, w_mean, w_m2), None
 
-    keys = random.split(key, warmup)
-    (z, _, log_eps_bar, _), _ = lax.scan(
+    keys = random.split(key, iters)
+    (z, _, log_eps_bar, _, w_mean, w_m2), _ = lax.scan(
         step, (z0, jnp.log(jnp.asarray(eps0, z0.dtype)),
-               jnp.zeros((), z0.dtype), jnp.zeros((), z0.dtype)),
-        (keys, jnp.arange(warmup)))
-    return z, jnp.exp(log_eps_bar)
+               jnp.zeros((), z0.dtype), jnp.zeros((), z0.dtype),
+               jnp.zeros_like(z0), jnp.zeros_like(z0)),
+        (keys, jnp.arange(iters)))
+    var = w_m2 / jnp.maximum(iters - 1, 1)
+    return z, jnp.exp(log_eps_bar), var
+
+
+def _nuts_warmup_impl(logp_fn, z0, key, warmup, max_depth, target=0.8,
+                      eps0=0.1, adapt_mass=True):
+    """Two-phase warmup: dual-averaging with unit mass while estimating the
+    posterior variance (Welford), then re-adaptation of the step size under
+    the fitted diagonal mass (inv_mass = posterior variance — Stan's
+    diag_e metric)."""
+    grad_fn = jax.grad(logp_fn)
+    ones = jnp.ones_like(z0)
+    k1, k2 = random.split(key)
+    n1 = warmup // 2 if adapt_mass else warmup
+    z, eps, var = _dual_avg_phase(logp_fn, grad_fn, z0, k1, n1, max_depth,
+                                  ones, target, eps0)
+    if not adapt_mass:
+        return z, eps, ones
+    # regularized variance (Stan shrinks toward unity)
+    reg = (n1 / (n1 + 5.0))
+    inv_mass = reg * jnp.maximum(var, 1e-10) + (1.0 - reg) * 1e-3
+    z, eps, _ = _dual_avg_phase(logp_fn, grad_fn, z, k2, warmup - n1,
+                                max_depth, inv_mass, target, eps)
+    return z, eps, inv_mass
 
 
 _nuts_warmup_jit = partial(jax.jit, static_argnames=("logp_fn", "warmup",
-                                                     "max_depth"))(
+                                                     "max_depth",
+                                                     "adapt_mass"))(
     _nuts_warmup_impl)
 
 
-def nuts_warmup(logp, z0, warmup=200, key=None, max_depth=8):
-    """Adapt the step size; returns (z_adapted, eps)."""
+def nuts_warmup(logp, z0, warmup=200, key=None, max_depth=8, adapt_mass=True):
+    """Adapt step size + diagonal mass; returns (z_adapted, eps, inv_mass)."""
     if key is None or isinstance(key, int):
         key = random.PRNGKey(0 if key is None else key)
     z0 = jnp.asarray(z0, settings.dtype)
-    z, eps = _nuts_warmup_jit(logp, z0, key, warmup, max_depth)
-    return np.asarray(z), float(eps)
+    z, eps, inv_mass = _nuts_warmup_jit(logp, z0, key, warmup, max_depth,
+                                        adapt_mass=adapt_mass)
+    return np.asarray(z), float(eps), np.asarray(inv_mass)
 
 
 def nuts_sampler(logp, z0, samples, eps=None, warmup=200, key=None,
-                 max_depth=8, chains=1):
+                 max_depth=8, chains=1, adapt_mass=True):
     """Run NUTS; returns (chain (chains, samples, ndim),
     lnprob (chains, samples), info dict).
 
@@ -245,18 +283,20 @@ def nuts_sampler(logp, z0, samples, eps=None, warmup=200, key=None,
 
     if eps is None:
         warm_keys = random.split(k_warm, n_chains)
-        zs, epss = jax.vmap(
-            lambda k, z: _nuts_warmup_impl(logp, z, k, warmup, max_depth)
+        zs, epss, inv_masses = jax.vmap(
+            lambda k, z: _nuts_warmup_impl(logp, z, k, warmup, max_depth,
+                                           adapt_mass=adapt_mass)
         )(warm_keys, z0)
         z0 = zs
         eps_vec = epss
     else:
         eps_vec = jnp.full((n_chains,), eps, dtype=settings.dtype)
+        inv_masses = jnp.ones_like(z0)
 
     run_keys = random.split(k_run, n_chains)
     chain, lnprob, accepts, depths, divs = jax.vmap(
-        lambda k, z, e: _nuts_chain(logp, z, e, samples, k, max_depth)
-    )(run_keys, z0, eps_vec)
+        lambda k, z, e, im: _nuts_chain(logp, z, e, samples, k, max_depth, im)
+    )(run_keys, z0, eps_vec, inv_masses)
     info = {
         "accept_rate": np.asarray(jnp.mean(accepts, axis=1)),
         "mean_tree_depth": np.asarray(jnp.mean(depths.astype(jnp.float32),

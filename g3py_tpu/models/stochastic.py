@@ -448,7 +448,9 @@ class StochasticProcess(PlotModel):
 
     def _cache_name(self, method, prior, noise, args, kwargs):
         name = "prior" if prior else "posterior"
-        name += method.replace("th", "")  # e.g. th_mean -> _mean
+        # strip only the th prefix (a bare .replace would corrupt any method
+        # name containing "th" elsewhere)
+        name += method[2:] if method.startswith("th") else method
         if noise:
             name += "_noise"
         if len(args) > 0:
