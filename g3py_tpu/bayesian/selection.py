@@ -149,10 +149,11 @@ class Experiment:
         return obs_i, valid_i, test_i
 
     # -- selection ---------------------------------------------------------------
-    def select_model(self, sp, display=False):
+    def select_model(self, sp, valid_index=None, display=False):
         """Multi-start training with default/randomized starts and optional
-        master-model warm start; picks the best start by logp
-        (reference selection.py:183-235)."""
+        master-model warm start.  Without a holdout the best start wins by
+        logp; with one, every optimized candidate is scored on the holdout
+        and the best holdout score wins (reference selection.py:183-235)."""
         starts = [sp.params_default]
         for _ in range(max(self.starts - 1, 0)):
             starts.append(sp.params_random(mean=sp.params_default, sigma=0.2))
@@ -168,8 +169,22 @@ class Experiment:
                 if ll > best_ll:
                     best, best_ll = s, ll
             return best
-        return sp.find_MAP(start=starts, points=self.points, powell=self.powell,
-                           display=display, max_time=self.max_time)
+        params, points_list = sp.find_MAP(
+            start=starts, points=self.points, powell=self.powell,
+            display=display, max_time=self.max_time, return_points=True)
+        if valid_index is None or len(valid_index) == 0:
+            return params
+        # holdout selection: smallest validation l2 among the candidates
+        best, best_score = params, np.inf
+        for _name, _ll, cand in points_list:
+            try:
+                s = self.calc_scores(sp, DictObj(cand), valid_index)
+                score = float(s.get("_l2", np.inf))
+            except Exception:
+                score = np.inf
+            if np.isfinite(score) and score < best_score:
+                best, best_score = DictObj(cand), score
+        return best
 
     def calc_scores(self, sp, params, index):
         x = self.data_x[index]
@@ -210,7 +225,8 @@ class Experiment:
                 sp.observed(x_obs, y_obs)
                 time_obs = time.time() - t0
                 t0 = time.time()
-                params = self.select_model(sp, display=display)
+                params = self.select_model(sp, valid_index=valid_i,
+                                           display=display)
                 time_params = time.time() - t0
                 row = DictObj()
                 row["_simulation"] = sim

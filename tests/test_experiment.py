@@ -212,3 +212,17 @@ class TestShardedPT:
         flat = chain0[:, 200:, 0].ravel()
         assert (flat > 2).mean() > 0.1
         assert (flat < -2).mean() > 0.1
+
+
+class TestHoldoutSelection:
+    def test_holdout_scoring_picks_candidate(self, rng, tmp_path):
+        x = np.linspace(0, 8, 40).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(40)).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Zero(), kernel=g3.SE(x), name="HOLD")
+        exp = Experiment(models=[gp])
+        exp.set_data(x, y, p=0.6, holdout=0.3)
+        exp.set_selection(find_MAP=True, starts=2, points=2, powell=False)
+        res = exp.run(n_simulations=1, display=False)
+        assert len(res) == 1
+        assert "valid_l1" in res.columns
+        assert np.isfinite(res["test_l1"].iloc[0])
