@@ -1006,7 +1006,7 @@ class StochasticProcess(PlotModel):
                 ndim, samples=samples, chains=chains, ntemps=ntemps, start=start,
                 logp=logp_tr, loglike=loglike_tr, logprior=logprior_tr,
                 noise_mult=noise_mult, noise_sum=noise_sum, threads=threads,
-                parallel=parallel, seed=seed)
+                parallel=bool(parallel), seed=seed)
 
         complete_chain = np.empty((echain.shape[0], echain.shape[1], self.ndim),
                                   dtype=settings.floatx)
