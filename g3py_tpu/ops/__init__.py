@@ -23,7 +23,16 @@ from .gram import (
 )
 from .quadrature import gauss_hermite, hermgauss
 from .root import newton_inverse
-from .iterative import cg_solve, slq_logdet, lazy_kernel_matvec, iterative_gp_nll
+from .iterative import (
+    cg_solve,
+    slq_logdet,
+    lazy_kernel_matvec,
+    iterative_gp_nll,
+    pivoted_cholesky,
+    woodbury_preconditioner,
+    pcg_solve,
+    preconditioned_gp_nll,
+)
 
 __all__ = [
     "to_num",
@@ -49,4 +58,8 @@ __all__ = [
     "slq_logdet",
     "lazy_kernel_matvec",
     "iterative_gp_nll",
+    "pivoted_cholesky",
+    "woodbury_preconditioner",
+    "pcg_solve",
+    "preconditioned_gp_nll",
 ]

@@ -30,7 +30,9 @@ from jax import lax, random
 
 from ..config import settings
 
-__all__ = ["cg_solve", "slq_logdet", "lazy_kernel_matvec", "iterative_gp_nll"]
+__all__ = ["cg_solve", "slq_logdet", "lazy_kernel_matvec", "iterative_gp_nll",
+           "pivoted_cholesky", "woodbury_preconditioner", "pcg_solve",
+           "preconditioned_gp_nll"]
 
 
 def cg_solve(matvec, b, tol=1e-6, maxiter=100, x0=None):
@@ -99,6 +101,146 @@ def slq_logdet(matvec, n, key, probes=16, lanczos_iters=30):
         return znorm**2 * jnp.sum(w * jnp.log(theta))
 
     return jnp.mean(jax.vmap(one)(zs))
+
+
+def pivoted_cholesky(column_fn, diag0, rank):
+    """Rank-``rank`` pivoted (partial) Cholesky of a PSD matrix accessed one
+    column at a time (arXiv:2107.00243; the GPyTorch preconditioner).
+
+    ``column_fn(j) -> K[:, j]`` may build the column lazily; ``diag0`` is
+    diag(K).  Returns L (n, rank) with K ~ L L^T + residual, residual
+    diagonal = diag0 - sum_m L[:, m]^2 >= 0."""
+    n = diag0.shape[0]
+    diag0 = jnp.asarray(diag0)
+
+    def step(carry, i):
+        d, cols = carry
+        j = jnp.argmax(d)
+        kj = column_fn(j)
+        # subtract the projection onto the previous factors
+        lj = cols[:, :] @ cols[j, :]  # (n,) = sum_m L[:,m] L[j,m]
+        pivot = jnp.sqrt(jnp.maximum(d[j], 1e-30))
+        li = (kj - lj) / pivot
+        # numerical guard: residual diag stays >= 0
+        d_new = jnp.maximum(d - li**2, 0.0)
+        cols = cols.at[:, i].set(li)
+        return (d_new, cols), None
+
+    cols0 = jnp.zeros((n, rank), diag0.dtype)
+    (d, cols), _ = lax.scan(step, (diag0, cols0), jnp.arange(rank))
+    return cols
+
+
+def woodbury_preconditioner(l_factor, sigma2):
+    """Apply-and-logdet machinery for P = sigma2 I + L L^T (L tall-skinny).
+
+    Returns (p_inv, p_inv_sqrt, logdet_p): the inverse and inverse square
+    root as matvec closures (via the thin SVD of L), and log det P."""
+    n, r = l_factor.shape
+    # thin SVD via the r x r eigen-decomposition of L^T L
+    gram = jnp.matmul(l_factor.T, l_factor, precision=lax.Precision.HIGHEST)
+    s2, v = jnp.linalg.eigh(gram)            # L^T L = V s2 V^T
+    s2 = jnp.maximum(s2, 0.0)
+    inv_s = lax.rsqrt(jnp.maximum(s2, 1e-30))
+    u = jnp.matmul(l_factor, v * inv_s[None, :],
+                   precision=lax.Precision.HIGHEST)  # (n, r) orthonormal-ish
+    lam = sigma2 + s2                         # eigenvalues of P along U
+
+    def p_inv(w):
+        c = jnp.matmul(u.T, w, precision=lax.Precision.HIGHEST)
+        return w / sigma2 + jnp.matmul(u, c * (1.0 / lam - 1.0 / sigma2),
+                                       precision=lax.Precision.HIGHEST)
+
+    def p_inv_sqrt(w):
+        c = jnp.matmul(u.T, w, precision=lax.Precision.HIGHEST)
+        coef = lax.rsqrt(lam) - lax.rsqrt(jnp.asarray(sigma2, w.dtype))
+        return w * lax.rsqrt(jnp.asarray(sigma2, w.dtype)) + jnp.matmul(
+            u, c * coef, precision=lax.Precision.HIGHEST)
+
+    logdet_p = (jnp.sum(jnp.log(lam))
+                + (n - r) * jnp.log(jnp.asarray(sigma2, l_factor.dtype)))
+    return p_inv, p_inv_sqrt, logdet_p
+
+
+def pcg_solve(matvec, b, p_inv, tol=1e-6, maxiter=100):
+    """Preconditioned CG: solves K x = b with preconditioner application
+    ``p_inv``."""
+    b = jnp.asarray(b)
+    if b.ndim == 2:
+        return jax.vmap(lambda bb: pcg_solve(matvec, bb, p_inv, tol, maxiter))(b)
+    x = jnp.zeros_like(b)
+    r = b
+    z = p_inv(r)
+    p = z
+    rz = jnp.dot(r, z)
+    bnorm2 = jnp.dot(b, b)
+
+    def cond(state):
+        _, r_, _, _, it = state
+        return (jnp.dot(r_, r_) > tol**2 * bnorm2) & (it < maxiter)
+
+    def body(state):
+        x_, r_, p_, rz_, it = state
+        ap = matvec(p_)
+        alpha = rz_ / jnp.maximum(jnp.dot(p_, ap), 1e-30)
+        x_ = x_ + alpha * p_
+        r_ = r_ - alpha * ap
+        z_ = p_inv(r_)
+        rz_new = jnp.dot(r_, z_)
+        p_ = z_ + (rz_new / jnp.maximum(rz_, 1e-30)) * p_
+        return x_, r_, p_, rz_new, it + 1
+
+    x, _, _, _, _ = lax.while_loop(cond, body, (x, r, p, rz, 0))
+    return x
+
+
+def preconditioned_gp_nll(kernel, params, x, y, noise_var, rank=64,
+                          block=2048, cg_iters=100, probes=8,
+                          lanczos_iters=25, seed=0, mean=None):
+    """Matrix-free GP NLL with the pivoted-Cholesky preconditioner — the
+    assembled large-N path (PAPERS.md: GPyTorch BBMM + arXiv:2107.00243):
+
+    * K = K_f + noise_var I accessed lazily (one row-slab / one column at a
+      time; the N x N gram is never materialized);
+    * P = sigma^2 I + L_r L_r^T from rank-``rank`` pivoted Cholesky of K_f;
+    * quadratic form by preconditioned CG;
+    * logdet K = logdet P + SLQ logdet of P^{-1/2} K P^{-1/2} (a
+      well-conditioned operator, so few Lanczos iterations suffice).
+    """
+    n = x.shape[0]
+    y = jnp.asarray(y)
+    resid = y if mean is None else y - mean
+
+    def mv(v):
+        return lazy_kernel_matvec(kernel, params, x, v, block=block) \
+            + noise_var * v
+
+    # lazy kernel column (without noise; the preconditioner models noise
+    # through its sigma^2 term)
+    def column_fn(j):
+        xj = lax.dynamic_slice(x, (j, 0), (1, x.shape[1]))
+        return kernel.cov(params, x, xj)[:, 0]
+
+    diag_f = jax.vmap(lambda i: kernel.cov(
+        params, lax.dynamic_slice(x, (i, 0), (1, x.shape[1])))[0, 0]
+    )(jnp.arange(n))
+    l_factor = pivoted_cholesky(column_fn, diag_f, rank)
+    p_inv, p_inv_sqrt, logdet_p = woodbury_preconditioner(l_factor, noise_var)
+
+    alpha = pcg_solve(mv, resid, p_inv, maxiter=cg_iters)
+    quad = jnp.dot(resid, alpha)
+
+    def precond_op(v):
+        return p_inv_sqrt(mv(p_inv_sqrt(v)))
+
+    key = random.PRNGKey(seed)
+    logdet_ratio = slq_logdet(precond_op, n, key, probes=probes,
+                              lanczos_iters=lanczos_iters)
+    logdet = logdet_p + logdet_ratio
+    nll = 0.5 * quad + 0.5 * logdet + 0.5 * n * np.float32(np.log(2 * np.pi))
+    diag_resid = jnp.linalg.norm(mv(alpha) - resid) / jnp.maximum(
+        jnp.linalg.norm(resid), 1e-30)
+    return nll, {"quad": quad, "logdet": logdet, "cg_rel_residual": diag_resid}
 
 
 def lazy_kernel_matvec(kernel, params, x, v, block=2048):

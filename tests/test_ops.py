@@ -338,3 +338,58 @@ class TestIterativeInference:
                                             block=32))
         want = np.asarray(k.cov(params, jnp.asarray(x)) @ v)
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestPreconditionedInference:
+    def test_pivoted_cholesky_low_rank_recovery(self, rng):
+        from g3py_tpu.ops.iterative import pivoted_cholesky
+
+        n, r_true = 80, 5
+        w = rng.standard_normal((n, r_true)).astype(np.float32)
+        K = jnp.asarray(w @ w.T)
+        col = lambda j: K[:, j]
+        L = pivoted_cholesky(col, jnp.diagonal(K), rank=10)
+        np.testing.assert_allclose(np.asarray(L @ L.T), np.asarray(K),
+                                   atol=1e-3)
+
+    def test_woodbury_inverse(self, rng):
+        from g3py_tpu.ops.iterative import woodbury_preconditioner
+
+        n, r = 40, 6
+        Lf = jnp.asarray(rng.standard_normal((n, r)).astype(np.float32))
+        sigma2 = 0.3
+        P = np.asarray(Lf @ Lf.T) + sigma2 * np.eye(n)
+        p_inv, p_inv_sqrt, logdet = woodbury_preconditioner(Lf, sigma2)
+        v = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(p_inv(jnp.asarray(P) @ v)),
+                                   np.asarray(v), atol=1e-3)
+        # inverse sqrt: P^{-1/2} P P^{-1/2} = I
+        w = p_inv_sqrt(jnp.asarray(P) @ p_inv_sqrt(v))
+        np.testing.assert_allclose(np.asarray(w), np.asarray(v), atol=1e-3)
+        np.testing.assert_allclose(float(logdet),
+                                   np.linalg.slogdet(P.astype(np.float64))[1],
+                                   rtol=1e-4)
+
+    def test_preconditioned_nll_matches_exact(self, rng):
+        from g3py_tpu.ops.iterative import preconditioned_gp_nll
+        from g3py_tpu.hypers.kernels import SE
+
+        n = 200
+        x = np.sort(rng.uniform(0, 20, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(x[:, 0]) + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        k = SE(x)
+        k.check_dims(x)
+        k.check_hypers("PC_")
+        params = {p.name: jnp.asarray(p.testval()) for p in k.hypers}
+        noise = 0.01
+        nll, info = preconditioned_gp_nll(k, params, jnp.asarray(x),
+                                          jnp.asarray(y), noise_var=noise,
+                                          rank=50, cg_iters=200, probes=16,
+                                          lanczos_iters=30)
+        K = np.asarray(k.cov(params, jnp.asarray(x)), np.float64) \
+            + noise * np.eye(n)
+        L = np.linalg.cholesky(K)
+        z = np.linalg.solve(L, y)
+        want = 0.5 * z @ z + np.log(np.diag(L)).sum() + 0.5 * n * np.log(2 * np.pi)
+        assert float(info["cg_rel_residual"]) < 1e-2
+        np.testing.assert_allclose(float(nll), want, rtol=5e-3)
