@@ -195,6 +195,7 @@ class StochasticProcess(PlotModel):
         for public in type(self)._dispatch_methods:
             state.pop(public, None)
         state.pop("_cluster", None)
+        state.pop("_sampling_logps_cache", None)
         return state
 
     # ----------------------------------------------------------------- params
@@ -1028,7 +1029,23 @@ class StochasticProcess(PlotModel):
 
     def _sampling_logps(self, prior=False, tempered=False):
         """jax-traceable (logp | loglike+logprior) over the sampling dims,
-        marginalizing over any fixed chain."""
+        marginalizing over any fixed chain.
+
+        Memoized per (prior, tempered, data version, fix_vars state): the
+        samplers trace against closure identity, so reusing the closures
+        across repeated sample_hypers calls avoids a full recompile."""
+        reg = self.active
+        memo_key = (prior, tempered, self._data_version,
+                    tuple(reg.fixed_dims), id(reg.fixed_datatrace),
+                    self._other_versions())
+        cache = getattr(self, "_sampling_logps_cache", None)
+        if cache is not None and cache[0] == memo_key:
+            return cache[1]
+        out = self._build_sampling_logps(prior=prior, tempered=tempered)
+        self._sampling_logps_cache = (memo_key, out)
+        return out
+
+    def _build_sampling_logps(self, prior=False, tempered=False):
         reg = self.active
         space, inputs, outputs = self._resolve_data(None, None, None)
         space, inputs, outputs = (jnp.asarray(space), jnp.asarray(inputs),
