@@ -107,15 +107,41 @@ class EllipticalProcess(StochasticProcess):
         return k_ss - jnp.matmul(v.T, v, precision=settings.matmul_precision)
 
     def _posterior_kernel_diag(self, params, space, inputs, outputs, noise):
-        kernel = self.f_kernel_noise if noise else self.f_kernel
-        cross = to_num(kernel.cov(params, space, inputs))
+        """Posterior variance diagonal.
+
+        The latent variance ``k_ss - v'v`` suffers f32 cancellation when the
+        space coincides with the observed inputs (it is ~0 there, so the
+        subtraction can land a few ulp *negative* — the reference leaves it
+        raw, elliptical.py:198-200).  We clamp the latent part at zero and
+        add the (cross-cov-free) noise variance separately, so the noisy
+        predictive variance is always >= the noise floor and logpredictive
+        never sees a zero sd.
+        """
+        cross = to_num(self.f_kernel.cov(params, space, inputs))
         chol = self._obs_chol(params, inputs)
         v = solve_lower_triangular(chol, cross.T)
+        k_diag = jnp.diagonal(self.f_kernel.cov(params, space))
+        latent = to_bounded(k_diag - jnp.sum(v * v, axis=0), zero32)
         if noise:
-            k_diag = jnp.diagonal(kernel.cov(params, space))
-        else:
-            k_diag = jnp.diagonal(self.f_kernel.cov(params, space))
-        return to_bounded(k_diag - jnp.sum(v * v, axis=0), zero32)
+            return latent + self._noise_diag(params, space)
+        return latent
+
+    def _noise_diag(self, params, space):
+        """Diagonal of the noise-only kernel, extracted structurally.
+
+        ``diag(K+sigma^2 I) - diag(K)`` would lose the noise entirely to f32
+        absorption whenever the signal variance dwarfs it, so when the noisy
+        kernel is the standard ``KernelSum(f_kernel, KernelNoise)`` wrapper
+        (this class's constructor) the noise term's own diagonal is evaluated
+        directly."""
+        kn = self.f_kernel_noise
+        if kn is self.f_kernel:
+            return jnp.zeros(jnp.shape(space)[0], dtype=settings.floatx)
+        if isinstance(kn, KernelSum) and kn.k1 is self.f_kernel:
+            return to_bounded(jnp.diagonal(kn.k2.cov(params, space)), zero32)
+        return to_bounded(
+            jnp.diagonal(kn.cov(params, space))
+            - jnp.diagonal(self.f_kernel.cov(params, space)), zero32)
 
     # -- selector th_* quantities (reference elliptical.py:109-188) --------------
     def th_freedom(self, prior=False, noise=False):

@@ -1,13 +1,20 @@
 """Numeric function inversion with implicit differentiation.
 
-The reference inverts a warping's ``inv`` by symbolic Newton iteration under
-``theano.scan`` with an early-stop (``inverse_function``,
-``/root/reference/g3py/libs/tensors.py:136-145``), differentiating *through*
-the scan.  Under XLA a reverse-differentiable unbounded loop is not
-available, so this build uses ``lax.custom_root``: a bounded Newton solve in
-the forward pass and exact gradients via the implicit function theorem
-(dx/dz = 1/f'(x)), which is both cheaper and more accurate than
-differentiating through iterations.
+The reference inverts a warping's ``inv`` by damped symbolic Newton under
+``theano.scan`` (``inverse_function``,
+``/root/reference/g3py/libs/tensors.py:136-145``: alpha=0.1, derivative
+clamped to >=1, tol 1e-3), differentiating *through* the scan.  Under XLA
+this build uses ``lax.custom_root``: a bounded solve in the forward pass and
+exact gradients via the implicit function theorem (dx/dz = 1/f'(x)).
+
+The forward solve is a *bracketed* bisection-safeguarded Newton rather than
+the reference's damped Newton.  Warping inverses are monotone increasing but
+can be arbitrarily stiff — e.g. a trained ``WarpingTanh`` with b ~ e^15 is a
+near-step in float32, where undamped Newton oscillates across the jump
+forever and damped Newton needs thousands of crawling steps.  Bracketing
+makes every target reachable: bisection alone is f32-exact in <= 60 halvings
+and the Newton step only accelerates the tail, so this is both more robust
+and tighter-tolerance than the reference's recipe.
 """
 
 import jax
@@ -17,14 +24,12 @@ from jax import lax
 __all__ = ["newton_inverse"]
 
 
-def newton_inverse(func, z, tol=1e-6, max_steps=256, alpha=1.0, x0=None):
-    """Solve ``func(x) = z`` elementwise for x.
+def newton_inverse(func, z, tol=1e-6, max_steps=100, alpha=1.0, x0=None):
+    """Solve ``func(x) = z`` elementwise for x, ``func`` monotone increasing.
 
     ``func`` must act elementwise (every warping in the mapping zoo does), so
-    its Jacobian is diagonal and the implicit tangent solve reduces to a
-    division.  Mirrors the reference's damped-Newton recipe
-    (tensors.py:137-145): derivative magnitudes below 1 are snapped to their
-    sign, iteration starts at 0, and stops at ``tol`` or ``max_steps``.
+    its Jacobian is diagonal: the implicit tangent solve reduces to a
+    division and the bracket update is per-element.
     """
     z = jnp.asarray(z)
 
@@ -32,28 +37,58 @@ def newton_inverse(func, z, tol=1e-6, max_steps=256, alpha=1.0, x0=None):
         return func(x) - z
 
     def solve(g_, x_init):
-        def step(x):
-            diff = g_(x)
-            dfun = jax.grad(lambda v: jnp.sum(g_(v)))(x)
-            sgn = jnp.where(dfun == 0, 1.0, jnp.sign(dfun))
-            dfun = jnp.where(jnp.abs(dfun) < 1.0, sgn, dfun)
-            return x - alpha * diff / dfun, jnp.max(jnp.abs(diff))
+        one = jnp.ones((), z.dtype)
 
-        def body(state):
-            x, _, i = state
-            x_new, err = step(x)
-            return x_new, err, i + 1
+        def dg(x):
+            # diagonal of the Jacobian of the elementwise map
+            return jax.grad(lambda v: jnp.sum(g_(v)))(x)
 
-        def cond(state):
-            _, err, i = state
-            return jnp.logical_and(err > tol, i < max_steps)
+        # -- bracket the root by doubling expansion --------------------------
+        def b_cond(state):
+            lo, hi, w, i = state
+            return jnp.logical_and(
+                i < 64,
+                jnp.logical_or(jnp.any(g_(lo) > 0), jnp.any(g_(hi) < 0)))
 
-        x_final, _, _ = lax.while_loop(cond, body, (x_init, jnp.asarray(jnp.inf, z.dtype), 0))
+        def b_body(state):
+            lo, hi, w, i = state
+            lo = jnp.where(g_(lo) > 0, lo - w, lo)
+            hi = jnp.where(g_(hi) < 0, hi + w, hi)
+            return lo, hi, w * 2, i + 1
+
+        w0 = jnp.maximum(jnp.abs(x_init), one)
+        lo0 = x_init - w0
+        hi0 = x_init + w0
+        lo, hi, _, _ = lax.while_loop(b_cond, b_body, (lo0, hi0, 2 * w0, 0))
+
+        # -- bisection-safeguarded Newton ------------------------------------
+        def n_cond(state):
+            x, lo, hi, i = state
+            err = jnp.max(jnp.abs(g_(x)))
+            width = jnp.max(hi - lo)
+            return jnp.logical_and(
+                i < max_steps,
+                jnp.logical_and(err > tol, width > 0))
+
+        def n_body(state):
+            x, lo, hi, i = state
+            gx = g_(x)
+            lo = jnp.where(gx < 0, jnp.maximum(lo, x), lo)
+            hi = jnp.where(gx > 0, jnp.minimum(hi, x), hi)
+            d = dg(x)
+            newton = x - alpha * gx / d
+            bad = (~jnp.isfinite(newton)) | (newton <= lo) | (newton >= hi)
+            x_new = jnp.where(bad, 0.5 * (lo + hi), newton)
+            return x_new, lo, hi, i + 1
+
+        x_mid = 0.5 * (lo + hi)
+        x_final, _, _, _ = lax.while_loop(n_cond, n_body, (x_mid, lo, hi, 0))
         return x_final
 
     def tangent_solve(g_lin, y):
         # Elementwise map => diagonal Jacobian; g_lin(ones) extracts it.
         return y / g_lin(jnp.ones_like(y))
 
-    start = jnp.zeros_like(z) if x0 is None else jnp.broadcast_to(x0, z.shape).astype(z.dtype)
+    start = jnp.zeros_like(z) if x0 is None else jnp.broadcast_to(
+        x0, z.shape).astype(z.dtype)
     return lax.custom_root(g, start, solve, tangent_solve)

@@ -28,14 +28,33 @@ __all__ = [
 ]
 
 
+#: candidate locations for the reference's bundled CSV datasets
+#: (reference data.py reads them from g3py/libs/datasets/)
+_DATASET_DIRS = (
+    os.path.join(os.path.dirname(__file__), "datasets"),
+    "/root/reference/g3py/libs/datasets",
+)
+
+
 def datasets_path():
-    """Search order: $G3PY_DATASETS, package-local datasets/."""
-    cands = [os.environ.get("G3PY_DATASETS")]
-    cands.append(os.path.join(os.path.dirname(__file__), "datasets"))
+    """Search order: $G3PY_DATASETS, package-local datasets/, the read-only
+    reference checkout's datasets dir."""
+    cands = [os.environ.get("G3PY_DATASETS"), *_DATASET_DIRS]
     for c in cands:
         if c and os.path.isdir(c):
             return c
     return None
+
+
+def _warn_synthetic(name):
+    import warnings
+
+    warnings.warn(
+        f"dataset {name!r} not found under $G3PY_DATASETS or "
+        f"{_DATASET_DIRS}; returning a SYNTHETIC surrogate with matching "
+        "shapes. Results will not match the reference's.",
+        stacklevel=3,
+    )
 
 
 def _synthetic_series(n, seed, trend=0.0, period=None, noise=0.1):
@@ -48,15 +67,27 @@ def _synthetic_series(n, seed, trend=0.0, period=None, noise=0.1):
 
 
 def data_sunspots():
-    """Yearly sunspot activity (reference data.py:11-17; statsmodels there,
-    synthetic 11-year-cycle surrogate when unavailable)."""
+    """Yearly sunspot activity, annual SIDC means 1700-2008 (reference
+    data.py:11-17 fetches the same 309-point series via statsmodels; a copy
+    of that public-domain table is bundled as datasets/sunspots.csv).
+
+    Returns (x, y) with x = 0..308 (the positional index, matching the
+    reference's ``data.index.values``) and y = SUNACTIVITY.
+    """
     try:
         import statsmodels.api as sm
 
         data = sm.datasets.sunspots.load_pandas().data["SUNACTIVITY"]
         return data.index.values[:], data.values[:]
     except Exception:
-        return _synthetic_series(309, seed=11, period=11.0, noise=5.0)
+        pass
+    bundled = os.path.join(os.path.dirname(__file__), "datasets",
+                           "sunspots.csv")
+    if os.path.isfile(bundled):
+        df = pd.read_csv(bundled)
+        return df.index.values[:], df["SUNACTIVITY"].values[:]
+    _warn_synthetic("sunspots")
+    return _synthetic_series(309, seed=11, period=11.0, noise=5.0)
 
 
 def data_co2():
@@ -67,6 +98,7 @@ def data_co2():
         data = sm.datasets.co2.load_pandas().data
         return data.index.values[:], data.values[:, 0]
     except Exception:
+        _warn_synthetic("co2")
         x = np.arange(2225, dtype=np.float32)
         y = 315 + 0.004 * x + 3 * np.sin(2 * np.pi * x / 52.0)
         return x, y.astype(np.float32)
@@ -80,6 +112,7 @@ def data_engel():
         data = sm.datasets.engel.load_pandas().data
         return data.index.values, data["income"].values
     except Exception:
+        _warn_synthetic("engel")
         rng = np.random.default_rng(7)
         inc = np.sort(rng.lognormal(6.5, 0.5, 235)).astype(np.float32)
         return np.arange(235), inc
@@ -99,6 +132,7 @@ def data_heart():
     """Heart-rate series (reference data.py:47-49)."""
     hr = _load_csv("hr2.txt", names=["hr"], dtype=np.float32)
     if hr is None:
+        _warn_synthetic("hr2.txt")
         x, y = _synthetic_series(1800, seed=3, period=60.0, noise=2.0)
         y = 90 + 0.1 * y
         return x, y.reshape(-1, 1)
@@ -109,6 +143,7 @@ def data_eurusd():
     """EURUSD series (reference data.py:52-54)."""
     fx = _load_csv("EURUSD-1401-1510.txt", names=["EURUSD"], dtype=np.float32)
     if fx is None:
+        _warn_synthetic("EURUSD-1401-1510.txt")
         rng = np.random.default_rng(5)
         y = 1.3 + np.cumsum(0.001 * rng.standard_normal(721)).astype(np.float32)
         return np.arange(721), y.reshape(-1, 1)
@@ -122,6 +157,7 @@ def data_abalone(dataframe=False, raw=False):
              "Shell", "Rings"]
     abalone = _load_csv("abalone.data", names=names)
     if abalone is None:
+        _warn_synthetic("abalone.data")
         rng = np.random.default_rng(42)
         n = 4177
         length = rng.uniform(0.1, 0.8, n)
@@ -157,6 +193,7 @@ def data_creep(dataframe=False, raw=False):
         creep = pd.read_table(os.path.join(path, "creep"), header=None)
         creep.columns = names[: creep.shape[1]]
     if creep is None:
+        _warn_synthetic("creep")
         rng = np.random.default_rng(13)
         n = 2066
         creep = pd.DataFrame(
@@ -175,6 +212,7 @@ def data_ailerons(dataframe=False, raw=False):
     names = [f"a{i}" for i in range(40)] + ["goal"]
     ail = _load_csv("ailerons.data", names=names)
     if ail is None:
+        _warn_synthetic("ailerons.data")
         rng = np.random.default_rng(17)
         n = 7154
         ail = pd.DataFrame(
@@ -200,6 +238,7 @@ def data_rivers():
             return pd.concat(frames, axis=1)
         except Exception:
             pass
+    _warn_synthetic("log{bmau,bmis,cip,col,mau}.csv")
     rng = np.random.default_rng(23)
     n = 500
     return pd.DataFrame(
