@@ -220,26 +220,26 @@ def errors_datatrace(process, dt, inputs=None, outputs=None, space=None, hidden=
     cols = process.active.param_names()
     arr = np.asarray(dt[cols].values, dtype=settings.floatx)
 
-    def per_row(fn_name, **kw):
-        out = np.empty(len(arr), dtype=np.float64)
-        method = getattr(process, fn_name)
-        for i, row in enumerate(arr):
-            try:
-                out[i] = method(row, space=space, vector=hidden, inputs=inputs,
-                                outputs=outputs, array=True, **kw)
-            except Exception:
-                out[i] = np.nan
-        return np.float32(out)
+    def batch(th_name, **kw):
+        # one vmapped dispatch for the whole trace; non-finite rows come back
+        # as NaN through the pure functions' guards
+        try:
+            out = process._call_method_vrows(
+                th_name, arr, space=space, vector=hidden, inputs=inputs,
+                outputs=outputs, **kw)
+            return np.float32(np.asarray(out))
+        except Exception:
+            return np.full(len(arr), np.nan, dtype=np.float32)
 
     if l1:
-        dt["_l1"] = per_row("error_l1")
+        dt["_l1"] = batch("th_error_l1")
     if l2:
-        dt["_l2"] = per_row("error_l2")
+        dt["_l2"] = batch("th_error_l2")
     if nlpd:
         n = len(space) if space is not None else len(process.space)
-        dt["_nlpd"] = -per_row("logpredictive", noise=True) / n
+        dt["_nlpd"] = -batch("th_logpredictive", noise=True) / n
     if mse:
-        dt["_mse"] = per_row("error_mse")
+        dt["_mse"] = batch("th_error_mse")
     return dt
 
 

@@ -84,11 +84,102 @@ class PlotModel:
         r.update(self.scores(params))
         return r
 
+    # -- datatrace-wide (batched) model evaluation -----------------------------
+    #
+    # The reference evaluates a datatrace by looping predict/sample once per
+    # row (models.py:489-543) — a dispatch storm on an accelerator.  Here the
+    # row axis is vmapped: one compiled dispatch per *statistic*, regardless
+    # of how many rows the datatrace has.
+
+    def _datatrace_rows(self, datatrace):
+        cols = self.active.param_names()
+        return np.asarray(datatrace[cols].values, dtype=settings.floatx)
+
+    def _batch_quantile_p(self, q, rows, space=None, inputs=None, outputs=None,
+                          prior=False, noise=False):
+        """Per-row latent quantile multiplier, or None when this process's
+        predictive isn't location-scale shaped (then batching falls back to
+        the per-row loop)."""
+        return None
+
+    def batch_predict(self, rows, space=None, inputs=None, outputs=None,
+                      mean=True, std=True, var=False, cov=False, median=False,
+                      quantiles=False, quantiles_noise=False, prior=False,
+                      noise=False, **ignored):
+        """Requested statistics for an (R, ndim) matrix of unconstrained
+        parameter rows; every value gains a leading row axis."""
+        def vrows(th_name, nz=noise, **kw):
+            return self._call_method_vrows(th_name, rows, space=space,
+                                           inputs=inputs, outputs=outputs,
+                                           prior=prior, noise=nz, **kw)
+
+        values = DictObj()
+        if mean:
+            values["mean"] = vrows("th_mean")
+        if var:
+            values["variance"] = vrows("th_variance")
+        if std:
+            values["std"] = vrows("th_std")
+        if cov:
+            values["covariance"] = vrows("th_covariance")
+        if median:
+            values["median"] = vrows("th_median")
+        if quantiles or quantiles_noise:
+            p = self._batch_quantile_p(0.975, rows, space=space, inputs=inputs,
+                                       outputs=outputs, prior=prior, noise=noise)
+            if p is None:
+                raise NotImplementedError("no location-scale quantile form")
+            p = np.asarray(p, dtype=settings.floatx).reshape(-1, 1)
+            loc = vrows("th_location")
+
+            def qmap(latent_rows):
+                return self._call_method_vrows(
+                    "th_mapping", rows, space=space, inputs=inputs,
+                    outputs=outputs, prior=prior, noise=noise,
+                    vector_rows=latent_rows)
+
+            if quantiles:
+                sd = vrows("th_kernel_sd")
+                values["quantile_up"] = qmap(loc + p * sd)
+                values["quantile_down"] = qmap(loc - p * sd)
+            if quantiles_noise:
+                sdn = vrows("th_kernel_sd", nz=True)
+                values["noise_std"] = vrows("th_std", nz=True)
+                values["noise_up"] = qmap(loc + p * sdn)
+                values["noise_down"] = qmap(loc - p * sdn)
+        return values
+
     def average(self, datatrace, scores=True, *args, **kwargs):
-        """Average predictions over datatrace rows (reference models.py:489-519)."""
+        """Average predictions over datatrace rows (reference
+        models.py:489-519), evaluated with one dispatch per statistic."""
+        rows = self._datatrace_rows(datatrace)
+        try:
+            batch = self.batch_predict(rows, *args, **kwargs)
+        except NotImplementedError:
+            return self._average_loop(datatrace, scores, *args, **kwargs)
+        average = DictObj({k: np.asarray(v, dtype=np.float64).mean(axis=0)
+                           for k, v in batch.items()})
+        if scores and self.hidden is not None:
+            space = kwargs.get("space")
+            mean_rows = batch.get("mean")
+            if mean_rows is None:
+                mean_rows = self._call_method_vrows(
+                    "th_mean", rows, space=space,
+                    inputs=kwargs.get("inputs"), outputs=kwargs.get("outputs"),
+                    prior=kwargs.get("prior", False),
+                    noise=kwargs.get("noise", False))
+            hidden = self.hidden
+            if np.shape(mean_rows)[-1] == len(hidden):
+                resid = np.asarray(mean_rows, dtype=np.float64) - hidden
+                average["_l1"] = float(np.mean(np.abs(resid)))
+                average["_l2"] = float(np.mean(resid ** 2))
+        return average
+
+    def _average_loop(self, datatrace, scores=True, *args, **kwargs):
+        """Per-row fallback for processes without a batched predictive."""
         average = None
         pred = None
-        for k, v in datatrace.iterrows():
+        for _, v in datatrace.iterrows():
             params = self.active.params_serie(v)
             pred = self.predict(params, *args, **kwargs)
             if scores:
@@ -104,17 +195,64 @@ class PlotModel:
             average[key] = average[key] / n
         return average
 
+    def _batch_latent_rand(self, rows, n, rng, space=None, inputs=None,
+                           outputs=None, prior=False, noise=False):
+        """Per-row latent innovations (R, n), or None when this process's
+        sampler isn't a colored-normal form."""
+        return None
+
+    def batch_sample(self, rows, space=None, inputs=None, outputs=None,
+                     prior=False, noise=False, rng=None, chunk=None, **ignored):
+        """One warped posterior draw per parameter row, batched: (R, n)."""
+        if rng is None:
+            rng = np.random.default_rng()
+        space_arr = self.space if space is None else space
+        n = len(space_arr)
+        R = len(rows)
+        if chunk is None:
+            # keep the (chunk, n, n) batched cholesky under ~256 MB f32
+            chunk = max(1, int(2 ** 26 // max(n * n, 1)))
+        outs = []
+        for lo in range(0, R, chunk):
+            sub = rows[lo:lo + chunk]
+            rand = self._batch_latent_rand(sub, n, rng, space=space,
+                                           inputs=inputs, outputs=outputs,
+                                           prior=prior, noise=noise)
+            if rand is None:
+                raise NotImplementedError("no colored-normal sampler form")
+            loc = self._call_method_vrows("th_location", sub, space=space,
+                                          inputs=inputs, outputs=outputs,
+                                          prior=prior, noise=noise)
+            cho = self._call_method_vrows("th_cholesky", sub, space=space,
+                                          inputs=inputs, outputs=outputs,
+                                          prior=prior, noise=noise)
+            latent = loc + np.einsum("rij,rj->ri", cho, rand)
+            outs.append(self._call_method_vrows(
+                "th_mapping", sub, space=space, inputs=inputs, outputs=outputs,
+                prior=prior, noise=noise, vector_rows=latent))
+        return np.concatenate(outs, axis=0)
+
     def particles(self, datatrace, nsamples=None, *args, **kwargs):
         """Posterior sample curves over datatrace rows (reference
-        models.py:521-543)."""
-        particles = []
+        models.py:521-543): returns (n_space, nsamples)."""
+        rows = self._datatrace_rows(datatrace)
         if nsamples is None:
-            nsamples = len(datatrace)
-        while nsamples > 0:
-            for k, v in datatrace.iterrows():
-                particles.append(self.sample(self.active.params_serie(v), *args, **kwargs))
-                nsamples -= 1
-                if not nsamples > 0:
+            nsamples = len(rows)
+        # cycle rows like the reference's repeating iterrows loop
+        idx = np.resize(np.arange(len(rows)), nsamples)
+        try:
+            samples = self.batch_sample(rows[idx], *args, **kwargs)
+            return np.asarray(samples).T
+        except NotImplementedError:
+            pass
+        particles = []
+        left = nsamples
+        while left > 0:
+            for _, v in datatrace.iterrows():
+                particles.append(self.sample(self.active.params_serie(v),
+                                             *args, **kwargs))
+                left -= 1
+                if not left > 0:
                     break
         return np.concatenate(particles, axis=1)
 

@@ -120,6 +120,14 @@ class GaussianProcess(EllipticalProcess):
         latent = loc + p * sd
         return self.mapping(params, space, inputs, outputs, vector=latent)
 
+    def _batch_quantile_p(self, q, rows, space=None, inputs=None, outputs=None,
+                          prior=False, noise=False):
+        return np.full(len(rows), stats.norm.ppf(q), dtype=settings.floatx)
+
+    def _batch_latent_rand(self, rows, n, rng, space=None, inputs=None,
+                           outputs=None, prior=False, noise=False):
+        return rng.standard_normal((len(rows), n)).astype(settings.floatx)
+
     def sampler(self, params=None, space=None, inputs=None, outputs=None, samples=1,
                 prior=False, noise=False, rng=None):
         """Cholesky-colored normal draws pushed through the warping

@@ -495,6 +495,45 @@ class StochasticProcess(PlotModel):
             params = {k: asarray_x(v) for k, v in params.items()}
         return self.compiles[name](params, space, inputs, outputs, vector)
 
+    def _call_method_vrows(self, th_name, rows, space=None, inputs=None,
+                           outputs=None, vector=None, vector_rows=None,
+                           prior=False, noise=False, *args, **kwargs):
+        """Evaluate a th_* statistic for a whole (R, ndim) matrix of
+        unconstrained parameter rows in ONE vmapped dispatch.
+
+        This is the TPU-native replacement for the reference's per-row
+        datatrace loops (reference models.py:489-543): instead of R separate
+        compiled calls, the pure function is vmapped over the row axis and
+        batched onto the device once.  ``vector_rows`` optionally supplies a
+        per-row (R, n) vector argument (e.g. batched latent quantiles).
+        """
+        if inputs is None and not self.is_observed:
+            prior = True
+        space, inputs, outputs = self._resolve_data(space, inputs, outputs)
+        per_row_vec = vector_rows is not None
+        if per_row_vec:
+            vector = np.asarray(vector_rows, dtype=settings.floatx)
+        elif vector is None:
+            vector = np.zeros(len(space), dtype=settings.floatx)
+        else:
+            vector = _prep_vector(vector)
+
+        name = ("vrows_" + ("pv_" if per_row_vec else "")
+                + self._cache_name(th_name, prior, noise, args, kwargs))
+        if name not in self.compiles:
+            pure = getattr(self, th_name)(prior=prior, noise=noise,
+                                          *args, **kwargs)
+            reg = self.active
+
+            def apure(u, s, i, o, v):
+                return pure(reg.array_to_dict_jax(u), s, i, o, v)
+
+            in_axes = (0, None, None, None, 0 if per_row_vec else None)
+            self.compiles[name] = CompiledFn(
+                jax.vmap(apure, in_axes=in_axes), name)
+        rows = np.asarray(rows, dtype=settings.floatx)
+        return self.compiles[name](rows, space, inputs, outputs, vector)
+
     @property
     def executed(self):
         return {k: v.executed for k, v in self.compiles.items()}

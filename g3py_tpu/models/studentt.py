@@ -164,6 +164,25 @@ class StudentTProcess(EllipticalProcess):
         latent = loc + p * sd
         return self.mapping(params, space, inputs, outputs, vector=latent)
 
+    def _batch_quantile_p(self, q, rows, space=None, inputs=None, outputs=None,
+                          prior=False, noise=False):
+        df = np.asarray(self._call_method_vrows(
+            "th_freedom", rows, space=space, inputs=inputs, outputs=outputs,
+            prior=prior, noise=noise), dtype=np.float64)
+        return stats.t.ppf(q, df=df).astype(settings.floatx)
+
+    def _batch_latent_rand(self, rows, n, rng, space=None, inputs=None,
+                           outputs=None, prior=False, noise=False):
+        df = np.asarray(self._call_method_vrows(
+            "th_freedom", rows, space=space, inputs=inputs, outputs=outputs,
+            prior=prior, noise=noise), dtype=np.float64)
+        rand = rng.standard_normal((len(rows), n))
+        # per-draw inverse-gamma mixing factor, mirroring the reference's
+        # sampler (studentT.py:51-67) and this class's host sampler below
+        scale = stats.invgamma.rvs(a=df / 2, scale=(df - 2) / 2,
+                                   random_state=rng)
+        return (rand * np.asarray(scale).reshape(-1, 1)).astype(settings.floatx)
+
     def sampler(self, params=None, space=None, inputs=None, outputs=None, samples=1,
                 prior=False, noise=False, rng=None):
         if space is None:

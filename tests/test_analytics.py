@@ -111,6 +111,20 @@ class TestPlots:
         parts = gp.particles(sub, nsamples=3)
         assert parts.shape == (len(gp.space), 3)
 
+    def test_average_batch_matches_loop(self, gp_with_trace):
+        """The vmapped datatrace average must reproduce the per-row loop
+        (reference models.py:489-519 semantics) to f32 accumulation noise."""
+        gp, dt = gp_with_trace
+        sub = dt.iloc[:: len(dt) // 4][:4]
+        batch = gp.average(sub, quantiles=True, quantiles_noise=True)
+        loop = gp._average_loop(sub, True, quantiles=True, quantiles_noise=True)
+        assert set(batch) == set(loop)
+        for key in loop:
+            a = np.asarray(batch[key], dtype=np.float64)
+            b = np.asarray(loop[key], dtype=np.float64)
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4,
+                                       err_msg=key)
+
     def test_sample_api(self, gp_with_trace):
         gp, dt = gp_with_trace
         s = gp.sample(samples=2)
