@@ -15,7 +15,8 @@ TPU-native equivalents here:
 
 from .mesh import make_mesh, data_sharding, replicate
 from .sharded import sharded_logp_fn, sharded_ensemble_step, pt_sampler_sharded
-from .cholesky import distributed_cholesky, distributed_gp_nll
+from .cholesky import (distributed_cholesky, distributed_trsm,
+                       distributed_gp_nll)
 
 __all__ = [
     "make_mesh",
@@ -25,5 +26,6 @@ __all__ = [
     "sharded_ensemble_step",
     "pt_sampler_sharded",
     "distributed_cholesky",
+    "distributed_trsm",
     "distributed_gp_nll",
 ]

@@ -1,27 +1,52 @@
-"""Device-sharded blocked Cholesky (tensor parallelism over the gram).
+"""Device-sharded exact-GP linear algebra (tensor parallelism over the gram).
 
 The SURVEY's TP mandate (SURVEY.md section 2.7): for N beyond a single
 chip's HBM/FLOP budget (the N=50k stretch configuration), shard the N x N
-gram row-wise over the device mesh and factor it cooperatively.
+gram row-wise over the device mesh and factor it cooperatively.  The
+reference has no distributed factorization at all (its only parallelism is
+a multiprocessing chain pool, stochastic.py:773-783); this module is the
+TPU-native replacement built on ``shard_map`` + XLA collectives.
 
-Algorithm — right-looking blocked Cholesky over row bands, one band per
-device, expressed in ``shard_map``:
+Pieces
+------
+* ``distributed_cholesky`` — right-looking blocked Cholesky over row bands,
+  one band per device:
 
-  for panel k:                             (static python loop over blocks)
-    owner       = device holding block-row k
-    L_kk        = chol(A[k,k])             (owner's rows, psum-broadcast)
-    Dinv        = L_kk^{-1}                (replicated small solve)
-    L[i,k]      = A[i,k] Dinv^T            (each device, its own rows)
-    col_k       = all_gather(L[:,k])       (ICI collective, n x B)
-    A[i,j]     -= L[i,k] col_k[j]^T        (each device, local MXU matmul)
+    for panel k:                             (lax.fori_loop over blocks)
+      owner       = device holding block-row k
+      L_kk        = chol(A[k,k])             (owner's rows, psum-broadcast)
+      Dinv        = L_kk^{-1}                (replicated small solve)
+      L[i,k]      = A[i,k] Dinv^T            (each device, its own rows)
+      col_k       = all_gather(L[:,k])       (ICI collective, n x B)
+      A[i,j]     -= L[i,k] col_k[j]^T        (each device, local MXU matmul)
 
-Communication per panel: one (B, B) psum + one (n, B) all_gather riding
-ICI; compute is n^3/3 MACs split across devices.  Owner-computes steps are
-written mask-then-psum so every device runs the same SPMD program.
+  Communication per panel: one (B, B) psum + one (n, B) all_gather riding
+  ICI; compute is n^3/3 MACs split across devices.  Owner-computes steps
+  are written mask-then-psum so every device runs the same SPMD program.
+  The panel loop is a ``lax.fori_loop`` so compile time is O(1) in the
+  number of panels (a Python loop would unroll ~100 panels at N=50k).
 
-Correctness is validated on the virtual 8-device CPU mesh (tests); the
-driver's ``dryrun_multichip`` compiles and executes it on N virtual
-devices.
+* ``distributed_trsm`` — forward substitution L Z = B with the same band
+  layout and a (B, m) psum per panel.
+
+* ``distributed_gp_nll`` — a *trainable* sharded exact-GP NLL.  The gram is
+  built band-wise inside ``shard_map`` (each device evaluates its own
+  (n/D, n) rows of the kernel — the unsharded N x N matrix never exists),
+  factored and solved in place, and differentiated by a custom VJP:
+
+      NLL      = 1/2 y' K^{-1} y + 1/2 log|K| + n/2 log 2pi
+      dNLL/dK  = 1/2 (K^{-1} - a a'),  a = K^{-1} y
+      dNLL/dth = vjp of the band-wise kernel evaluation at that cotangent
+
+  K^{-1} is produced band-wise as X' X with X = L^{-1} (sharded TRSM with an
+  identity band) and a chunked all-reduce syrk, so the backward pass also
+  never materializes an unsharded N x N array.  Gradients flow to ``params``
+  and ``y``; the training inputs ``x`` are treated as constants (standard
+  for hyperparameter optimization).
+
+Correctness is validated on the virtual 8-device CPU mesh (value and
+gradient vs a single-device reference, tests/test_experiment.py); the
+driver's ``dryrun_multichip`` compiles and executes it on N virtual devices.
 """
 
 from functools import partial
@@ -35,7 +60,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import settings
 
-__all__ = ["distributed_cholesky", "distributed_gp_nll"]
+__all__ = ["distributed_cholesky", "distributed_trsm", "distributed_gp_nll"]
 
 
 def _band_cholesky_body(a_local, n, block, n_dev, axis):
@@ -77,11 +102,58 @@ def _band_cholesky_body(a_local, n, block, n_dev, axis):
         upd = jnp.where((gcol >= kb + block)[None, :], upd, 0.0)
         return a_loc - upd
 
-    for k in range(nb):
-        a_local = panel(k, a_local)
+    a_local = lax.fori_loop(0, nb, panel, a_local)
     # zero my band's strict upper triangle
     gc2 = lax.broadcasted_iota(jnp.int32, (rows_per_dev, n), 1)
     return jnp.where(gc2 <= grow[:, None], a_local, 0.0)
+
+
+def _band_trsm_body(l_local, b_local, n, block, n_dev, axis):
+    """Forward substitution ``L Z = B`` on row bands; ``b_local`` (n/D, m)."""
+    rows_per_dev = n // n_dev
+    nb = n // block
+    me = lax.axis_index(axis)
+    row0 = me * rows_per_dev
+    grow = row0 + lax.broadcasted_iota(jnp.int32, (rows_per_dev, 1), 0)[:, 0]
+    m = b_local.shape[1]
+
+    def panel(k, b_loc):
+        kb = k * block
+        owns = (kb >= row0) & (kb + block <= row0 + rows_per_dev)
+        safe_off = jnp.clip(kb - row0, 0, rows_per_dev - block)
+        lkk_rows = lax.dynamic_slice(l_local, (safe_off, kb), (block, block))
+        bk_rows = lax.dynamic_slice(b_loc, (safe_off, 0), (block, m))
+        lkk = lax.psum(jnp.where(owns, lkk_rows, 0.0), axis)
+        bk = lax.psum(jnp.where(owns, bk_rows, 0.0), axis)
+        zk = solve_triangular(lkk, bk, lower=True)  # (block, m)
+
+        lk_mine = lax.dynamic_slice(l_local, (0, kb), (rows_per_dev, block))
+        upd = jnp.matmul(lk_mine, zk, precision=lax.Precision.HIGHEST)
+        below = grow >= kb + block
+        in_panel = (grow >= kb) & (grow < kb + block)
+        zk_mine = zk[jnp.clip(grow - kb, 0, block - 1), :]
+        return jnp.where(below[:, None], b_loc - upd,
+                         jnp.where(in_panel[:, None], zk_mine, b_loc))
+
+    return lax.fori_loop(0, nb, panel, b_local)
+
+
+def _resolve_mesh(mesh, axis):
+    if mesh is None:
+        from .mesh import make_mesh
+
+        mesh = make_mesh(axis_names=(axis,))
+    return mesh
+
+
+def _check_dims(n, n_dev, block):
+    if n % n_dev:
+        raise ValueError(f"n={n} must divide over {n_dev} devices")
+    if block is None:
+        block = min(n // n_dev, 256)
+    if (n // n_dev) % block:
+        raise ValueError("rows-per-device must be a multiple of block")
+    return block
 
 
 def distributed_cholesky(a, mesh=None, block=None, axis="dp"):
@@ -91,18 +163,10 @@ def distributed_cholesky(a, mesh=None, block=None, axis="dp"):
     count must be a multiple of ``block``.  Returns L sharded the same way."""
     from jax import shard_map
 
-    if mesh is None:
-        from .mesh import make_mesh
-
-        mesh = make_mesh(axis_names=(axis,))
+    mesh = _resolve_mesh(mesh, axis)
     n = a.shape[-1]
     n_dev = mesh.shape[axis]
-    if n % n_dev:
-        raise ValueError(f"n={n} must divide over {n_dev} devices")
-    if block is None:
-        block = n // n_dev
-    if (n // n_dev) % block:
-        raise ValueError("rows-per-device must be a multiple of block")
+    block = _check_dims(n, n_dev, block)
 
     body = partial(_band_cholesky_body, n=n, block=block, n_dev=n_dev,
                    axis=axis)
@@ -113,24 +177,159 @@ def distributed_cholesky(a, mesh=None, block=None, axis="dp"):
     return jax.jit(fn)(a)
 
 
-def distributed_gp_nll(mesh=None, axis="dp"):
-    """Builder for a device-sharded exact-GP NLL: the gram partitions over
-    the mesh (row bands) and the factorization runs through
-    :func:`distributed_cholesky`."""
-    from .mesh import make_mesh
+def distributed_trsm(l, b, mesh=None, block=None, axis="dp"):
+    """Solve ``L Z = B`` with L row-band-sharded (as from
+    :func:`distributed_cholesky`); B row-shards the same way."""
+    from jax import shard_map
 
-    if mesh is None:
-        mesh = make_mesh(axis_names=(axis,))
+    mesh = _resolve_mesh(mesh, axis)
+    n = l.shape[-1]
+    n_dev = mesh.shape[axis]
+    block = _check_dims(n, n_dev, block)
 
-    def nll(kernel_fn, params, x, y, block=None):
-        n = x.shape[0]
-        sharding = NamedSharding(mesh, P(axis, None))
-        cov = kernel_fn(params, x)
-        cov = lax.with_sharding_constraint(cov, sharding)
-        L = distributed_cholesky(cov, mesh=mesh, block=block, axis=axis)
-        z = solve_triangular(L, y, lower=True)
-        return (0.5 * jnp.dot(z, z)
-                + jnp.sum(jnp.log(jnp.diagonal(L)))
-                + 0.5 * n * np.log(2 * np.pi))
+    b = jnp.asarray(b, settings.dtype)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    body = partial(_band_trsm_body, n=n, block=block, n_dev=n_dev, axis=axis)
+    fn = shard_map(body, mesh=mesh, in_specs=(P(axis, None), P(axis, None)),
+                   out_specs=P(axis, None))
+    band = NamedSharding(mesh, P(axis, None))
+    l = jax.device_put(jnp.asarray(l, settings.dtype), band)
+    b = jax.device_put(b, band)
+    z = jax.jit(fn)(l, b)
+    return z[:, 0] if squeeze else z
 
-    return nll
+
+def distributed_gp_nll(cov_fn, mesh=None, block=None, axis="dp",
+                       noise_fn=None):
+    """Build a trainable device-sharded exact-GP negative log likelihood.
+
+    Args:
+      cov_fn: ``cov_fn(params, x1, x2) -> (len(x1), len(x2))`` cross
+        covariance WITHOUT observation noise (any pytree ``params``).
+      noise_fn: optional ``noise_fn(params) -> scalar`` observation-noise
+        variance added to the gram diagonal.
+      mesh/block/axis: band layout (see :func:`distributed_cholesky`).
+
+    Returns ``nll(params, x, y) -> scalar`` differentiable w.r.t. ``params``
+    and ``y`` (``x`` is constant).  The (n, n) gram only ever exists as
+    per-device row bands, in forward and backward passes alike.
+    """
+    from jax import shard_map
+
+    mesh = _resolve_mesh(mesh, axis)
+    n_dev = mesh.shape[axis]
+    band = NamedSharding(mesh, P(axis, None))
+    vec = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def _band_gram(params, x, n, rows_per_dev):
+        me = lax.axis_index(axis)
+        row0 = me * rows_per_dev
+        x_band = lax.dynamic_slice_in_dim(x, row0, rows_per_dev, axis=0)
+        g = cov_fn(params, x_band, x)
+        if noise_fn is not None:
+            grow = row0 + lax.broadcasted_iota(
+                jnp.int32, (rows_per_dev,), 0)
+            gcol = lax.broadcasted_iota(jnp.int32, (n,), 0)
+            g = g + noise_fn(params) * (
+                grow[:, None] == gcol[None, :]).astype(g.dtype)
+        return g
+
+    def _make(n):
+        rows_per_dev = n // n_dev
+        blk = _check_dims(n, n_dev, block)
+
+        def fwd_body(params, x, y_local):
+            a_local = _band_gram(params, x, n, rows_per_dev)
+            l_local = _band_cholesky_body(a_local, n, blk, n_dev, axis)
+            z_local = _band_trsm_body(l_local, y_local[:, None], n, blk,
+                                      n_dev, axis)[:, 0]
+            me = lax.axis_index(axis)
+            row0 = me * rows_per_dev
+            idx = lax.broadcasted_iota(jnp.int32, (rows_per_dev,), 0)
+            diag_mine = l_local[idx, row0 + idx]
+            quad = lax.psum(jnp.dot(z_local, z_local), axis)
+            logdet = lax.psum(jnp.sum(jnp.log(diag_mine)), axis)
+            return l_local, z_local, quad, logdet
+
+        fwd_sharded = shard_map(
+            fwd_body, mesh=mesh, in_specs=(P(), P(), P(axis)),
+            out_specs=(P(axis, None), P(axis), P(), P()))
+
+        def bwd_body(params, x, l_local, z_local, gbar):
+            rows = rows_per_dev
+            me = lax.axis_index(axis)
+            row0 = me * rows
+            grow = row0 + lax.broadcasted_iota(jnp.int32, (rows,), 0)
+            gcol = lax.broadcasted_iota(jnp.int32, (n,), 0)
+            eye_band = (grow[:, None] == gcol[None, :]).astype(l_local.dtype)
+            # X = L^{-1} as a row band
+            x_inv = _band_trsm_body(l_local, eye_band, n, blk, n_dev, axis)
+            # a = K^{-1} y = X' z  (replicated)
+            alpha = lax.psum(
+                jnp.matmul(x_inv.T, z_local,
+                           precision=lax.Precision.HIGHEST), axis)
+            # S = K^{-1} = X' X, band-by-band chunked syrk
+            def chunk(d, acc):
+                cols = lax.dynamic_slice_in_dim(x_inv, d * rows, rows, axis=1)
+                part = lax.psum(
+                    jnp.matmul(cols.T, x_inv,
+                               precision=lax.Precision.HIGHEST), axis)
+                return jnp.where(me == d, part, acc)
+
+            s_init = lax.pvary(
+                jnp.zeros((rows, n), dtype=l_local.dtype), (axis,))
+            s_local = lax.fori_loop(0, n_dev, chunk, s_init)
+            alpha_band = lax.dynamic_slice_in_dim(alpha, row0, rows, axis=0)
+            kbar_band = (0.5 * gbar) * (
+                s_local - alpha_band[:, None] * alpha[None, :])
+            _, gram_vjp = jax.vjp(
+                lambda p: _band_gram(p, x, n, rows_per_dev), params)
+            # params enter the shard_map unvarying (P()), so the vma-aware
+            # vjp already psums the per-device cotangents — no explicit
+            # collective here or the gradient multiplies by the device count
+            (pbar,) = gram_vjp(kbar_band)
+            ybar_local = gbar * alpha_band
+            return pbar, ybar_local
+
+        bwd_sharded = shard_map(
+            bwd_body, mesh=mesh,
+            in_specs=(P(), P(), P(axis, None), P(axis), P()),
+            out_specs=(P(), P(axis)))
+        return fwd_sharded, bwd_sharded
+
+    @jax.custom_vjp
+    def nll(params, x, y):
+        n = y.shape[0]
+        fwd_sharded, _ = _make(n)
+        _, _, quad, logdet = fwd_sharded(params, x, y)
+        return (0.5 * quad + logdet
+                + 0.5 * np.asarray(n, settings.dtype)
+                * np.float32(np.log(2 * np.pi)))
+
+    def nll_fwd(params, x, y):
+        n = y.shape[0]
+        fwd_sharded, _ = _make(n)
+        l_local, z_local, quad, logdet = fwd_sharded(params, x, y)
+        val = (0.5 * quad + logdet
+               + 0.5 * np.asarray(n, settings.dtype)
+               * np.float32(np.log(2 * np.pi)))
+        return val, (params, x, y, l_local, z_local)
+
+    def nll_bwd(res, gbar):
+        params, x, y, l_local, z_local = res
+        n = y.shape[0]
+        _, bwd_sharded = _make(n)
+        pbar, ybar = bwd_sharded(params, x, l_local, z_local, gbar)
+        return pbar, jnp.zeros_like(x), ybar
+
+    nll.defvjp(nll_fwd, nll_bwd)
+
+    def prepared(params, x, y):
+        x = jax.device_put(jnp.asarray(x, settings.dtype), repl)
+        y = jax.device_put(jnp.asarray(y, settings.dtype), vec)
+        return nll(params, x, y)
+
+    return prepared
