@@ -248,6 +248,19 @@ class TestMvnQuadLogdet:
         np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
                                    rtol=1e-3, atol=1e-4)
 
+    def test_triangular_ata_recursion(self, rng):
+        """Recursive lauum-style W'W must match dense, including odd sizes
+        that split unevenly."""
+        from g3py_tpu.ops.linalg import triangular_ata
+
+        for n in (97, 128):
+            a = rng.standard_normal((n, n)).astype(np.float32)
+            w = jnp.asarray(np.tril(a))
+            got = triangular_ata(w, min_size=16)
+            want = np.asarray(w, np.float64).T @ np.asarray(w, np.float64)
+            np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                       atol=1e-4)
+
     def test_failure_path_zero_grad(self):
         from g3py_tpu.ops.linalg import mvn_quad_logdet
 
