@@ -33,12 +33,14 @@ def _timeit(fn, *args, repeat=50, warmup=5, best_of=3):
 
 
 def _block(r):
-    try:
-        import jax
+    """Force completion.  ``block_until_ready`` is a no-op over the hosted
+    TPU tunnel (CLAUDE.md), so pull one scalar to the host instead."""
+    import jax.numpy as jnp
 
-        jax.block_until_ready(r)
-    except Exception:
-        pass
+    leaves = [x for x in (r if isinstance(r, (tuple, list)) else (r,))
+              if hasattr(x, "dtype")]
+    for x in leaves:
+        np.asarray(jnp.sum(x))
 
 
 def main():

@@ -48,6 +48,10 @@ class Settings:
     quadrature_degree: int = 10
     mc_simulations: int = 30
     plot_big: bool = False
+    # Fused Pallas gram kernels for SE/MAT32/MAT52/RQ on ARD_L2 (TPU only,
+    # tile-aligned shapes; transparent XLA fallback otherwise).  See
+    # ops/pallas_gram.py and docs/performance.md for measured numbers.
+    pallas_gram: bool = True
 
     @property
     def dtype(self):

@@ -167,15 +167,32 @@ class KernelDot(Kernel):
 class KernelStationary(Kernel):
     """var * k(metric-gram) (reference kernels.py:98-111)."""
 
+    #: key into ops.pallas_gram._KFORMS when this family has a fused
+    #: Pallas tile kernel (SE/MAT32/MAT52/RQ on ARD_L2)
+    _pallas_kind = None
+
     def __init__(self, x=None, name=None, metric=ARD_L2, var=None):
         super().__init__(x, name, metric, var)
 
     def k(self, params, d):
         return d
 
+    def _pallas_extra(self, params):
+        return None
+
     def cov(self, params, x1, x2=None):
         if x2 is None:
             x2 = x1
+        if self._pallas_kind is not None and settings.pallas_gram \
+                and type(self.metric) is ARD_L2 and is_param(self.metric.rate):
+            from ..ops.pallas_gram import stationary_gram
+
+            s1, s2 = self.metric._sliced(x1, x2)
+            out = stationary_gram(
+                self._pallas_kind, s1, s2, hval(self.metric.rate, params),
+                hval(self.var, params), extra=self._pallas_extra(params))
+            if out is not None:
+                return out
         return hval(self.var, params) * self.k(params, self.metric.gram(params, x1, x2))
 
 
@@ -487,6 +504,11 @@ class WN(KernelStationary):
 class RQ(KernelStationary):
     """Rational quadratic: (1 + d/alpha)^-alpha (reference kernels.py:388-403)."""
 
+    _pallas_kind = "rq"
+
+    def _pallas_extra(self, params):
+        return hval(self.alpha, params)
+
     def __init__(self, x=None, name=None, metric=ARD_L2, var=None, alpha=None):
         super().__init__(x, name, metric, var)
         self.alpha = alpha
@@ -509,6 +531,8 @@ class RQ(KernelStationary):
 class MAT32(KernelStationary):
     """Matern 3/2 on the ARD_L2 metric (reference kernels.py:406-412)."""
 
+    _pallas_kind = "mat32"
+
     def k(self, params, d):
         d3 = jnp.sqrt(3.0 * d)
         return (1.0 + d3) * jnp.exp(-d3)
@@ -516,6 +540,8 @@ class MAT32(KernelStationary):
 
 class MAT52(KernelStationary):
     """Matern 5/2 (reference kernels.py:415-421)."""
+
+    _pallas_kind = "mat52"
 
     def k(self, params, d):
         d5 = jnp.sqrt(5.0 * d)
@@ -538,6 +564,8 @@ class OU(KernelStationaryExponential):
 
 class SE(KernelStationaryExponential):
     """Squared exponential: exp(-ARD_L2) (reference kernels.py:434-436)."""
+
+    _pallas_kind = "se"
 
     def __init__(self, x=None, name=None, metric=ARD_L2, var=None):
         super().__init__(x, name, metric, var)

@@ -29,7 +29,7 @@ def pltpu_smem():
 from ..config import settings
 from .gram import weighted_sqdist
 
-__all__ = ["se_gram", "pallas_available"]
+__all__ = ["se_gram", "stationary_gram", "pallas_available"]
 
 _TILE = 256
 
@@ -41,9 +41,22 @@ def pallas_available():
         return False
 
 
-def _se_kernel(x1_ref, x2_ref, var_ref, out_ref):
+# elementwise k(d_metric) forms on the ARD_L2 metric distance
+# d_metric = 0.5 * ||s1 - s2||^2 with rate-scaled coords (metrics.py ARD_L2)
+_KFORMS = {
+    "se": lambda dm, extra: jnp.exp(-dm),
+    "mat32": lambda dm, extra: (
+        (1.0 + jnp.sqrt(3.0 * dm)) * jnp.exp(-jnp.sqrt(3.0 * dm))),
+    "mat52": lambda dm, extra: (
+        (1.0 + jnp.sqrt(5.0 * dm) + 5.0 * dm / 3.0)
+        * jnp.exp(-jnp.sqrt(5.0 * dm))),
+    "rq": lambda dm, extra: jnp.power(1.0 + dm / extra, -extra),
+}
+
+
+def _stationary_kernel(kform, x1_ref, x2_ref, var_ref, extra_ref, out_ref):
     """One (TM, TN) tile: d = |s1|^2 + |s2|^2 - 2 s1 s2^T (s pre-scaled by
-    the ARD rate on the host side), out = var * exp(-0.5 d)."""
+    the ARD rate on the host side), out = var * k(0.5 d)."""
     s1 = x1_ref[:]  # (TM, d)
     s2 = x2_ref[:]  # (TN, d)
     n1 = jnp.sum(s1 * s1, axis=-1)
@@ -55,19 +68,20 @@ def _se_kernel(x1_ref, x2_ref, var_ref, out_ref):
         precision=jax.lax.Precision.HIGHEST,
     )
     d = jnp.maximum(n1[:, None] + n2[None, :] - 2.0 * cross, 0.0)
-    out_ref[:] = var_ref[0, 0] * jnp.exp(-0.5 * d)
+    out_ref[:] = var_ref[0, 0] * kform(0.5 * d, extra_ref[0, 0])
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def _se_gram_pallas(s1, s2, var, tile=_TILE):
+@functools.partial(jax.jit, static_argnames=("kind", "tile"))
+def _stationary_gram_pallas(kind, s1, s2, var, extra, tile=_TILE):
     from jax.experimental import pallas as pl
 
     m, d = s1.shape
     n = s2.shape[0]
     grid = (m // tile, n // tile)
     var2d = jnp.reshape(var.astype(jnp.float32), (1, 1))
+    extra2d = jnp.reshape(extra.astype(jnp.float32), (1, 1))
     return pl.pallas_call(
-        _se_kernel,
+        functools.partial(_stationary_kernel, _KFORMS[kind]),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         grid=grid,
         in_specs=[
@@ -75,34 +89,84 @@ def _se_gram_pallas(s1, s2, var, tile=_TILE):
             pl.BlockSpec((tile, d), lambda i, j: (j, 0)),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu_smem()),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu_smem()),
         ],
         out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j)),
-    )(s1, s2, var2d)
+    )(s1, s2, var2d, extra2d)
 
 
-def se_gram(x1, x2, rate, var, tile=_TILE):
-    """var * exp(-0.5 sum_d (x1-x2)^2 rate^2) — fused Pallas path on TPU
-    for tile-aligned shapes, XLA fallback otherwise.
+def _xla_form(kind, x1, x2, rate, var, extra):
+    dm = 0.5 * weighted_sqdist(x1, x2, rate)
+    return var * _KFORMS[kind](dm, extra)
 
-    Inputs are mean-centered and rate-scaled on the host graph (cheap O(Nd)
-    work); the O(N^2) pipeline runs in one kernel."""
-    x1 = jnp.asarray(x1)
-    x2 = jnp.asarray(x2)
-    rate = jnp.asarray(rate)
-    var = jnp.asarray(var)
-    m, n = x1.shape[0], x2.shape[0]
-    usable = (
-        pallas_available()
-        and m % tile == 0
-        and n % tile == 0
-        and x1.ndim == 2
-    )
-    if not usable:
-        d = weighted_sqdist(x1, x2, rate)
-        return var * jnp.exp(-0.5 * d)
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6))
+def _gram_hybrid(kind, x1, x2, rate, var, extra, tile):
+    return _xla_form(kind, x1, x2, rate, var, extra)
+
+
+def _gram_hybrid_fwd(kind, x1, x2, rate, var, extra, tile):
+    """Pallas forward — the fused VMEM pipeline — with primals saved."""
     s1 = x1 * rate
     s2 = x2 * rate
     center = jax.lax.stop_gradient(
         0.5 * (jnp.mean(s1, axis=0) + jnp.mean(s2, axis=0)))
-    return _se_gram_pallas((s1 - center).astype(jnp.float32),
-                           (s2 - center).astype(jnp.float32), var, tile)
+    out = _stationary_gram_pallas(
+        kind, (s1 - center).astype(jnp.float32),
+        (s2 - center).astype(jnp.float32), var, extra, tile)
+    return out, (x1, x2, rate, var, extra)
+
+
+def _gram_hybrid_bwd(kind, tile, res, g):
+    """Backward through the mathematically identical XLA form —
+    ``pallas_call`` has no reverse rule, and the XLA vjp is a handful of
+    matmuls either way."""
+    x1, x2, rate, var, extra = res
+    _, vjp = jax.vjp(lambda a, b, r, v, e: _xla_form(kind, a, b, r, v, e),
+                     x1, x2, rate, var, extra)
+    return vjp(g)
+
+
+_gram_hybrid.defvjp(_gram_hybrid_fwd, _gram_hybrid_bwd)
+
+
+def stationary_gram(kind, x1, x2, rate, var, extra=None, tile=_TILE):
+    """Fused Pallas gram ``var * k(ARD_L2(x1, x2))`` for the stationary
+    families sharing the norm-decomposition tile structure (SE/MAT32/MAT52/
+    RQ).  Returns None when the Pallas path doesn't apply (off-TPU, ragged
+    tiles, weird dims) — caller falls back to its XLA form.
+
+    Inputs are mean-centered and rate-scaled on the host graph (cheap O(Nd)
+    work); the O(N^2) "distance -> k(d) -> amplitude" pipeline runs in one
+    VMEM-resident kernel, so the N x M distance matrix never round-trips
+    HBM.  Differentiable: forward is Pallas, backward replays the XLA form's
+    vjp (bitwise-equal math)."""
+    if kind not in _KFORMS:
+        return None
+    x1 = jnp.asarray(x1)
+    x2 = jnp.asarray(x2)
+    m, n = x1.shape[0], x2.shape[0]
+    usable = (
+        pallas_available()
+        and x1.ndim == 2
+        and m % tile == 0
+        and n % tile == 0
+    )
+    if not usable:
+        return None
+    rate = jnp.asarray(rate)
+    var = jnp.asarray(var)
+    extra = jnp.asarray(1.0 if extra is None else extra, dtype=jnp.float32)
+    return _gram_hybrid(kind, x1, x2, rate, var, extra, tile)
+
+
+def se_gram(x1, x2, rate, var, tile=_TILE):
+    """var * exp(-0.5 sum_d (x1-x2)^2 rate^2) — fused Pallas path on TPU
+    for tile-aligned shapes, XLA fallback otherwise."""
+    out = stationary_gram("se", x1, x2, rate, var, tile=tile)
+    if out is None:
+        d = weighted_sqdist(jnp.asarray(x1), jnp.asarray(x2),
+                            jnp.asarray(rate))
+        return jnp.asarray(var) * jnp.exp(-0.5 * d)
+    return out
