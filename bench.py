@@ -130,8 +130,16 @@ def main():
             return jax.value_and_grad(nll)(u)
 
         t16 = _timeit(nll_grad16, u16, repeat=3, warmup=2, best_of=2)
+        # Theano-CPU stand-in for the BASELINE ">=5x per L-BFGS step" target:
+        # the same N=16384 NLL+grad (gram + spotrf + spotri + analytic
+        # dNLL/dK contraction, float32 LAPACK/OpenBLAS) measured on this
+        # machine's CPU (1 core, 169 GFLOP/s sgemm) = 206.26 s/eval
+        # (scratch/cpu_standin.py, 2026-08-16).
+        cpu_standin = 206.26
         print(f"# t_nll_grad_n16384={t16*1e3:.1f}ms "
-              f"({1.0/t16:.2f} evals/sec)", file=sys.stderr, flush=True)
+              f"({1.0/t16:.2f} evals/sec, "
+              f"vs_cpu_lapack_standin={cpu_standin/t16:.0f}x)",
+              file=sys.stderr, flush=True)
     except Exception as e:
         print(f"# n16384 point skipped: {e}", file=sys.stderr)
 

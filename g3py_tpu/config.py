@@ -48,10 +48,12 @@ class Settings:
     quadrature_degree: int = 10
     mc_simulations: int = 30
     plot_big: bool = False
-    # Fused Pallas gram kernels for SE/MAT32/MAT52/RQ on ARD_L2 (TPU only,
-    # tile-aligned shapes; transparent XLA fallback otherwise).  See
-    # ops/pallas_gram.py and docs/performance.md for measured numbers.
-    pallas_gram: bool = True
+    # Fused Pallas gram kernels on ARD_L2 (TPU only, tile-aligned shapes;
+    # transparent XLA fallback otherwise).  True = families measured at
+    # >= XLA parity on real hardware (mat32, rq); "all" = also se/mat52
+    # (which measured slower than XLA's own fusion); False = never.
+    # Numbers in ops/pallas_gram.py and docs/performance.md.
+    pallas_gram: object = True
 
     @property
     def dtype(self):

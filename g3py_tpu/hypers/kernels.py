@@ -183,10 +183,13 @@ class KernelStationary(Kernel):
     def cov(self, params, x1, x2=None):
         if x2 is None:
             x2 = x1
-        if self._pallas_kind is not None and settings.pallas_gram \
+        if self._pallas_kind is not None \
                 and type(self.metric) is ARD_L2 and is_param(self.metric.rate):
-            from ..ops.pallas_gram import stationary_gram
+            from ..ops.pallas_gram import pallas_gram_enabled, stationary_gram
 
+            if not pallas_gram_enabled(self._pallas_kind):
+                return hval(self.var, params) * self.k(
+                    params, self.metric.gram(params, x1, x2))
             s1, s2 = self.metric._sliced(x1, x2)
             out = stationary_gram(
                 self._pallas_kind, s1, s2, hval(self.metric.rate, params),

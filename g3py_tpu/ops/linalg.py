@@ -188,6 +188,44 @@ def _mvn_pieces(k, resid, max_tries):
     return chol, failed, z, quad, logdet_half
 
 
+def blocked_lauum(w, block=2048):
+    """``W^T W`` for lower-triangular W as explicit block tiles — the LAPACK
+    ``lauum`` flop count (n^3/3) with every operation a large MXU matmul:
+
+        out[i, j] = sum_{k >= j} W[k, i]^T W[k, j]   for i <= j,
+
+    mirrored for the lower half.  Unrolls nb^3/6 block matmuls (nb = n/block
+    is small: 8 at n=16384/2048), each at full tile size, so XLA runs the
+    whole thing at syrk speed instead of the dense 2n^3."""
+    n = w.shape[-1]
+    if n <= block:
+        return jnp.matmul(w.T, w, precision=lax.Precision.HIGHEST)
+    nb = -(-n // block)
+    n_pad = nb * block
+    wp = _pad_tril(w, n_pad)
+
+    def blk(i, j):
+        return lax.dynamic_slice(wp, (i * block, j * block), (block, block))
+
+    upper = [[None] * nb for _ in range(nb)]
+    for i in range(nb):
+        for j in range(i, nb):
+            acc = None
+            for k in range(j, nb):
+                term = jnp.matmul(blk(k, i).T, blk(k, j),
+                                  precision=lax.Precision.HIGHEST)
+                acc = term if acc is None else acc + term
+            upper[i][j] = acc
+    rows = [
+        jnp.concatenate(
+            [upper[i][j] if j >= i else upper[j][i].T for j in range(nb)],
+            axis=1)
+        for i in range(nb)
+    ]
+    out = jnp.concatenate(rows, axis=0)
+    return out[:n, :n]
+
+
 def triangular_ata(w, min_size=2048):
     """``W^T W`` for a lower-triangular W, recursively exploiting the zero
     upper triangle:
@@ -248,7 +286,9 @@ def _mvn_bwd(max_tries, res, cotangents):
     # alpha = K^{-1} resid = L^{-T} z as an n^2 matvec (XLA's TRSM is the
     # slow path on TPU; linv is already here for K^{-1})
     alpha = jnp.matmul(linv.T, z, precision=lax.Precision.HIGHEST)
-    kinv = triangular_ata(linv)
+    # measured on v5e at n=16384: blocked lauum 49ms vs recursive 111ms vs
+    # dense 281ms (scratch benches recorded in docs/performance.md)
+    kinv = blocked_lauum(linv, block=2048)
     dk = (-g_quad) * jnp.outer(alpha, alpha) + (0.5 * g_logdet) * kinv
     dresid = (2.0 * g_quad) * alpha
     dk = jnp.where(failed, jnp.zeros_like(dk), dk)

@@ -9,9 +9,11 @@ step further for the stationary hot path by **fusing the whole
 tile program**, so the N x M distance matrix never round-trips HBM between
 the matmul and the elementwise kernel function.
 
-Only the square/cross SE form is specialized here (the benchmark and
-tutorial hot path); everything else uses the XLA builders.  The kernels
-fall back to XLA automatically off-TPU or for shapes below the tile size.
+The stationary ARD_L2 families sharing the norm-decomposition tile
+structure (SE, MAT32, MAT52, RQ) are specialized here; everything else uses
+the XLA builders.  The kernels fall back to XLA automatically off-TPU or
+for shapes below the tile size, and only the families measured at >= XLA
+parity on real hardware dispatch by default (see _DEFAULT_ON).
 """
 
 import functools
@@ -29,7 +31,8 @@ def pltpu_smem():
 from ..config import settings
 from .gram import weighted_sqdist
 
-__all__ = ["se_gram", "stationary_gram", "pallas_available"]
+__all__ = ["se_gram", "stationary_gram", "pallas_gram_enabled",
+           "pallas_available"]
 
 _TILE = 256
 
@@ -129,6 +132,22 @@ def _gram_hybrid_bwd(kind, tile, res, g):
 
 
 _gram_hybrid.defvjp(_gram_hybrid_fwd, _gram_hybrid_bwd)
+
+
+# families measured at >= XLA parity on a real v5e (n=8192, d=8, f32;
+# docs/performance.md): mat32 1.28x, rq 0.99x.  se (0.93x) and mat52 (0.57x)
+# lose to XLA's own fusion there, so they only dispatch when the user opts
+# into settings.pallas_gram = "all".
+_DEFAULT_ON = frozenset({"mat32", "rq"})
+
+
+def pallas_gram_enabled(kind):
+    flag = settings.pallas_gram
+    if flag in (False, "off", None):
+        return False
+    if flag == "all":
+        return kind in _KFORMS
+    return kind in _DEFAULT_ON
 
 
 def stationary_gram(kind, x1, x2, rate, var, extra=None, tile=_TILE):

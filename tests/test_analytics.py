@@ -152,3 +152,27 @@ class TestFindMapJax:
         params, plist = gp.find_MAP(points=3, engine="jax",
                                     return_points=True, display=False)
         assert len(plist) == 3
+
+
+class TestLagrange:
+    def test_vector_constraint(self):
+        """Vector-valued g with per-component multipliers (reference
+        lagrange.py handles the general case)."""
+        from g3py_tpu.utils.lagrange import (LagrangianConstraint,
+                                             LagrangianMultiplier)
+
+        f = lambda x: float(np.sum(x ** 2))
+        c = LagrangianConstraint(lambda x: x, lower=np.array([1.0, 2.0]))
+        opt = LagrangianMultiplier(f, [c])
+        res = opt.minimize(np.zeros(2), outer_iters=30, tol=1e-6)
+        np.testing.assert_allclose(res.x, [1.0, 2.0], atol=1e-3)
+
+    def test_scalar_band(self):
+        from g3py_tpu.utils.lagrange import (LagrangianConstraint,
+                                             LagrangianMultiplier)
+
+        f = lambda x: float((x[0] - 5.0) ** 2)
+        c = LagrangianConstraint(lambda x: x[0], lower=0.0, upper=2.0)
+        opt = LagrangianMultiplier(f, [c])
+        res = opt.minimize(np.array([0.5]), outer_iters=30, tol=1e-6)
+        np.testing.assert_allclose(res.x, [2.0], atol=1e-3)

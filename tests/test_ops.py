@@ -261,6 +261,17 @@ class TestMvnQuadLogdet:
             np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
                                        atol=1e-4)
 
+    def test_blocked_lauum(self, rng):
+        from g3py_tpu.ops.linalg import blocked_lauum
+
+        for n in (100, 128):
+            a = rng.standard_normal((n, n)).astype(np.float32)
+            w = jnp.asarray(np.tril(a))
+            got = blocked_lauum(w, block=32)
+            want = np.asarray(w, np.float64).T @ np.asarray(w, np.float64)
+            np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                       atol=1e-4)
+
     def test_failure_path_zero_grad(self):
         from g3py_tpu.ops.linalg import mvn_quad_logdet
 
