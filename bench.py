@@ -134,7 +134,7 @@ def main():
         # the same N=16384 NLL+grad (gram + spotrf + spotri + analytic
         # dNLL/dK contraction, float32 LAPACK/OpenBLAS) measured on this
         # machine's CPU (1 core, 169 GFLOP/s sgemm) = 206.26 s/eval
-        # (scratch/cpu_standin.py, 2026-08-16).
+        # (benchmarks/cpu_standin.py, 2026-08-16).
         cpu_standin = 206.26
         print(f"# t_nll_grad_n16384={t16*1e3:.1f}ms "
               f"({1.0/t16:.2f} evals/sec, "
