@@ -36,12 +36,19 @@ _DATASET_DIRS = (
 )
 
 
-def datasets_path():
-    """Search order: $G3PY_DATASETS, package-local datasets/, the read-only
-    reference checkout's datasets dir."""
+def datasets_path(filename=None):
+    """First existing candidate dir ($G3PY_DATASETS, package-local
+    datasets/, the read-only reference checkout's datasets dir).  With
+    ``filename``, the first dir actually CONTAINING that file — the
+    package-local dir holds only the bundled series, so per-file search
+    keeps the reference CSVs reachable."""
     cands = [os.environ.get("G3PY_DATASETS"), *_DATASET_DIRS]
     for c in cands:
-        if c and os.path.isdir(c):
+        if not c or not os.path.isdir(c):
+            continue
+        if filename is None:
+            return c
+        if os.path.isfile(os.path.join(c, filename)):
             return c
     return None
 
@@ -119,7 +126,7 @@ def data_engel():
 
 
 def _load_csv(name, **kwargs):
-    path = datasets_path()
+    path = datasets_path(name)
     if path is None:
         return None
     f = os.path.join(path, name)
@@ -183,23 +190,40 @@ def data_abalone(dataframe=False, raw=False):
     return x, y
 
 
+_CREEP_NAMES = [
+    "Lifetime", "Rupture_stress", "Temperature", "Carbon", "Silicon",
+    "Manganese", "Phosphorus", "Sulphur", "Chromium", "Molybdenum",
+    "Tungsten", "Nickel", "Copper", "Vanadium", "Niobium", "Nitrogen",
+    "Aluminium", "Boron", "Cobalt", "Tantalum", "Oxygen",
+    "Normalising_temperature", "Normalising_time", "Cooling_rate",
+    "Tempering_temperature", "Tempering_time", "Cooling_rate_tempering",
+    "Annealing_temperature", "Annealing_time", "Cooling_rate_annealing",
+    "Rhenium",
+]
+
+
 def data_creep(dataframe=False, raw=False):
-    """Materials creep-rupture data, 2066 x 31 (reference data.py:72-89)."""
-    names = ["Lifetime", "Rupture_stress", "Temperature"] + [
-        f"f{i}" for i in range(28)]
-    path = datasets_path()
+    """Materials creep-rupture data, 2066 x 31 (reference data.py:70-88:
+    same column names, drops Tantalum/Cooling_rate_annealing/Rhenium and
+    scales Rupture_stress by 0.1 unless raw)."""
+    path = datasets_path("creep")
     creep = None
-    if path is not None and os.path.isfile(os.path.join(path, "creep")):
-        creep = pd.read_table(os.path.join(path, "creep"), header=None)
-        creep.columns = names[: creep.shape[1]]
+    if path is not None:
+        creep = pd.read_table(os.path.join(path, "creep"),
+                              names=_CREEP_NAMES).astype("float32")
     if creep is None:
         _warn_synthetic("creep")
         rng = np.random.default_rng(13)
         n = 2066
         creep = pd.DataFrame(
-            rng.standard_normal((n, len(names))).astype(np.float32), columns=names)
+            rng.standard_normal((n, len(_CREEP_NAMES))).astype(np.float32),
+            columns=_CREEP_NAMES)
         creep["Rupture_stress"] = (100 + 30 * creep["Temperature"]
                                    + 5 * rng.standard_normal(n))
+    if not raw:
+        creep = creep.drop(
+            ["Tantalum", "Cooling_rate_annealing", "Rhenium"], axis=1)
+        creep = creep.assign(Rupture_stress=creep["Rupture_stress"] * 1e-1)
     if dataframe:
         return creep
     x = creep.drop("Rupture_stress", axis=1).values.astype(np.float32)
@@ -207,18 +231,32 @@ def data_creep(dataframe=False, raw=False):
     return x, y
 
 
+_AILERONS_NAMES = (
+    ["climbRate", "Sgz", "p", "q", "curPitch", "curRoll", "absRoll",
+     "diffClb", "diffRollRate", "diffDiffClb"]
+    + [f"SeTime{i}" for i in range(1, 15)]
+    + [f"diffSeTime{i}" for i in range(1, 15)]
+    + ["alpha", "Se", "goal"])
+
+
 def data_ailerons(dataframe=False, raw=False):
-    """F16 ailerons control data, 7154 x 41 (reference data.py:92-110)."""
-    names = [f"a{i}" for i in range(40)] + ["goal"]
-    ail = _load_csv("ailerons.data", names=names)
+    """F16 ailerons control data, 7154 x 41 (reference data.py:90-109:
+    same column names; unless raw, goal scales by 1e4 and the even
+    diffSeTime columns drop)."""
+    ail = _load_csv("ailerons.data", names=_AILERONS_NAMES)
     if ail is None:
         _warn_synthetic("ailerons.data")
         rng = np.random.default_rng(17)
         n = 7154
         ail = pd.DataFrame(
-            rng.standard_normal((n, 41)).astype(np.float32), columns=names)
-        ail["goal"] = (ail["a0"] * 0.5 - ail["a1"] * 0.2
+            rng.standard_normal((n, len(_AILERONS_NAMES))).astype(np.float32),
+            columns=_AILERONS_NAMES)
+        ail["goal"] = (ail["climbRate"] * 0.5 - ail["Sgz"] * 0.2
                        + 0.05 * rng.standard_normal(n))
+    ail = ail.astype("float32")
+    if not raw:
+        ail = ail.assign(goal=ail["goal"] * 1e4)
+        ail = ail.drop([f"diffSeTime{i}" for i in range(2, 15, 2)], axis=1)
     if dataframe:
         return ail
     x = ail.drop("goal", axis=1).values.astype(np.float32)
@@ -228,8 +266,8 @@ def data_ailerons(dataframe=False, raw=False):
 
 def data_rivers():
     """River flow logs (reference data.py:113-118)."""
-    path = datasets_path()
     cols = ["bmau", "bmis", "cip", "col", "mau"]
+    path = datasets_path("logbmau.csv")
     if path is not None:
         try:
             frames = [np.exp(pd.read_csv(os.path.join(path, f"log{c}.csv"),
