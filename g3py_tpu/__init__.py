@@ -30,6 +30,9 @@ from .utils import (
     save_json,
 )
 from .utils.data import (
+    save_csv,
+    load_csv,
+    datasets_path,
     data_sunspots,
     data_co2,
     data_engel,
@@ -43,6 +46,9 @@ from .utils.data import (
     uniform_obs,
 )
 from .utils.plots import (
+    subplot,
+    tight_layout,
+    style_text,
     figure,
     plot,
     show,
@@ -90,6 +96,8 @@ from .hypers import (
     ExpFlat,
     FlatExp,
     FlatPos,
+    PositiveFlat,
+    NonTransformLog,
     FlatExpId,
     Exponential,
     Uniform as UniformPrior,
@@ -251,3 +259,7 @@ from .bayesian import (
 from . import parallel
 
 __version__ = config.__version__
+
+# reference-name compatibility surface (tt_to_num, makefn, CholeskyRobust,
+# inverse_function, transformed_hypers, modelcontext, ...)
+from .compat import *  # noqa: E402,F401,F403

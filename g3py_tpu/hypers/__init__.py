@@ -46,6 +46,8 @@ __all__ = [
     "ExpFlat",
     "FlatExp",
     "FlatPos",
+    "PositiveFlat",
+    "NonTransformLog",
     "FlatExpId",
     "Exponential",
     "Uniform",
@@ -481,3 +483,9 @@ class Freedom(Hypers):
 
     def __call__(self, params, x=None):
         return self.bound + hval(self.degree, params)
+
+
+# reference-name aliases (reference hypers/__init__.py exports these names;
+# the rebuild's canonical classes carry the semantics documented above)
+PositiveFlat = FlatPos
+NonTransformLog = LogTransform

@@ -13,6 +13,8 @@ import numpy as np
 import pandas as pd
 
 __all__ = [
+    "save_csv",
+    "load_csv",
     "data_sunspots",
     "data_co2",
     "data_engel",
@@ -307,3 +309,13 @@ def uniform_obs(x, p=0.2, s=1.0, plot=False):
     obs = np.unique(np.linspace(0, limit - 1, nobs).astype(int))
     test = np.setdiff1d(np.arange(limit), obs)
     return obs, test
+
+
+def save_csv(df, file, index_col=0):
+    """reference data.py:122-123"""
+    return df.to_csv(file)
+
+
+def load_csv(file, index_col=0):
+    """reference data.py:126-127"""
+    return pd.read_csv(file, index_col=index_col)

@@ -17,6 +17,9 @@ import numpy as np
 from ..config import settings
 
 __all__ = [
+    "subplot",
+    "tight_layout",
+    "style_text",
     "figure",
     "plot",
     "show",
@@ -131,3 +134,18 @@ def plot_2d(values, x2d, y2d, contour=True, surface=False):
         plt.colorbar()
     else:
         plt.pcolormesh(x2d, y2d, z, cmap="viridis")
+
+
+def subplot(*args, **kwargs):
+    """reference plots.py:19-20"""
+    return plt.subplot(*args, **kwargs)
+
+
+def tight_layout(*args, **kwargs):
+    """reference plots.py:23-24"""
+    plt.tight_layout(*args, **kwargs)
+
+
+def style_text(size=36):
+    """reference plots.py:79-80"""
+    plt.rcParams["legend.fontsize"] = size

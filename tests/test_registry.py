@@ -122,3 +122,29 @@ class TestFixVars:
         finally:
             reg.fix_vars()
         assert reg.sampling_dims == list(range(gp.ndim))
+
+
+class TestCompatSurface:
+    def test_reference_names_present(self):
+        """Every public name the reference star-exports resolves here
+        (reference __init__.py:5-15; legacy-only classes documented n/a in
+        PARITY.md)."""
+        import g3py_tpu as g3
+
+        for name in ["tt_to_num", "tt_to_cov", "tt_to_bounded", "inf_to_num",
+                     "CholeskyRobust", "cholesky_robust", "inverse_function",
+                     "gradient", "makefn", "transformed_hypers",
+                     "modelcontext", "debug_p", "PositiveFlat",
+                     "NonTransformLog", "save_csv", "load_csv", "subplot",
+                     "tight_layout", "style_text", "datasets_path"]:
+            assert hasattr(g3, name), name
+
+    def test_compat_semantics(self):
+        import jax.numpy as jnp
+        import g3py_tpu as g3
+
+        out = g3.tt_to_num(jnp.asarray([np.nan, 1.0]))
+        assert np.all(np.isfinite(np.asarray(out)))
+        tr = g3.transformed_hypers({"GP_SE_var": np.float32(2.0)})
+        assert "GP_SE_var_log_" in tr
+        assert g3.modelcontext() is not None or g3.modelcontext(42) == 42
