@@ -1,0 +1,75 @@
+"""N=50k multi-output stretch config: matrix-free preconditioned GP NLL on
+one chip (BASELINE.md stretch row). Prints stage timings."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax, jax.numpy as jnp
+from jax import lax, random
+
+import g3py_tpu as g3
+from g3py_tpu.hypers.kernels import SE, KernelDot
+from g3py_tpu.hypers.metrics import Delta
+from g3py_tpu.ops import iterative as it
+
+def sync(r):
+    for x in jax.tree_util.tree_leaves(r):
+        if hasattr(x, "dtype"):
+            np.asarray(jnp.sum(x))
+
+def main(n_points=25000, outputs=2, rank=80, cg_iters=100, probes=8,
+         lanczos_iters=25):
+    n = n_points * outputs
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 100, n_points)).astype(np.float32)
+    x = np.stack([np.tile(t, outputs),
+                  np.repeat(np.arange(outputs, dtype=np.float32), n_points)],
+                 axis=1)
+    y = (np.sin(0.3 * x[:, 0]) * (1 + 0.3 * x[:, 1])
+         + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    # intrinsic-coregionalization form: K = K_t(time) x (1 + c delta(output))
+    se = SE(x)
+    coreg = KernelDot(x, metric=Delta, name="Coreg")
+    k = se + se * coreg
+    k.check_dims(x)
+    k.check_hypers("ST_")
+    se.metric.dims = [0]      # SE over the time column
+    coreg.metric.dims = [1]   # output-index equality
+    params = {p.name: jnp.asarray(p.testval()) for p in k.hypers}
+    noise = np.float32(0.05)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    # stage timings
+    t0 = time.perf_counter()
+    mv = jax.jit(lambda v: it.lazy_kernel_matvec(k, params, xj, v, block=2048)
+                 + noise * v)
+    v0 = mv(yj); sync(v0)
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(5):
+        v0 = mv(yj)
+    sync(v0)
+    t_mv = (time.perf_counter() - t0) / 5
+    print(f"n={n} matvec={t_mv*1e3:.0f}ms (compile {t_compile:.0f}s)", flush=True)
+
+    t0 = time.perf_counter()
+    nll, info = it.preconditioned_gp_nll(
+        k, params, xj, yj, noise_var=noise, rank=rank, block=2048,
+        cg_iters=cg_iters, probes=probes, lanczos_iters=lanczos_iters)
+    nll = float(nll)
+    t_first = time.perf_counter() - t0
+    print(f"first eval (incl compiles): {t_first:.0f}s nll={nll:.1f} "
+          f"cg_resid={float(info['cg_rel_residual']):.2e}", flush=True)
+
+    for tag, nv in [("steady eval", noise), ("steady eval 2", noise * 1.01)]:
+        t0 = time.perf_counter()
+        nll2, info2 = it.preconditioned_gp_nll(
+            k, params, xj, yj, noise_var=jnp.float32(nv), rank=rank,
+            block=2048, cg_iters=cg_iters, probes=probes,
+            lanczos_iters=lanczos_iters)
+        nll2 = float(nll2)  # force completion before stopping the clock
+        print(f"{tag}: {time.perf_counter()-t0:.1f}s nll={nll2:.1f}",
+              flush=True)
+
+if __name__ == "__main__":
+    main()

@@ -105,9 +105,15 @@ class PlotModel:
     def batch_predict(self, rows, space=None, inputs=None, outputs=None,
                       mean=True, std=True, var=False, cov=False, median=False,
                       quantiles=False, quantiles_noise=False, prior=False,
-                      noise=False, **ignored):
+                      noise=False, **extra):
         """Requested statistics for an (R, ndim) matrix of unconstrained
         parameter rows; every value gains a leading row axis."""
+        if extra.get("samples") or extra.get("distribution") \
+                or extra.get("simulations"):
+            # per-row-only predict features: let average() fall back to the
+            # row loop rather than silently dropping the requested keys
+            raise NotImplementedError(
+                f"batch_predict does not support {sorted(extra)}")
         def vrows(th_name, nz=noise, **kw):
             return self._call_method_vrows(th_name, rows, space=space,
                                            inputs=inputs, outputs=outputs,

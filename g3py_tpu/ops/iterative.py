@@ -194,6 +194,8 @@ def pcg_solve(matvec, b, p_inv, tol=1e-6, maxiter=100):
     return x
 
 
+@partial(jax.jit, static_argnames=("kernel", "rank", "block", "cg_iters",
+                                   "probes", "lanczos_iters", "seed"))
 def preconditioned_gp_nll(kernel, params, x, y, noise_var, rank=64,
                           block=2048, cg_iters=100, probes=8,
                           lanczos_iters=25, seed=0, mean=None):
