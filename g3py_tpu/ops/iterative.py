@@ -194,21 +194,8 @@ def pcg_solve(matvec, b, p_inv, tol=1e-6, maxiter=100):
     return x
 
 
-@partial(jax.jit, static_argnames=("kernel", "rank", "block", "cg_iters",
-                                   "probes", "lanczos_iters", "seed"))
-def preconditioned_gp_nll(kernel, params, x, y, noise_var, rank=64,
-                          block=2048, cg_iters=100, probes=8,
-                          lanczos_iters=25, seed=0, mean=None):
-    """Matrix-free GP NLL with the pivoted-Cholesky preconditioner — the
-    assembled large-N path (PAPERS.md: GPyTorch BBMM + arXiv:2107.00243):
-
-    * K = K_f + noise_var I accessed lazily (one row-slab / one column at a
-      time; the N x N gram is never materialized);
-    * P = sigma^2 I + L_r L_r^T from rank-``rank`` pivoted Cholesky of K_f;
-    * quadratic form by preconditioned CG;
-    * logdet K = logdet P + SLQ logdet of P^{-1/2} K P^{-1/2} (a
-      well-conditioned operator, so few Lanczos iterations suffice).
-    """
+def _pcg_pieces(kernel, params, x, y, noise_var, mean, rank, block,
+                cg_iters, probes, lanczos_iters, seed):
     n = x.shape[0]
     y = jnp.asarray(y)
     resid = y if mean is None else y - mean
@@ -242,7 +229,100 @@ def preconditioned_gp_nll(kernel, params, x, y, noise_var, rank=64,
     nll = 0.5 * quad + 0.5 * logdet + 0.5 * n * np.float32(np.log(2 * np.pi))
     diag_resid = jnp.linalg.norm(mv(alpha) - resid) / jnp.maximum(
         jnp.linalg.norm(resid), 1e-30)
-    return nll, {"quad": quad, "logdet": logdet, "cg_rel_residual": diag_resid}
+    info = {"quad": quad, "logdet": logdet, "cg_rel_residual": diag_resid}
+    return nll, info, alpha, l_factor
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7, 8, 9, 10, 11))
+def _pcg_nll(kernel, params, x, y, noise_var, mean, rank, block, cg_iters,
+             probes, lanczos_iters, seed):
+    nll, info, _, _ = _pcg_pieces(kernel, params, x, y, noise_var, mean,
+                                  rank, block, cg_iters, probes,
+                                  lanczos_iters, seed)
+    return nll, info
+
+
+def _pcg_nll_fwd(kernel, params, x, y, noise_var, mean, rank, block,
+                 cg_iters, probes, lanczos_iters, seed):
+    nll, info, alpha, l_factor = _pcg_pieces(
+        kernel, params, x, y, noise_var, mean, rank, block, cg_iters,
+        probes, lanczos_iters, seed)
+    return (nll, info), (params, x, y, noise_var, mean, alpha, l_factor)
+
+
+def _pcg_nll_bwd(kernel, rank, block, cg_iters, probes, lanczos_iters, seed,
+                 res, cts):
+    """Stochastic-trace gradient (GPyTorch BBMM, PAPERS.md):
+
+        dNLL/dth = 1/2 tr(K^{-1} dK/dth) - 1/2 a' (dK/dth) a,   a = K^{-1} r
+        tr(K^{-1} dK) ~ mean_i  (K^{-1} z_i)' dK z_i,   z_i Rademacher
+
+    with the probe solves K^{-1} z_i by the same preconditioned CG, and the
+    directional kernel derivatives taken by autodiff through the *lazy*
+    matvec — no N x N matrix in the backward pass either.  The ``info``
+    diagnostics are non-differentiable (their cotangents are ignored)."""
+    g = cts[0]
+    params, x, y, noise_var, mean, alpha, l_factor = res
+    n = x.shape[0]
+    p_inv, _, _ = woodbury_preconditioner(l_factor, noise_var)
+
+    def mv(v):
+        return lazy_kernel_matvec(kernel, params, x, v, block=block) \
+            + noise_var * v
+
+    key = random.PRNGKey(seed + 104729)
+    z = (2.0 * random.bernoulli(key, 0.5, (probes, n)) - 1.0
+         ).astype(alpha.dtype)
+    u = jax.vmap(lambda zz: pcg_solve(mv, zz, p_inv, maxiter=cg_iters))(z)
+    u = lax.stop_gradient(u)
+    z = lax.stop_gradient(z)
+    a = lax.stop_gradient(alpha)
+
+    def h(p, nv, m):
+        def kmv(v):
+            return lazy_kernel_matvec(kernel, p, x, v, block=block) + nv * v
+
+        tr_est = jnp.mean(jax.vmap(lambda ui, zi: jnp.dot(ui, kmv(zi)))(u, z))
+        quad_term = jnp.dot(a, kmv(a))
+        # the mean enters through resid = y - m: d(quad)/dm = -2 K^{-1} r,
+        # i.e. dNLL/dm = -a, so h needs -0.5 * d/dm(2 a'm) = -a
+        mean_term = 0.0 if m is None else 2.0 * jnp.dot(a, m)
+        return 0.5 * tr_est - 0.5 * (quad_term + mean_term)
+
+    grads = jax.grad(h, argnums=(0, 1, 2) if mean is not None else (0, 1))(
+        params, noise_var, mean)
+    pbar = jax.tree_util.tree_map(lambda t: g * t, grads[0])
+    nvbar = g * grads[1]
+    mbar = g * grads[2] if mean is not None else None
+    ybar = g * alpha
+    return pbar, jnp.zeros_like(x), ybar, nvbar, mbar
+
+
+_pcg_nll.defvjp(_pcg_nll_fwd, _pcg_nll_bwd)
+
+
+@partial(jax.jit, static_argnames=("kernel", "rank", "block", "cg_iters",
+                                   "probes", "lanczos_iters", "seed"))
+def preconditioned_gp_nll(kernel, params, x, y, noise_var, rank=64,
+                          block=2048, cg_iters=100, probes=8,
+                          lanczos_iters=25, seed=0, mean=None):
+    """Matrix-free GP NLL with the pivoted-Cholesky preconditioner — the
+    assembled large-N path (PAPERS.md: GPyTorch BBMM + arXiv:2107.00243):
+
+    * K = K_f + noise_var I accessed lazily (one row-slab / one column at a
+      time; the N x N gram is never materialized);
+    * P = sigma^2 I + L_r L_r^T from rank-``rank`` pivoted Cholesky of K_f;
+    * quadratic form by preconditioned CG;
+    * logdet K = logdet P + SLQ logdet of P^{-1/2} K P^{-1/2} (a
+      well-conditioned operator, so few Lanczos iterations suffice).
+
+    Differentiable w.r.t. ``params``, ``y``, ``noise_var`` and ``mean``
+    through a stochastic-trace custom VJP (see ``_pcg_nll_bwd``); ``x`` is
+    treated as constant.  Returns ``(nll, info)`` with non-differentiable
+    diagnostics in ``info``.
+    """
+    return _pcg_nll(kernel, params, x, y, noise_var, mean, rank, block,
+                    cg_iters, probes, lanczos_iters, seed)
 
 
 def lazy_kernel_matvec(kernel, params, x, v, block=2048):

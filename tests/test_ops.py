@@ -417,3 +417,51 @@ class TestPreconditionedInference:
         want = 0.5 * z @ z + np.log(np.diag(L)).sum() + 0.5 * n * np.log(2 * np.pi)
         assert float(info["cg_rel_residual"]) < 1e-2
         np.testing.assert_allclose(float(nll), want, rtol=5e-3)
+
+
+class TestPreconditionedGradient:
+    def test_stochastic_gradient_matches_exact(self, rng):
+        """Hutchinson custom VJP of the matrix-free NLL vs exact autodiff
+        through the dense Cholesky (statistical agreement; the trace
+        estimator's error shrinks as 1/sqrt(probes))."""
+        import jax
+
+        from g3py_tpu.ops.iterative import preconditioned_gp_nll
+        from g3py_tpu.hypers.kernels import SE
+
+        n = 160
+        x = np.sort(rng.uniform(0, 20, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(x[:, 0]) + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        k = SE(x)
+        k.check_dims(x)
+        k.check_hypers("PG_")
+        params = {p.name: jnp.asarray(p.testval()) for p in k.hypers}
+        noise = jnp.float32(0.05)
+
+        def nll_iter(p, nv, yy):
+            out, _ = preconditioned_gp_nll(k, p, jnp.asarray(x), yy,
+                                           noise_var=nv, rank=40,
+                                           cg_iters=300, probes=256,
+                                           lanczos_iters=30)
+            return out
+
+        def nll_exact(p, nv, yy):
+            K = k.cov(p, jnp.asarray(x)) + nv * jnp.eye(n)
+            L = jnp.linalg.cholesky(K)
+            z = jax.scipy.linalg.solve_triangular(L, yy, lower=True)
+            return (0.5 * jnp.dot(z, z) + jnp.sum(jnp.log(jnp.diag(L)))
+                    + 0.5 * n * np.float32(np.log(2 * np.pi)))
+
+        yj = jnp.asarray(y)
+        g_it = jax.grad(nll_iter, argnums=(0, 1, 2))(params, noise, yj)
+        g_ex = jax.grad(nll_exact, argnums=(0, 1, 2))(params, noise, yj)
+        # y-gradient is K^{-1}r exactly (up to the CG tolerance)
+        np.testing.assert_allclose(np.asarray(g_it[2]), np.asarray(g_ex[2]),
+                                   rtol=5e-2, atol=5e-3)
+        # params/noise gradients carry Hutchinson noise
+        for key in params:
+            a = np.asarray(g_it[0][key]).ravel()
+            b = np.asarray(g_ex[0][key]).ravel()
+            assert np.all(np.abs(a - b) <= 0.25 * np.abs(b) + 0.3), (key, a, b)
+        assert abs(float(g_it[1]) - float(g_ex[1])) \
+            <= 0.25 * abs(float(g_ex[1])) + 0.3
