@@ -61,6 +61,25 @@ def main(n_points=25000, outputs=2, rank=80, cg_iters=100, probes=8,
     print(f"first eval (incl compiles): {t_first:.0f}s nll={nll:.1f} "
           f"cg_resid={float(info['cg_rel_residual']):.2e}", flush=True)
 
+    # trainable path: one NLL+grad step through the stochastic-trace VJP
+    t0 = time.perf_counter()
+    val, grads = jax.value_and_grad(
+        lambda p: it.preconditioned_gp_nll(
+            k, p, xj, yj, noise_var=noise, rank=rank, block=2048,
+            cg_iters=cg_iters, probes=probes,
+            lanczos_iters=lanczos_iters)[0])(params)
+    val = float(val); sync(grads)
+    print(f"first NLL+grad (incl compiles): {time.perf_counter()-t0:.0f}s "
+          f"nll={val:.1f}", flush=True)
+    t0 = time.perf_counter()
+    val, grads = jax.value_and_grad(
+        lambda p: it.preconditioned_gp_nll(
+            k, p, xj, yj, noise_var=noise, rank=rank, block=2048,
+            cg_iters=cg_iters, probes=probes,
+            lanczos_iters=lanczos_iters)[0])(params)
+    val = float(val); sync(grads)
+    print(f"steady NLL+grad: {time.perf_counter()-t0:.1f}s", flush=True)
+
     for tag, nv in [("steady eval", noise), ("steady eval 2", noise * 1.01)]:
         t0 = time.perf_counter()
         nll2, info2 = it.preconditioned_gp_nll(

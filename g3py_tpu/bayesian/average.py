@@ -221,15 +221,14 @@ def errors_datatrace(process, dt, inputs=None, outputs=None, space=None, hidden=
     arr = np.asarray(dt[cols].values, dtype=settings.floatx)
 
     def batch(th_name, **kw):
-        # one vmapped dispatch for the whole trace; non-finite rows come back
-        # as NaN through the pure functions' guards
-        try:
-            out = process._call_method_vrows(
-                th_name, arr, space=space, vector=hidden, inputs=inputs,
-                outputs=outputs, **kw)
-            return np.float32(np.asarray(out))
-        except Exception:
-            return np.full(len(arr), np.nan, dtype=np.float32)
+        # one vmapped dispatch for the whole trace; non-finite ROWS come
+        # back as NaN through the pure functions' guards, while structural
+        # errors (shape bugs, missing statistics) raise loudly — the old
+        # per-row try/except would have hidden those as a NaN column
+        out = process._call_method_vrows(
+            th_name, arr, space=space, vector=hidden, inputs=inputs,
+            outputs=outputs, **kw)
+        return np.float32(np.asarray(out))
 
     if l1:
         dt["_l1"] = batch("th_error_l1")

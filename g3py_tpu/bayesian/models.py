@@ -208,8 +208,13 @@ class PlotModel:
         return None
 
     def batch_sample(self, rows, space=None, inputs=None, outputs=None,
-                     prior=False, noise=False, rng=None, chunk=None, **ignored):
+                     prior=False, noise=False, rng=None, chunk=None, **extra):
         """One warped posterior draw per parameter row, batched: (R, n)."""
+        if extra.pop("samples", 1) not in (None, 1) or any(extra.values()):
+            # e.g. samples=3 — per-row-only sample features: fall back to
+            # the loop rather than silently returning one draw per row
+            raise NotImplementedError(
+                f"batch_sample does not support {sorted(extra) or 'samples>1'}")
         if rng is None:
             rng = np.random.default_rng()
         space_arr = self.space if space is None else space

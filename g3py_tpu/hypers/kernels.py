@@ -180,19 +180,32 @@ class KernelStationary(Kernel):
     def _pallas_extra(self, params):
         return None
 
+    def _pallas_dispatchable(self):
+        """Fused-gram dispatch is valid only when this instance still uses
+        the family's own k() — a subclass overriding k must get the generic
+        path, not the builtin form baked into the Pallas kernel."""
+        kind = self._pallas_kind
+        if kind is None or type(self.metric) is not ARD_L2 \
+                or not is_param(self.metric.rate):
+            return None
+        owner_k = _PALLAS_K_OWNERS.get(kind)
+        if owner_k is None or type(self).k is not owner_k:
+            return None
+        return kind
+
     def cov(self, params, x1, x2=None):
         if x2 is None:
             x2 = x1
-        if self._pallas_kind is not None \
-                and type(self.metric) is ARD_L2 and is_param(self.metric.rate):
+        kind = self._pallas_dispatchable()
+        if kind is not None:
             from ..ops.pallas_gram import pallas_gram_enabled, stationary_gram
 
-            if not pallas_gram_enabled(self._pallas_kind):
+            if not pallas_gram_enabled(kind):
                 return hval(self.var, params) * self.k(
                     params, self.metric.gram(params, x1, x2))
             s1, s2 = self.metric._sliced(x1, x2)
             out = stationary_gram(
-                self._pallas_kind, s1, s2, hval(self.metric.rate, params),
+                kind, s1, s2, hval(self.metric.rate, params),
                 hval(self.var, params), extra=self._pallas_extra(params))
             if out is not None:
                 return out
@@ -683,3 +696,13 @@ class SM(KernelPeriodic):
             s1, s2, lambda a, b, fd: jnp.cos(2.0 * pi * (a - b) * fd), f
         )
         return hval(self.var, params) * jnp.exp(-2.0 * pi2 * env) * cosp
+
+
+#: kind -> the k() implementation the Pallas kernel bakes in; dispatch only
+#: fires when an instance's k is exactly this (see _pallas_dispatchable)
+_PALLAS_K_OWNERS = {
+    "se": KernelStationaryExponential.k,
+    "mat32": MAT32.k,
+    "mat52": MAT52.k,
+    "rq": RQ.k,
+}

@@ -30,6 +30,7 @@ __all__ = [
     "cho_solve",
     "log_det_from_chol",
     "blocked_trtri",
+    "blocked_lauum",
     "mvn_quad_logdet",
 ]
 
@@ -226,31 +227,6 @@ def blocked_lauum(w, block=2048):
     return out[:n, :n]
 
 
-def triangular_ata(w, min_size=2048):
-    """``W^T W`` for a lower-triangular W, recursively exploiting the zero
-    upper triangle:
-
-        W = [W11  0 ; W21 W22]  =>
-        W'W = [W11'W11 + W21'W21,  W21'W22 ; (W21'W22)',  W22'W22]
-
-    Three or four levels cut the MXU flops from 2n^3 (dense) to ~2n^3/3
-    (the LAPACK ``lauum`` count) while keeping every matmul a large static
-    shape XLA tiles well.  This is the dominant term of the exact-GP
-    gradient's K^{-1} assembly."""
-    n = w.shape[-1]
-    if n <= min_size:
-        return jnp.matmul(w.T, w, precision=lax.Precision.HIGHEST)
-    h = n // 2
-    w11, w21, w22 = w[:h, :h], w[h:, :h], w[h:, h:]
-    a11 = triangular_ata(w11, min_size) + jnp.matmul(
-        w21.T, w21, precision=lax.Precision.HIGHEST)
-    a12 = jnp.matmul(w21.T, w22, precision=lax.Precision.HIGHEST)
-    a22 = triangular_ata(w22, min_size)
-    top = jnp.concatenate([a11, a12], axis=1)
-    bot = jnp.concatenate([a12.T, a22], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def mvn_quad_logdet(k, resid, max_tries=21):
     """(quad, logdet_half, ok) for a gaussian quadratic form:
@@ -286,8 +262,9 @@ def _mvn_bwd(max_tries, res, cotangents):
     # alpha = K^{-1} resid = L^{-T} z as an n^2 matvec (XLA's TRSM is the
     # slow path on TPU; linv is already here for K^{-1})
     alpha = jnp.matmul(linv.T, z, precision=lax.Precision.HIGHEST)
-    # measured on v5e at n=16384: blocked lauum 49ms vs recursive 111ms vs
-    # dense 281ms (scratch benches recorded in docs/performance.md)
+    # measured on v5e at n=16384: blocked lauum 80.7ms vs 280.6ms for the
+    # dense linv'linv (a recursive variant measured 111ms and was dropped;
+    # docs/performance.md)
     kinv = blocked_lauum(linv, block=2048)
     dk = (-g_quad) * jnp.outer(alpha, alpha) + (0.5 * g_logdet) * kinv
     dresid = (2.0 * g_quad) * alpha

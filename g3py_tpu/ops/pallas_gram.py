@@ -104,20 +104,28 @@ def _xla_form(kind, x1, x2, rate, var, extra):
     return var * _KFORMS[kind](dm, extra)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6))
-def _gram_hybrid(kind, x1, x2, rate, var, extra, tile):
-    return _xla_form(kind, x1, x2, rate, var, extra)
-
-
-def _gram_hybrid_fwd(kind, x1, x2, rate, var, extra, tile):
-    """Pallas forward — the fused VMEM pipeline — with primals saved."""
+def _pallas_form(kind, x1, x2, rate, var, extra, tile):
     s1 = x1 * rate
     s2 = x2 * rate
     center = jax.lax.stop_gradient(
         0.5 * (jnp.mean(s1, axis=0) + jnp.mean(s2, axis=0)))
-    out = _stationary_gram_pallas(
+    return _stationary_gram_pallas(
         kind, (s1 - center).astype(jnp.float32),
         (s2 - center).astype(jnp.float32), var, extra, tile)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6))
+def _gram_hybrid(kind, x1, x2, rate, var, extra, tile):
+    # the primal must be the Pallas path too — custom_vjp only calls f_fwd
+    # under differentiation, so an XLA primal would leave the fused kernel
+    # dead on every inference call and make logp(u) differ from
+    # value_and_grad(logp)(u)[0] by reduction-order rounding
+    return _pallas_form(kind, x1, x2, rate, var, extra, tile)
+
+
+def _gram_hybrid_fwd(kind, x1, x2, rate, var, extra, tile):
+    """Pallas forward — the fused VMEM pipeline — with primals saved."""
+    out = _pallas_form(kind, x1, x2, rate, var, extra, tile)
     return out, (x1, x2, rate, var, extra)
 
 

@@ -44,16 +44,27 @@ def newton_inverse(func, z, tol=1e-6, max_steps=100, alpha=1.0, x0=None):
             return jax.grad(lambda v: jnp.sum(g_(v)))(x)
 
         # -- bracket the root by doubling expansion --------------------------
+        # NaN from evaluating outside a warping's domain reads as the
+        # corresponding infinity: below the domain a monotone-increasing
+        # inverse tends to -inf, above it to +inf, so the expansion stops at
+        # the outermost probed point and bisection later contracts back into
+        # the domain (updates only apply on finite g values).
+        def g_lo(v):
+            return jnp.where(jnp.isnan(g_(v)), -jnp.inf, g_(v))
+
+        def g_hi(v):
+            return jnp.where(jnp.isnan(g_(v)), jnp.inf, g_(v))
+
         def b_cond(state):
             lo, hi, w, i = state
             return jnp.logical_and(
                 i < 64,
-                jnp.logical_or(jnp.any(g_(lo) > 0), jnp.any(g_(hi) < 0)))
+                jnp.logical_or(jnp.any(g_lo(lo) > 0), jnp.any(g_hi(hi) < 0)))
 
         def b_body(state):
             lo, hi, w, i = state
-            lo = jnp.where(g_(lo) > 0, lo - w, lo)
-            hi = jnp.where(g_(hi) < 0, hi + w, hi)
+            lo = jnp.where(g_lo(lo) > 0, lo - w, lo)
+            hi = jnp.where(g_hi(hi) < 0, hi + w, hi)
             return lo, hi, w * 2, i + 1
 
         w0 = jnp.maximum(jnp.abs(x_init), one)
@@ -64,7 +75,9 @@ def newton_inverse(func, z, tol=1e-6, max_steps=100, alpha=1.0, x0=None):
         # -- bisection-safeguarded Newton ------------------------------------
         def n_cond(state):
             x, lo, hi, i = state
-            err = jnp.max(jnp.abs(g_(x)))
+            gx = g_(x)
+            # NaN (out-of-domain iterate) must keep iterating, not exit
+            err = jnp.max(jnp.where(jnp.isnan(gx), jnp.inf, jnp.abs(gx)))
             width = jnp.max(hi - lo)
             return jnp.logical_and(
                 i < max_steps,

@@ -149,9 +149,12 @@ def _resolve_mesh(mesh, axis):
 def _check_dims(n, n_dev, block):
     if n % n_dev:
         raise ValueError(f"n={n} must divide over {n_dev} devices")
+    rows = n // n_dev
     if block is None:
-        block = min(n // n_dev, 256)
-    if (n // n_dev) % block:
+        # largest divisor of rows-per-device not exceeding 256, so the
+        # default never violates the multiple-of-block requirement
+        block = next(b for b in range(min(rows, 256), 0, -1) if rows % b == 0)
+    if rows % block:
         raise ValueError("rows-per-device must be a multiple of block")
     return block
 

@@ -143,14 +143,27 @@ def transformed_to_natural(params):
     return out
 
 
+#: hyper-name suffixes the reference declares with a log transform
+#: (FlatExp/Exponential priors on amplitudes/rates/scales — see
+#: reference hypers check_hypers call sites); everything else samples
+#: untransformed (Flat: biases, shifts, tanh centers, ...)
+_LOG_TRANSFORMED_SUFFIXES = (
+    "_var", "_Var", "_rate", "_Scales", "_scale", "_power", "_alpha",
+    "_freq", "_a", "_b", "_w", "_degree", "_nu",
+)
+
+
 def natural_to_transformed(params):
-    """Inverse of :func:`transformed_to_natural` for positives declared with
-    a ``_log_`` transform. Non-positive entries pass through unchanged."""
+    """Inverse of :func:`transformed_to_natural`.
+
+    The reference's transform set is declared per-parameter (pymc3 priors),
+    not recoverable from values, so this maps by the reference's naming
+    convention: the suffixes in ``_LOG_TRANSFORMED_SUFFIXES`` carry FlatExp
+    (log) transforms; anything else passes through unchanged."""
     out = {}
     for key, val in params.items():
         val = np.asarray(val, dtype=np.float32)
-        if np.all(val > 0) and not key.endswith(("_Bias", "_shift", "_c",
-                                                 "_Constant")):
+        if key.endswith(_LOG_TRANSFORMED_SUFFIXES):
             out[key + "_log_"] = np.log(val)
         else:
             out[key] = val
