@@ -120,6 +120,41 @@ class GaussianProcess(EllipticalProcess):
         latent = loc + p * sd
         return self.mapping(params, space, inputs, outputs, vector=latent)
 
+    def nll_iterative(self, params=None, rank=64, block=2048, cg_iters=100,
+                      probes=8, lanczos_iters=25, seed=0):
+        """Matrix-free negative loglikelihood for training sets too large to
+        factor (the N=50k stretch path, ops/iterative.py): the gram is
+        accessed lazily, the quadratic form runs through preconditioned CG
+        and the logdet through batched SLQ, with a stochastic-trace custom
+        VJP — so ``jax.grad`` of this trains the model without an N x N
+        matrix in either pass.
+
+        Requires the standard noisy construction (``noisy=True``, so the
+        noise variance is the KernelNoise term's hyper).  Includes the
+        warping Jacobian, matching ``loglike`` (no hyper priors)."""
+        from ..hypers import hval
+        from ..hypers.kernels import KernelSum, KernelNoise
+        from ..ops.iterative import preconditioned_gp_nll
+
+        if params is None:
+            params = self.params
+        params = {k: jnp.asarray(v) for k, v in self.filter_params(params).items()}
+        kn = self.f_kernel_noise
+        if not (isinstance(kn, KernelSum) and isinstance(kn.k2, KernelNoise)):
+            raise ValueError("nll_iterative needs the noisy=True "
+                             "KernelSum(kernel, KernelNoise) construction")
+        noise_var = hval(kn.k2.var, params)
+        inputs = jnp.asarray(self.inputs)
+        latent = self._latent_obs(params, self.outputs)
+        mean = self.f_location(params, inputs)
+        nll, info = preconditioned_gp_nll(
+            self.f_kernel, params, inputs, latent, noise_var, rank=rank,
+            block=block, cg_iters=cg_iters, probes=probes,
+            lanczos_iters=lanczos_iters, seed=seed, mean=mean)
+        # warping Jacobian: loglike = log N(T^{-1}y) + logdet dT^{-1}/dy
+        nll = nll - self.f_mapping.logdet_dinv(params, jnp.asarray(self.outputs))
+        return nll, info
+
     def _batch_quantile_p(self, q, rows, space=None, inputs=None, outputs=None,
                           prior=False, noise=False):
         return np.full(len(rows), stats.norm.ppf(q), dtype=settings.floatx)

@@ -181,3 +181,38 @@ class TestCopula:
                     name="CSTPA")
         cstp.observed(x, y)
         assert np.isfinite(cstp.logp())
+
+
+class TestIterativeModelNLL:
+    def test_nll_iterative_matches_loglike(self, rng):
+        """Model-level matrix-free NLL (the large-N path) must agree with
+        the exact loglike on a small factorable problem, including the
+        warping Jacobian, and be differentiable."""
+        import jax
+        import jax.numpy as jnp
+
+        n = 120
+        x = np.sort(rng.uniform(0, 15, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.exp(0.2 * np.sin(x[:, 0])) + 1.5
+             + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        import g3py_tpu as g3
+
+        wgp = g3.WGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     mapping=g3.BoxCoxLinear(y), name="ITWGP")
+        wgp.observed(x, y)
+        params = wgp.params_default
+        nll, info = wgp.nll_iterative(params, rank=40, cg_iters=300,
+                                      probes=64, lanczos_iters=30)
+        want = -float(wgp.loglike(params))
+        np.testing.assert_allclose(float(nll), want, rtol=2e-2)
+
+        reg = wgp.active
+        u0 = jnp.asarray(reg.dict_to_array(params))
+
+        def f(u):
+            p = reg.array_to_dict_jax(u)
+            return wgp.nll_iterative(p, rank=40, cg_iters=300, probes=64,
+                                     lanczos_iters=30)[0]
+
+        g_ = jax.grad(f)(u0)
+        assert np.all(np.isfinite(np.asarray(g_)))
