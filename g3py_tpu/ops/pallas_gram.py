@@ -142,11 +142,11 @@ def _gram_hybrid_bwd(kind, tile, res, g):
 _gram_hybrid.defvjp(_gram_hybrid_fwd, _gram_hybrid_bwd)
 
 
-# families measured at >= XLA parity on a real v5e (n=8192, d=8, f32;
-# docs/performance.md): mat32 1.28x, rq 0.99x.  se (0.93x) and mat52 (0.57x)
-# lose to XLA's own fusion there, so they only dispatch when the user opts
-# into settings.pallas_gram = "all".
-_DEFAULT_ON = frozenset({"mat32", "rq"})
+# families measured at >= XLA parity on a real v5e (n=8192, d=8, f32, with
+# the Pallas primal actually dispatching; docs/performance.md): mat32 1.07x,
+# mat52 1.07x.  se (0.75x) and rq (0.78x) lose to XLA's own fusion there, so
+# they only dispatch when the user opts into settings.pallas_gram = "all".
+_DEFAULT_ON = frozenset({"mat32", "mat52"})
 
 
 def pallas_gram_enabled(kind):
@@ -168,7 +168,8 @@ def stationary_gram(kind, x1, x2, rate, var, extra=None, tile=_TILE):
     work); the O(N^2) "distance -> k(d) -> amplitude" pipeline runs in one
     VMEM-resident kernel, so the N x M distance matrix never round-trips
     HBM.  Differentiable: forward is Pallas, backward replays the XLA form's
-    vjp (bitwise-equal math)."""
+    vjp (same math; outputs agree to f32 reduction-order rounding,
+    measured <= 5e-6 relative)."""
     if kind not in _KFORMS:
         return None
     x1 = jnp.asarray(x1)
