@@ -545,22 +545,31 @@ class RQ(KernelStationary):
 
 
 class MAT32(KernelStationary):
-    """Matern 3/2 on the ARD_L2 metric (reference kernels.py:406-412)."""
+    """Matern 3/2 on the ARD_L2 metric (reference kernels.py:406-412).
+
+    The sqrt argument is clamped away from zero: ``sqrt`` has an infinite
+    derivative at 0, so the raw form NaNs the lengthscale gradient through
+    the gram DIAGONAL (d = 0 exactly) and the NaN sanitizer then zeroes the
+    whole gradient — Matern lengthscales were untrainable (the reference has
+    the identical masked flaw).  The clamp leaves values bit-identical at
+    f32 and makes the diagonal's gradient contribution exactly 0, which is
+    the true derivative (the diagonal is constant in the lengthscale)."""
 
     _pallas_kind = "mat32"
 
     def k(self, params, d):
-        d3 = jnp.sqrt(3.0 * d)
+        d3 = jnp.sqrt(jnp.maximum(3.0 * d, 1e-36))
         return (1.0 + d3) * jnp.exp(-d3)
 
 
 class MAT52(KernelStationary):
-    """Matern 5/2 (reference kernels.py:415-421)."""
+    """Matern 5/2 (reference kernels.py:415-421).  sqrt clamped away from
+    zero for a finite lengthscale gradient — see MAT32."""
 
     _pallas_kind = "mat52"
 
     def k(self, params, d):
-        d5 = jnp.sqrt(5.0 * d)
+        d5 = jnp.sqrt(jnp.maximum(5.0 * d, 1e-36))
         return (1.0 + d5 + 5.0 * d / 3.0) * jnp.exp(-d5)
 
 

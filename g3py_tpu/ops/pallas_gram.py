@@ -48,11 +48,14 @@ def pallas_available():
 # d_metric = 0.5 * ||s1 - s2||^2 with rate-scaled coords (metrics.py ARD_L2)
 _KFORMS = {
     "se": lambda dm, extra: jnp.exp(-dm),
+    # sqrt clamped away from 0 for finite lengthscale gradients at the gram
+    # diagonal (see hypers.kernels.MAT32)
     "mat32": lambda dm, extra: (
-        (1.0 + jnp.sqrt(3.0 * dm)) * jnp.exp(-jnp.sqrt(3.0 * dm))),
+        (1.0 + jnp.sqrt(jnp.maximum(3.0 * dm, 1e-36)))
+        * jnp.exp(-jnp.sqrt(jnp.maximum(3.0 * dm, 1e-36)))),
     "mat52": lambda dm, extra: (
-        (1.0 + jnp.sqrt(5.0 * dm) + 5.0 * dm / 3.0)
-        * jnp.exp(-jnp.sqrt(5.0 * dm))),
+        (1.0 + jnp.sqrt(jnp.maximum(5.0 * dm, 1e-36)) + 5.0 * dm / 3.0)
+        * jnp.exp(-jnp.sqrt(jnp.maximum(5.0 * dm, 1e-36)))),
     "rq": lambda dm, extra: jnp.power(1.0 + dm / extra, -extra),
 }
 

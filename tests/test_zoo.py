@@ -157,3 +157,27 @@ class TestParamsProcess:
         np.testing.assert_allclose(np.asarray(transferred["PB_SE_var"]),
                                    np.asarray(p1["PA_SE_var"]))
         assert np.isfinite(gp2.logp(transferred))
+
+
+class TestMaternGradients:
+    @pytest.mark.parametrize("K", ["MAT32", "MAT52"])
+    def test_lengthscale_gradient_finite_and_correct(self, K, rng):
+        """sqrt(d) at the gram diagonal (d=0 exactly) used to NaN the rate
+        gradient, which the sanitizer then zeroed — Matern lengthscales were
+        untrainable (the reference shares the masked flaw)."""
+        import g3py_tpu as g3
+
+        x = rng.standard_normal((16, 2)).astype(np.float32)
+        y = np.sin(x[:, 0]).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Zero(), kernel=getattr(g3, K)(x),
+                   name=f"MGRAD{K}")
+        gp.observed(x, y)
+        u0 = gp.active.dict_to_array(gp.params_default)
+        g_a = np.asarray(gp.dlogp(u0, array=True))
+        eps = 1e-3
+        for i in range(len(u0)):
+            up, dn = u0.copy(), u0.copy()
+            up[i] += eps
+            dn[i] -= eps
+            fd = (gp.logp(up, array=True) - gp.logp(dn, array=True)) / (2 * eps)
+            assert abs(g_a[i] - fd) <= 0.05 * abs(fd) + 0.02, (i, g_a[i], fd)
