@@ -45,6 +45,19 @@ __all__ = [
 ]
 
 
+def _abs_grad_safe(a, b):
+    """|a - b| with a pinned zero gradient at ties.
+
+    d|x|/dx at x = 0 is implementation-defined: eager jax gives 0 but
+    XLA:CPU's fused lowering gives +/-1, which flips e.g. the OU rate
+    gradient through the gram DIAGONAL (a == b exactly) under jit.  The
+    double-where keeps values identical and selects the constant branch's
+    zero gradient at ties — the true derivative, since tied entries don't
+    move with the lengthscale."""
+    tie = a == b
+    return jnp.where(tie, 0.0, jnp.abs(a - b))
+
+
 class Metric(Hypers):
     """Base pairwise metric.  ``gram(params, x1, x2)`` returns the (N, M)
     matrix over the metric's active dims."""
@@ -136,7 +149,7 @@ class L1(Metric):
 
     def gram(self, params, x1, x2):
         s1, s2 = self._sliced(x1, x2)
-        return pairwise_sum(s1, s2, lambda a, b: jnp.abs(a - b))
+        return pairwise_sum(s1, s2, _abs_grad_safe)
 
 
 class L2(Metric):
@@ -170,7 +183,7 @@ class ARD_L1(ARD):
     def gram(self, params, x1, x2):
         s1, s2 = self._sliced(x1, x2)
         r = hval(self.rate, params)
-        return pairwise_sum(s1 * r, s2 * r, lambda a, b: jnp.abs(a - b))
+        return pairwise_sum(s1 * r, s2 * r, _abs_grad_safe)
 
     def default_hypers(self, x=None, y=None):
         if not is_param(self.rate):

@@ -181,3 +181,28 @@ class TestMaternGradients:
             dn[i] -= eps
             fd = (gp.logp(up, array=True) - gp.logp(dn, array=True)) / (2 * eps)
             assert abs(g_a[i] - fd) <= 0.05 * abs(fd) + 0.02, (i, g_a[i], fd)
+
+
+class TestGradientAudit:
+    """dlogp vs central differences across the trainability-risky zoo
+    members (sqrt/abs/arcsin kinks at the gram diagonal used to NaN or flip
+    gradients UNDER JIT — the Matern and OU regressions of round 2)."""
+
+    @pytest.mark.parametrize("kname", ["OU", "SIN", "NN", "SM", "RQ"])
+    def test_kernel_dlogp_matches_fd(self, kname, rng):
+        import g3py_tpu as g3
+
+        x = np.sort(rng.uniform(0, 6, 14)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(x[:, 0]) + 0.05 * rng.standard_normal(14)).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Zero(), kernel=getattr(g3, kname)(x),
+                   name=f"GAUD{kname}")
+        gp.observed(x, y)
+        u0 = gp.active.dict_to_array(gp.params_default)
+        ga = np.asarray(gp.dlogp(u0, array=True))
+        eps = 1e-3
+        for i in range(len(u0)):
+            up, dn = u0.copy(), u0.copy()
+            up[i] += eps
+            dn[i] -= eps
+            fd = (gp.logp(up, array=True) - gp.logp(dn, array=True)) / (2 * eps)
+            assert abs(ga[i] - fd) <= 0.08 * abs(fd) + 0.05, (kname, i, ga[i], fd)
