@@ -1,0 +1,78 @@
+"""Tutorial 09 — Large-scale inference (beyond the reference).
+
+The reference's only answer to large N was subsampling (random_obs
+p-fractions, reference data.py:129-164).  This build adds two genuine
+scaling axes, demonstrated here on deliberately tiny shapes so the tutorial
+runs anywhere; the same calls ran the real N=50k stretch configuration
+(benchmarks/stretch_50k.py: 4.3 s/NLL, 7.9 s/NLL+grad on one chip).
+
+1. Matrix-free single-device path: ``gp.nll_iterative`` — lazy gram slabs,
+   preconditioned CG quadratic form, batched-SLQ logdet, stochastic-trace
+   gradient (ops/iterative.py).
+2. Device-sharded path: ``parallel.distributed_gp_nll`` — per-device gram
+   row bands, blocked panel Cholesky over the mesh, custom-VJP gradient
+   (parallel/cholesky.py).
+"""
+
+import numpy as np
+
+import g3py_tpu as g3
+
+
+def main(quick=True, plot=False):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    n = 160 if quick else 2048
+    x = np.sort(rng.uniform(0, 30, n)).astype(np.float32).reshape(-1, 1)
+    y = (np.sin(0.6 * x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    # ---- 1. matrix-free NLL + gradient on the model API --------------------
+    gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x), name="BIG09")
+    gp.observed(x, y)
+    params = gp.params_default
+    nll, info = gp.nll_iterative(params, rank=40, cg_iters=200, probes=32)
+    exact = -gp.loglike(params)
+    assert abs(float(nll) - exact) / abs(exact) < 5e-2, (float(nll), exact)
+    assert float(info["cg_rel_residual"]) < 1e-2
+
+    reg = gp.active
+    u0 = jnp.asarray(reg.dict_to_array(params))
+
+    def f(u):
+        return gp.nll_iterative(reg.array_to_dict_jax(u), rank=40,
+                                cg_iters=200, probes=32)[0]
+
+    grad = jax.grad(f)(u0)
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+    # one gradient step must reduce the NLL
+    u1 = u0 - 1e-3 * grad
+    assert float(f(u1)) < float(f(u0))
+
+    # ---- 2. device-sharded NLL + gradient over the mesh ---------------------
+    from g3py_tpu.parallel import make_mesh, distributed_gp_nll
+
+    mesh = make_mesh(axis_names=("dp",))
+
+    def cov_fn(p, x1, x2):
+        d2 = ((x1[:, None, :] - x2[None, :, :]) ** 2).sum(-1)
+        return p["var"] * jnp.exp(-0.5 * d2 / p["ls"] ** 2)
+
+    nll_sharded = distributed_gp_nll(cov_fn, mesh=mesh,
+                                     noise_fn=lambda p: p["nv"])
+    p0 = {"var": jnp.float32(1.0), "ls": jnp.float32(1.0),
+          "nv": jnp.float32(0.1)}
+    val, grads = jax.value_and_grad(
+        lambda p: nll_sharded(p, x, y))(p0)
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(float(v)) for v in grads.values())
+
+    return {"nll_iterative": float(nll), "nll_exact": float(exact),
+            "nll_sharded": float(val), "n_devices": len(mesh.devices.ravel())}
+
+
+if __name__ == "__main__":
+    out = main()
+    print(out)

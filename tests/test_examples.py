@@ -30,6 +30,7 @@ MODULES = [
     "tut06_copulas",
     "tut07_multi_output",
     "tut08_graphical_models",
+    "tut09_large_scale",
 ]
 
 
