@@ -845,7 +845,7 @@ class StochasticProcess(PlotModel):
     # ----------------------------------------------------------------- find_MAP
     def find_MAP(self, start=None, points=1, return_points=False, plot=False,
                  display=True, powell=True, bfgs=True, init="bfgs", max_time=None,
-                 engine="scipy", max_iters=200):
+                 engine="scipy", max_iters=200, **kwargs):
         """Multi-start MAP search.
 
         ``engine='scipy'`` (default) is the reference recipe: alternating
@@ -857,6 +857,12 @@ class StochasticProcess(PlotModel):
             return self._find_map_jax(start=start, points=points,
                                       return_points=return_points,
                                       display=display, max_iters=max_iters)
+        if engine == "iterative":
+            # matrix-free objective for large N (GaussianProcess family)
+            return self._find_map_iterative(start=start, points=points,
+                                            return_points=return_points,
+                                            display=display,
+                                            max_iters=max_iters, **kwargs)
         points_list = []
         if start is None:
             start = self.params

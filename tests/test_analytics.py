@@ -176,3 +176,22 @@ class TestLagrange:
         opt = LagrangianMultiplier(f, [c])
         res = opt.minimize(np.array([0.5]), outer_iters=30, tol=1e-6)
         np.testing.assert_allclose(res.x, [2.0], atol=1e-3)
+
+
+class TestFindMapIterative:
+    def test_iterative_engine_reaches_exact_map(self):
+        """find_MAP(engine='iterative') optimizes the matrix-free objective
+        (stochastic-trace gradients) and must land at the same optimum as
+        the exact engine on a factorable problem."""
+        rng = np.random.default_rng(0)
+        n = 120
+        x = np.sort(rng.uniform(0, 20, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(0.8 * x[:, 0])
+             + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                   name="ITMAPT")
+        gp.observed(x, y)
+        p_it = gp.find_MAP(points=1, engine="iterative", display=False,
+                           rank=60, cg_iters=400, probes=256)
+        p_sc = gp.find_MAP(points=1, display=False)
+        assert gp.logp(p_it) >= gp.logp(p_sc) - 1.0
