@@ -28,13 +28,11 @@ def main(n_points=25000, outputs=2, rank=80, cg_iters=100, probes=8,
          + 0.1 * rng.standard_normal(n)).astype(np.float32)
 
     # intrinsic-coregionalization form: K = K_t(time) x (1 + c delta(output))
-    se = SE(x)
-    coreg = KernelDot(x, metric=Delta, name="Coreg")
+    se = SE([0])                                # SE over the time column
+    coreg = KernelDot([1], metric=Delta, name="Coreg")  # output equality
     k = se + se * coreg
     k.check_dims(x)
     k.check_hypers("ST_")
-    se.metric.dims = [0]      # SE over the time column
-    coreg.metric.dims = [1]   # output-index equality
     params = {p.name: jnp.asarray(p.testval()) for p in k.hypers}
     noise = np.float32(0.05)
     xj, yj = jnp.asarray(x), jnp.asarray(y)
@@ -92,3 +90,42 @@ def main(n_points=25000, outputs=2, rank=80, cg_iters=100, probes=8,
 
 if __name__ == "__main__":
     main()
+
+
+def train_demo(n_points=25000, outputs=2, iters=4):
+    """A few L-BFGS steps of model-level matrix-free MAP at N=50k."""
+    import g3py_tpu as g3
+    from g3py_tpu.hypers.kernels import KernelDot
+    from g3py_tpu.hypers.metrics import Delta
+
+    n = n_points * outputs
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.uniform(0, 100, n_points)).astype(np.float32)
+    x = np.stack([np.tile(t, outputs),
+                  np.repeat(np.arange(outputs, dtype=np.float32), n_points)],
+                 axis=1)
+    y = (np.sin(0.3 * x[:, 0]) * (1 + 0.3 * x[:, 1])
+         + 0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    se = g3.SE([0])
+    coreg = KernelDot([1], metric=Delta, name="Coreg")
+    gp = g3.GP(space=x[:8], location=g3.Bias(), kernel=se + se * coreg,
+               name="ST50")
+    gp.observed(x, y)
+
+    # the reference's data-driven lengthscale default (0.5/mean spacing)
+    # degenerates at dense sampling (rate ~ 100 here); start from a
+    # data-curvature-scale lengthscale instead
+    start = dict(gp.params_default)
+    start[f"{gp.name}_SE_rate"] = np.asarray([0.3], np.float32)
+    nll0 = float(gp.nll_iterative(start, rank=80, cg_iters=100,
+                                  probes=8)[0])
+    t0 = time.perf_counter()
+    params = gp.find_MAP(start=start, points=1, engine="iterative",
+                         display=True, max_iters=iters, rank=80,
+                         cg_iters=100, probes=8)
+    t_train = time.perf_counter() - t0
+    nll1 = float(gp.nll_iterative(params, rank=80, cg_iters=100,
+                                  probes=8)[0])
+    print(f"TRAIN n={n}: nll {nll0:.1f} -> {nll1:.1f} in {t_train:.0f}s "
+          f"({iters} L-BFGS iters)", flush=True)

@@ -185,22 +185,26 @@ class GaussianProcess(EllipticalProcess):
 
         def objective(u):
             p = reg.array_to_dict_jax(u)
-            nll, _ = self.nll_iterative(p, rank=rank, block=block,
-                                        cg_iters=cg_iters, probes=probes,
-                                        lanczos_iters=lanczos_iters,
-                                        seed=seed)
-            return nll - prior_pure(p, xj, xj, yj, vec0)
+            nll, info = self.nll_iterative(p, rank=rank, block=block,
+                                           cg_iters=cg_iters, probes=probes,
+                                           lanczos_iters=lanczos_iters,
+                                           seed=seed)
+            return nll - prior_pure(p, xj, xj, yj, vec0), \
+                info["cg_rel_residual"]
 
-        vg = _jax.jit(_jax.value_and_grad(objective))
+        vg = _jax.jit(_jax.value_and_grad(objective, has_aux=True))
 
         def f_and_g(u):
-            v, g = vg(jnp.asarray(u, settings.dtype))
+            (v, resid), g = vg(jnp.asarray(u, settings.dtype))
             v = float(v)
             g = np.asarray(g, np.float64)
-            if not np.isfinite(v) or not np.all(np.isfinite(g)):
+            if not np.isfinite(v) or not np.all(np.isfinite(g)) \
+                    or float(resid) > 5e-2:
                 # hardened objective (reference selection.py nan_to_high):
-                # a line-search overshoot into a numerically dead region must
-                # read as 'very bad', not poison the optimizer state
+                # a line-search overshoot into a numerically dead region, or
+                # a parameter point where the CG solve itself is untrusted,
+                # must read as 'very bad' — unguarded, L-BFGS happily chases
+                # the estimator's breakdown artifacts to fake -1e19 NLLs
                 return 1e10, np.zeros_like(g)
             return v, g
 

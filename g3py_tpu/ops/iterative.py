@@ -49,12 +49,16 @@ def cg_solve(matvec, b, tol=1e-6, maxiter=100, x0=None):
 
     def cond(state):
         _, _, _, rs_, it = state
-        return (rs_ > tol**2) & (it < maxiter)
+        return jnp.isfinite(rs_) & (rs_ > tol**2) & (it < maxiter)
 
     def body(state):
         x_, r_, p_, rs_, it = state
         ap = matvec(p_)
-        alpha = rs_ / jnp.maximum(jnp.dot(p_, ap), 1e-30)
+        pap = jnp.dot(p_, ap)
+        # non-positive curvature = f32 breakdown on a PSD operator; freeze
+        # rather than take a 1/eps-scaled step (see pcg_solve)
+        ok = pap > 1e-30
+        alpha = jnp.where(ok, rs_ / jnp.where(ok, pap, 1.0), 0.0)
         x_ = x_ + alpha * p_
         r_ = r_ - alpha * ap
         rs_new = jnp.dot(r_, r_)
@@ -71,17 +75,27 @@ def _lanczos(matvec, z, m):
     q = z / jnp.maximum(znorm, 1e-30)
 
     def body(carry, _):
-        q_prev, q_cur, beta_prev = carry
+        q_prev, q_cur, beta_prev, alive = carry
         w = matvec(q_cur) - beta_prev * q_prev
         alpha = jnp.dot(w, q_cur)
         w = w - alpha * q_cur
         # full reorthogonalization is O(m n) extra; one-step is standard SLQ
         beta = jnp.linalg.norm(w)
-        q_next = w / jnp.maximum(beta, 1e-30)
-        return (q_cur, q_next, beta), (alpha, beta)
+        # Krylov breakdown (operators with few distinct eigenvalues converge
+        # in a handful of steps): once beta underflows, later steps would
+        # fill the tridiagonal with spurious ~0 eigenvalues whose clamped
+        # log(1e-30) wrecks the logdet estimate.  Pad dead steps with the
+        # identity (alpha=1, beta=0 -> eigenvalue 1 -> log contribution 0).
+        new_alive = alive & (beta > 1e-5 * jnp.maximum(jnp.abs(alpha), 1e-3))
+        q_next = jnp.where(new_alive, w / jnp.maximum(beta, 1e-30),
+                           jnp.zeros_like(w))
+        alpha_out = jnp.where(alive, alpha, 1.0)
+        beta_out = jnp.where(new_alive, beta, 0.0)
+        return (q_cur, q_next, beta_out, new_alive), (alpha_out, beta_out)
 
-    (_, _, _), (alphas, betas) = lax.scan(
-        body, (jnp.zeros_like(q), q, jnp.zeros((), q.dtype)), None, length=m)
+    (_, _, _, _), (alphas, betas) = lax.scan(
+        body, (jnp.zeros_like(q), q, jnp.zeros((), q.dtype),
+               jnp.asarray(True)), None, length=m)
     return alphas, betas[:-1], znorm
 
 
@@ -113,6 +127,8 @@ def pivoted_cholesky(column_fn, diag0, rank):
     n = diag0.shape[0]
     diag0 = jnp.asarray(diag0)
 
+    dmax0 = jnp.maximum(jnp.max(jnp.asarray(diag0)), 1e-30)
+
     def step(carry, i):
         d, cols = carry
         j = jnp.argmax(d)
@@ -120,7 +136,12 @@ def pivoted_cholesky(column_fn, diag0, rank):
         # subtract the projection onto the previous factors
         lj = cols[:, :] @ cols[j, :]  # (n,) = sum_m L[:,m] L[j,m]
         pivot = jnp.sqrt(jnp.maximum(d[j], 1e-30))
-        li = (kj - lj) / pivot
+        # breakdown guard: once the residual diagonal underflows relative to
+        # the matrix scale there is no usable rank left — emit a zero column
+        # instead of a ~1/sqrt(underflow) blow-up that NaNs the Woodbury
+        # solve downstream
+        valid = d[j] > 1e-10 * dmax0
+        li = jnp.where(valid, (kj - lj) / pivot, 0.0)
         # numerical guard: residual diag stays >= 0
         d_new = jnp.maximum(d - li**2, 0.0)
         cols = cols.at[:, i].set(li)
@@ -177,17 +198,25 @@ def pcg_solve(matvec, b, p_inv, tol=1e-6, maxiter=100):
 
     def cond(state):
         _, r_, _, _, it = state
-        return (jnp.dot(r_, r_) > tol**2 * bnorm2) & (it < maxiter)
+        rr = jnp.dot(r_, r_)
+        return jnp.isfinite(rr) & (rr > tol**2 * bnorm2) & (it < maxiter)
 
     def body(state):
         x_, r_, p_, rz_, it = state
         ap = matvec(p_)
-        alpha = rz_ / jnp.maximum(jnp.dot(p_, ap), 1e-30)
+        pap = jnp.dot(p_, ap)
+        # f32 roundoff near convergence can drive p'Ap (or r'z) slightly
+        # NEGATIVE on a PSD operator; a bare max(., eps) then produces a
+        # ~1e30 step that overflows x.  Treat non-positive curvature as
+        # breakdown: freeze the step so cond() exits on the residual test.
+        ok = (pap > 1e-30) & (rz_ > 1e-30)
+        alpha = jnp.where(ok, rz_ / jnp.where(ok, pap, 1.0), 0.0)
         x_ = x_ + alpha * p_
         r_ = r_ - alpha * ap
         z_ = p_inv(r_)
         rz_new = jnp.dot(r_, z_)
-        p_ = z_ + (rz_new / jnp.maximum(rz_, 1e-30)) * p_
+        beta = jnp.where(ok, rz_new / jnp.where(ok, rz_, 1.0), 0.0)
+        p_ = z_ + beta * p_
         return x_, r_, p_, rz_new, it + 1
 
     x, _, _, _, _ = lax.while_loop(cond, body, (x, r, p, rz, 0))
