@@ -51,9 +51,12 @@ def _abs_grad_safe(a, b):
     d|x|/dx at x = 0 is implementation-defined: eager jax gives 0 but
     XLA:CPU's fused lowering gives +/-1, which flips e.g. the OU rate
     gradient through the gram DIAGONAL (a == b exactly) under jit.  The
-    double-where keeps values identical and selects the constant branch's
-    zero gradient at ties — the true derivative, since tied entries don't
-    move with the lengthscale."""
+    where keeps values identical while its VJP masks the tie positions to
+    the constant branch's zero gradient — the true derivative, since tied
+    entries don't move with the lengthscale.  (A single where suffices:
+    abs has a finite subgradient everywhere, so the masked branch can't
+    produce NaN; a kink with an INFINITE subgradient would need the full
+    double-where pattern.)"""
     tie = a == b
     return jnp.where(tie, 0.0, jnp.abs(a - b))
 

@@ -58,6 +58,22 @@ class WarpedGaussianDistribution:
     logp_cho = staticmethod(warped_gaussian_logp_cho)
 
 
+def _contains_kernel_noise(kernel):
+    """True when a KernelNoise term hides anywhere in a kernel tree."""
+    from ..hypers.kernels import KernelNoise
+
+    stack = [kernel]
+    while stack:
+        k = stack.pop()
+        if isinstance(k, KernelNoise):
+            return True
+        for attr in ("k1", "k2", "k_inner"):
+            sub = getattr(k, attr, None)
+            if sub is not None:
+                stack.append(sub)
+    return False
+
+
 class GaussianProcess(EllipticalProcess):
     """Exact (optionally warped-observation) Gaussian process regression."""
 
@@ -143,6 +159,13 @@ class GaussianProcess(EllipticalProcess):
         if not (isinstance(kn, KernelSum) and isinstance(kn.k2, KernelNoise)):
             raise ValueError("nll_iterative needs the noisy=True "
                              "KernelSum(kernel, KernelNoise) construction")
+        if _contains_kernel_noise(self.f_kernel):
+            # KernelNoise contributes 0 to every CROSS covariance, so the
+            # lazy slab matvec would silently drop it from the quadratic
+            # form and logdet — reject rather than return a wrong NLL
+            raise ValueError("nll_iterative does not support KernelNoise "
+                             "terms inside the signal kernel (the lazy "
+                             "matvec sees only cross-covariances)")
         noise_var = hval(kn.k2.var, params)
         inputs = jnp.asarray(self.inputs)
         latent = self._latent_obs(params, self.outputs)
@@ -175,9 +198,10 @@ class GaussianProcess(EllipticalProcess):
         if start is None:
             start = self.params_default
         starts = list(start) if isinstance(start, list) else [start]
+        rng = np.random.default_rng(0)  # match _find_map_jax's determinism
         while len(starts) < points:
             starts.append(self.params_random(mean=starts[0], sigma=0.15,
-                                             prop=True))
+                                             prop=True, rng=rng))
         prior_pure = self._logp_pure(prior=True)
         xj = jnp.asarray(self.inputs)
         yj = jnp.asarray(self.outputs)
@@ -193,8 +217,12 @@ class GaussianProcess(EllipticalProcess):
                 info["cg_rel_residual"]
 
         vg = _jax.jit(_jax.value_and_grad(objective, has_aux=True))
+        _memo = {}
 
         def f_and_g(u):
+            key = u.tobytes()
+            if key in _memo:  # scipy re-evaluates the start point
+                return _memo[key]
             (v, resid), g = vg(jnp.asarray(u, settings.dtype))
             v = float(v)
             g = np.asarray(g, np.float64)
@@ -205,14 +233,26 @@ class GaussianProcess(EllipticalProcess):
                 # a parameter point where the CG solve itself is untrusted,
                 # must read as 'very bad' — unguarded, L-BFGS happily chases
                 # the estimator's breakdown artifacts to fake -1e19 NLLs
-                return 1e10, np.zeros_like(g)
-            return v, g
+                out = (1e10, np.zeros_like(g))
+            else:
+                out = (v, g)
+            _memo.clear()  # keep only the most recent point
+            _memo[key] = out
+            return out
 
         results = []
-        for i, s in enumerate(starts[:max(points, len(starts))], start=1):
+        for i, s in enumerate(starts, start=1):
             u0 = np.asarray(reg.dict_to_array(s), np.float64)
+            v0 = f_and_g(u0)[0]
+            if v0 >= 1e10:
+                # zero gradient at an untrusted start would make L-BFGS-B a
+                # silent no-op; surface the cause instead
+                print(f"start{i}: untrusted at the start point (non-finite "
+                      "NLL or CG residual > 5e-2) — skipped; raise cg_iters/"
+                      "rank or move the start")
+                continue
             if display:
-                print(f"start{i} (-logp): {f_and_g(u0)[0]:.6g}")
+                print(f"start{i} (-logp): {v0:.6g}")
             res = spo.minimize(f_and_g, u0, jac=True, method="L-BFGS-B",
                                options={"maxiter": max_iters})
             results.append((f"iterative{i}", float(res.fun),
@@ -220,6 +260,11 @@ class GaussianProcess(EllipticalProcess):
                                 np.asarray(res.x, settings.floatx))))
             if display:
                 print(f"start{i} done (-logp): {res.fun:.6g}")
+        if not results:
+            raise ValueError(
+                "find_MAP(engine='iterative'): every start point was "
+                "untrusted (non-finite NLL or CG residual > 5e-2); raise "
+                "cg_iters/rank/probes or provide a better start")
         results.sort(key=lambda t: t[1])
         best = results[0][2]
         if return_points:

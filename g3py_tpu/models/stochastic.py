@@ -863,6 +863,11 @@ class StochasticProcess(PlotModel):
                                             return_points=return_points,
                                             display=display,
                                             max_iters=max_iters, **kwargs)
+        if kwargs:
+            # only the iterative engine takes extra solver knobs — swallowing
+            # them here would silently ignore typos / missing engine=
+            raise TypeError(f"find_MAP(engine={engine!r}) got unexpected "
+                            f"keyword arguments {sorted(kwargs)}")
         points_list = []
         if start is None:
             start = self.params

@@ -62,7 +62,10 @@ def cg_solve(matvec, b, tol=1e-6, maxiter=100, x0=None):
         x_ = x_ + alpha * p_
         r_ = r_ - alpha * ap
         rs_new = jnp.dot(r_, r_)
-        p_ = r_ + (rs_new / jnp.maximum(rs_, 1e-30)) * p_
+        # on breakdown drop the stale direction too (steepest-descent
+        # restart), mirroring pcg_solve
+        beta = jnp.where(ok, rs_new / jnp.where(ok, rs_, 1.0), 0.0)
+        p_ = r_ + beta * p_
         return x_, r_, p_, rs_new, it + 1
 
     x, _, _, _, _ = lax.while_loop(cond, body, (x, r, p, rs, 0))
@@ -86,7 +89,10 @@ def _lanczos(matvec, z, m):
         # fill the tridiagonal with spurious ~0 eigenvalues whose clamped
         # log(1e-30) wrecks the logdet estimate.  Pad dead steps with the
         # identity (alpha=1, beta=0 -> eigenvalue 1 -> log contribution 0).
-        new_alive = alive & (beta > 1e-5 * jnp.maximum(jnp.abs(alpha), 1e-3))
+        # scale-relative threshold (an absolute floor would truncate healthy
+        # recursions on small-norm operators)
+        new_alive = alive & (beta > 1e-5 * (jnp.abs(alpha) + beta_prev
+                                            + 1e-30))
         q_next = jnp.where(new_alive, w / jnp.maximum(beta, 1e-30),
                            jnp.zeros_like(w))
         alpha_out = jnp.where(alive, alpha, 1.0)
