@@ -257,7 +257,12 @@ def _mvn_bwd(max_tries, res, cotangents):
     chol, z, failed = res
     g_quad, g_logdet, _ = cotangents
     n = chol.shape[-1]
-    block = 1024 if n > 1024 else n
+    # block sizes tuned per-size on v5e (round 3): at n=4096 trtri is
+    # fastest at block=512 (4.45ms vs 5.25 at 1024) and lauum at 1024
+    # (4.58ms vs 5.49 at 2048); at n=16384 the larger blocks win
+    # (trtri 1024: 67.2ms vs 77.5 at 2048; lauum 2048: 79.3ms vs 101.7
+    # at 4096) and also bound the unrolled-graph compile cost (nb <= 16).
+    block = n if n <= 512 else (512 if n <= 4096 else 1024)
     linv = blocked_trtri(chol, block=block)
     # alpha = K^{-1} resid = L^{-T} z as an n^2 matvec (XLA's TRSM is the
     # slow path on TPU; linv is already here for K^{-1})
@@ -265,7 +270,8 @@ def _mvn_bwd(max_tries, res, cotangents):
     # measured on v5e at n=16384: blocked lauum 80.7ms vs 280.6ms for the
     # dense linv'linv (a recursive variant measured 111ms and was dropped;
     # docs/performance.md)
-    kinv = blocked_lauum(linv, block=2048)
+    kinv = blocked_lauum(linv, block=n if n <= 1024 else
+                         (1024 if n <= 8192 else 2048))
     dk = (-g_quad) * jnp.outer(alpha, alpha) + (0.5 * g_logdet) * kinv
     dresid = (2.0 * g_quad) * alpha
     dk = jnp.where(failed, jnp.zeros_like(dk), dk)
