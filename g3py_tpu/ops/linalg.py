@@ -247,29 +247,41 @@ def mvn_quad_logdet(k, resid, max_tries=21):
     return quad, logdet_half, jnp.where(failed, 0.0, 1.0).astype(k.dtype)
 
 
+def _trtri_block_for(n):
+    # block sizes tuned per-size on v5e (round 3): at n=4096 trtri is
+    # fastest at block=512 (4.45ms vs 5.25 at 1024); at n=16384 block=1024
+    # wins (67.2ms vs 77.5 at 2048) and also bounds the unrolled-graph
+    # compile cost (nb <= 16).
+    return n if n <= 512 else (512 if n <= 4096 else 1024)
+
+
 def _mvn_fwd(k, resid, max_tries):
-    chol, failed, z, quad, logdet_half = _mvn_pieces(k, resid, max_tries)
+    """Differentiated-path forward: the gradient will need L^{-1} anyway
+    (for K^{-1}), so build it HERE and whiten with an n^2 matvec instead of
+    XLA's sequential vector TRSM (15.8ms at n=16384 vs ~1.3ms for the
+    matvec on v5e).  The value-only primal above keeps the cheap
+    TRSM-without-inverse path."""
+    chol, failed = _safe_cholesky_impl(k, max_tries)
+    n = chol.shape[-1]
+    linv = blocked_trtri(chol, block=_trtri_block_for(n))
+    z = jnp.matmul(linv, resid, precision=lax.Precision.HIGHEST)
+    quad = jnp.dot(z, z)
+    logdet_half = jnp.sum(jnp.log(jnp.diagonal(chol)))
     out = (quad, logdet_half, jnp.where(failed, 0.0, 1.0).astype(k.dtype))
-    return out, (chol, z, failed)
+    return out, (linv, z, failed)
 
 
 def _mvn_bwd(max_tries, res, cotangents):
-    chol, z, failed = res
+    linv, z, failed = res
     g_quad, g_logdet, _ = cotangents
-    n = chol.shape[-1]
-    # block sizes tuned per-size on v5e (round 3): at n=4096 trtri is
-    # fastest at block=512 (4.45ms vs 5.25 at 1024) and lauum at 1024
-    # (4.58ms vs 5.49 at 2048); at n=16384 the larger blocks win
-    # (trtri 1024: 67.2ms vs 77.5 at 2048; lauum 2048: 79.3ms vs 101.7
-    # at 4096) and also bound the unrolled-graph compile cost (nb <= 16).
-    block = n if n <= 512 else (512 if n <= 4096 else 1024)
-    linv = blocked_trtri(chol, block=block)
+    n = linv.shape[-1]
     # alpha = K^{-1} resid = L^{-T} z as an n^2 matvec (XLA's TRSM is the
-    # slow path on TPU; linv is already here for K^{-1})
+    # slow path on TPU; linv came from the forward pass)
     alpha = jnp.matmul(linv.T, z, precision=lax.Precision.HIGHEST)
     # measured on v5e at n=16384: blocked lauum 80.7ms vs 280.6ms for the
     # dense linv'linv (a recursive variant measured 111ms and was dropped;
-    # docs/performance.md)
+    # docs/performance.md); at n=4096 block=1024 wins (4.58ms vs 5.49 at
+    # 2048), at 16384 block=2048 (79.3ms vs 101.7 at 4096).
     kinv = blocked_lauum(linv, block=n if n <= 1024 else
                          (1024 if n <= 8192 else 2048))
     dk = (-g_quad) * jnp.outer(alpha, alpha) + (0.5 * g_logdet) * kinv
