@@ -856,7 +856,8 @@ class StochasticProcess(PlotModel):
         if engine == "jax":
             return self._find_map_jax(start=start, points=points,
                                       return_points=return_points,
-                                      display=display, max_iters=max_iters)
+                                      display=display, max_iters=max_iters,
+                                      **kwargs)
         if engine == "iterative":
             # matrix-free objective for large N (GaussianProcess family)
             return self._find_map_iterative(start=start, points=points,
@@ -950,7 +951,11 @@ class StochasticProcess(PlotModel):
 
     def _find_map_jax(self, start=None, points=1, return_points=False,
                       display=True, max_iters=200):
-        """Device-side multi-start MAP: every start optimized at once."""
+        """Device-side multi-start MAP: every start optimized at once.
+
+        (A cheaper-compile Armijo-backtracking line search was evaluated in
+        round 3 and rejected: it stalls ~140 nats short of the zoom
+        optimum on the standard 1-D GP workload even at 600 iterations.)"""
         from ..bayesian.optimize_jax import lbfgs_maximize
 
         reg = self.active
@@ -965,7 +970,8 @@ class StochasticProcess(PlotModel):
             starts.append(starts[0] * (1 + 0.2 * rng.standard_normal(
                 len(starts[0]))).astype(settings.floatx))
         logp_tr, _, _ = self._sampling_logps(prior=False)
-        pts, vals = lbfgs_maximize(logp_tr, np.stack(starts), max_iters=max_iters)
+        pts, vals = lbfgs_maximize(logp_tr, np.stack(starts),
+                                   max_iters=max_iters)
         best = int(np.argmax(vals))
         params = DictObj(reg.dict_from_sampling_array(pts[best]))
         if display:

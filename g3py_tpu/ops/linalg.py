@@ -280,10 +280,11 @@ def _mvn_bwd(max_tries, res, cotangents):
     alpha = jnp.matmul(linv.T, z, precision=lax.Precision.HIGHEST)
     # measured on v5e at n=16384: blocked lauum 80.7ms vs 280.6ms for the
     # dense linv'linv (a recursive variant measured 111ms and was dropped;
-    # docs/performance.md); at n=4096 block=1024 wins (4.58ms vs 5.49 at
-    # 2048), at 16384 block=2048 (79.3ms vs 101.7 at 4096).
+    # docs/performance.md); block=1024 wins at n=4096 (4.58ms vs 5.49 at
+    # 2048) AND n=16384 (71.6ms vs 79.0 at 2048, +90s one-time compile);
+    # above that cap nb at 16 to bound the unrolled-graph compile cost.
     kinv = blocked_lauum(linv, block=n if n <= 1024 else
-                         (1024 if n <= 8192 else 2048))
+                         (1024 if n <= 16384 else 2048))
     dk = (-g_quad) * jnp.outer(alpha, alpha) + (0.5 * g_logdet) * kinv
     dresid = (2.0 * g_quad) * alpha
     dk = jnp.where(failed, jnp.zeros_like(dk), dk)
