@@ -194,6 +194,7 @@ from .hypers.transports import (
 from .models import (
     StochasticProcess,
     EllipticalProcess,
+    Predictor,
     GaussianProcess,
     WarpedGaussianProcess,
     StudentTProcess,

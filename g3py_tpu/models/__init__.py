@@ -2,6 +2,7 @@
 
 from .stochastic import StochasticProcess
 from .elliptical import EllipticalProcess
+from .predictor import Predictor
 from .gaussian import (
     GaussianProcess,
     WarpedGaussianProcess,
@@ -48,6 +49,7 @@ CSTP = CopulaStudentTProcess
 __all__ = [
     "StochasticProcess",
     "EllipticalProcess",
+    "Predictor",
     "GaussianProcess",
     "WarpedGaussianProcess",
     "WarpedGaussianDistribution",

@@ -30,11 +30,22 @@ from ..hypers.kernels import KernelSum, KernelNoise
 from ..hypers.means import Mean, Zero
 from ..hypers.mappings import Mapping, Identity
 from ..ops.guards import to_cov, to_num, to_bounded
-from ..ops.linalg import safe_cholesky, solve_lower_triangular, cho_solve
+from ..ops.linalg import (safe_cholesky, solve_lower_triangular, cho_solve,
+                          blocked_trtri, _trtri_block_for)
 from ..utils.plots import plot_text, show, grid2d, plot_2d
-from .stochastic import StochasticProcess, zero32
+from .stochastic import StochasticProcess, CompiledFn, zero32
 
 __all__ = ["EllipticalProcess"]
+
+# Reserved params-dict keys carrying a precomputed observed-gram
+# factorization (``posterior_state``).  Keys with the ``_state_`` prefix
+# pass through ``filter_params`` untouched (stochastic._call_method) and are
+# never hyperparameters.  When present, the posterior selectors below use
+# them instead of re-factorizing — the serving fast path (see
+# models/predictor.py).
+STATE_OBS_LINV = "_state_obs_linv"     # L^{-1} of chol(K_obs + noise)
+STATE_OBS_ALPHA = "_state_obs_alpha"   # K^{-1} (T^{-1}y - m)
+STATE_OBS_Z = "_state_obs_z"           # L^{-1} (T^{-1}y - m)
 
 
 class EllipticalProcess(StochasticProcess):
@@ -91,9 +102,72 @@ class EllipticalProcess(StochasticProcess):
         """Robust Cholesky of the (noisy) observed gram."""
         return safe_cholesky(to_cov(self.f_kernel_noise.cov(params, inputs)))
 
+    def posterior_state(self, params=None):
+        """Factor the observed gram ONCE for streaming prediction.
+
+        Returns a dict of reserved ``_state_*`` device arrays (L^{-1} of the
+        observed-gram Cholesky, alpha = K^{-1}(T^{-1}y - m), and the
+        whitened residual z).  Merged into a params dict, every posterior
+        statistic — mean/std/quantiles/cov/samples/logpredictive — runs as
+        pure matmuls against this state: O(n m d + n^2 m) per query batch
+        instead of O(n^3) per statistic.  ``predictor()`` wraps this into a
+        serving object.  The state is valid for exactly these params and the
+        current observed data (see ``Predictor._check``)."""
+        if params is None:
+            params = self.params
+        params = self.filter_params(params)
+        name = "posterior_state"
+        if name not in self.compiles:
+            mapping = self.f_mapping
+            location = self.f_location
+            kernel_noise = self.f_kernel_noise
+
+            def pure(p, space, inputs, outputs, vector):
+                chol = safe_cholesky(to_cov(kernel_noise.cov(p, inputs)))
+                linv = blocked_trtri(
+                    chol, block=_trtri_block_for(inputs.shape[0]))
+                resid = to_num(mapping.inv(p, outputs)) - location(p, inputs)
+                z = jnp.matmul(linv, resid,
+                               precision=settings.matmul_precision)
+                alpha = jnp.matmul(linv.T, z,
+                                   precision=settings.matmul_precision)
+                return {STATE_OBS_LINV: linv, STATE_OBS_ALPHA: alpha,
+                        STATE_OBS_Z: z}
+
+            self.compiles[name] = CompiledFn(pure, name)
+        _, inputs, outputs = self._resolve_data(None, None, None)
+        if not self.is_observed:
+            raise ValueError("posterior_state needs observed data "
+                             "(call observed(x, y) first)")
+        from ..config import asarray_x
+        pdict = {k: asarray_x(v) for k, v in params.items()}
+        vec = np.zeros(0, dtype=settings.floatx)
+        # call the jit directly: the state must STAY on device (CompiledFn's
+        # host conversion would round-trip O(n^2) bytes and break the dict)
+        cf = self.compiles[name]
+        cf.executed += 1
+        return cf.fn(pdict, inputs, inputs, outputs, vec)
+
+    def predictor(self, params=None):
+        """Serving fast path: a :class:`~g3py_tpu.models.predictor.Predictor`
+        bound to these params and the current observed data."""
+        from .predictor import Predictor
+        return Predictor(self, params=params)
+
+    def _whitened_cross(self, params, inputs, cross):
+        """v = L^{-1} K_is — by matmul against the precomputed inverse when
+        a posterior state rides in ``params``, by TRSM otherwise."""
+        if STATE_OBS_LINV in params:
+            return jnp.matmul(params[STATE_OBS_LINV], cross.T,
+                              precision=settings.matmul_precision)
+        return solve_lower_triangular(self._obs_chol(params, inputs), cross.T)
+
     def _posterior_location(self, params, space, inputs, outputs, noise):
         kernel = self.f_kernel_noise if noise else self.f_kernel
         cross = to_num(kernel.cov(params, space, inputs))
+        if STATE_OBS_ALPHA in params:
+            return (self.f_location(params, space)
+                    + jnp.dot(cross, params[STATE_OBS_ALPHA]))
         chol = self._obs_chol(params, inputs)
         resid = self._latent_obs(params, outputs) - self.f_location(params, inputs)
         return self.f_location(params, space) + jnp.dot(cross, cho_solve(chol, resid))
@@ -101,8 +175,7 @@ class EllipticalProcess(StochasticProcess):
     def _posterior_kernel(self, params, space, inputs, outputs, noise):
         kernel = self.f_kernel_noise if noise else self.f_kernel
         cross = to_num(kernel.cov(params, space, inputs))
-        chol = self._obs_chol(params, inputs)
-        v = solve_lower_triangular(chol, cross.T)  # (n_obs, n_space)
+        v = self._whitened_cross(params, inputs, cross)  # (n_obs, n_space)
         k_ss = kernel.cov(params, space)
         return k_ss - jnp.matmul(v.T, v, precision=settings.matmul_precision)
 
@@ -118,8 +191,7 @@ class EllipticalProcess(StochasticProcess):
         never sees a zero sd.
         """
         cross = to_num(self.f_kernel.cov(params, space, inputs))
-        chol = self._obs_chol(params, inputs)
-        v = solve_lower_triangular(chol, cross.T)
+        v = self._whitened_cross(params, inputs, cross)
         k_diag = jnp.diagonal(self.f_kernel.cov(params, space))
         latent = to_bounded(k_diag - jnp.sum(v * v, axis=0), zero32)
         if noise:

@@ -1,0 +1,148 @@
+"""Streaming serving fast path: factor once, answer queries as matmuls.
+
+The reference recomputed the O(n^3) observed-gram Cholesky inside every
+compiled statistic on every ``predict`` call (reference stochastic.py:444-513
+assembles ~6 statistics, each an independent ``makefn`` whose graph contains
+its own ``cholesky_robust``).  On TPU the right serving shape is: factor the
+observed gram ONCE into ``(L^{-1}, alpha, z)`` device state
+(``EllipticalProcess.posterior_state``), then serve every query batch with
+MXU matmuls only —
+
+  mean(s)  = m(s) + K_si alpha                       O(n m d + n m)
+  var(s)   = k_ss - colsum((L^{-1} K_is)^2)          O(n^2 m)  (one matmul)
+  cov/chol = K_ss - V^T V, safe_cholesky(m^3)        per joint-sample request
+
+All per-class statistic semantics (WGP Gauss-Hermite moments, TP
+posterior-df scaling, analytic quantiles, samplers, logpredictive) are
+reused verbatim: the state rides in reserved ``_state_*`` params keys and
+the posterior selectors pick it up (elliptical ``_whitened_cross`` /
+``_scaling_fn``).
+
+Why the state is BAKED into the query jits as closure constants instead of
+passed as arguments: on the hosted TPU tunnel every jit dispatch pays per
+argument *byte* even for arrays already on the device (measured: a trivial
+jit taking the 4096^2 L^{-1} as an argument costs 32 ms/call — the runtime
+re-ships/fingerprints args).  Closure constants are shipped once at compile
+time; a query dispatch then carries only the query points.
+"""
+
+import copy
+from types import MethodType
+
+import numpy as np
+
+from ..config import settings
+from .stochastic import CompiledFn, _prep_matrix, _prep_vector
+
+__all__ = ["Predictor"]
+
+
+class Predictor:
+    """Bound (process, params, factorized posterior state) for streaming
+    prediction.
+
+    >>> pr = gp.predictor(params)          # one O(n^3) factorization
+    >>> out = pr(x_query)                  # matmul-only statistics
+    >>> mu = pr.mean(space=x_other)        # any statistic (keyword args)
+
+    Internals: a shallow clone of the process whose ``_call_method`` bakes
+    (hypers + posterior state + observed data) into per-statistic jitted
+    functions of (space, vector) only.  Each statistic compiles once per
+    query shape, then streams.
+
+    The state snapshots the process's observed ``inputs``/``outputs`` at
+    construction; changing them later (``observed``) invalidates the
+    predictor — use raises, rebuild with ``process.predictor(params)``.
+    Changing only the plotting ``space``/``hidden`` does not invalidate.
+    """
+
+    def __init__(self, process, params=None):
+        if params is None:
+            params = process.params
+        self.process = process
+        self.params = dict(process.filter_params(params))
+        self._inputs_ref = process._inputs
+        self._outputs_ref = process._outputs
+        state = process.posterior_state(self.params)
+        self.state = state
+
+        import jax.numpy as jnp
+
+        merged = {k: jnp.asarray(np.asarray(v, settings.floatx))
+                  for k, v in self.params.items()}
+        merged.update(state)
+
+        clone = copy.copy(process)
+        clone.compiles = {}
+        inputs_c = jnp.asarray(process._inputs)
+        outputs_c = jnp.asarray(process._outputs)
+
+        def _call_method(cself, th_name, params=None, space=None, inputs=None,
+                         outputs=None, vector=None, prior=False, noise=False,
+                         array=False, *args, **kwargs):
+            self._check()
+            space = cself._space if space is None else _prep_matrix(space)
+            if vector is None:
+                vector = np.zeros(len(space), dtype=settings.floatx)
+            else:
+                vector = _prep_vector(vector)
+            name = cself._cache_name(th_name, prior, noise, args, kwargs)
+            if name not in cself.compiles:
+                pure = getattr(cself, th_name)(prior=prior, noise=noise,
+                                               *args, **kwargs)
+
+                def baked(s, v, _pure=pure):
+                    return _pure(merged, s, inputs_c, outputs_c, v)
+
+                cself.compiles[name] = CompiledFn(baked, name)
+            return cself.compiles[name](space, vector)
+
+        clone._call_method = MethodType(_call_method, clone)
+        # the runtime statistic methods (mean/std/...) were bound on the
+        # ORIGINAL instance at construction and close over it — rebind them
+        # so they dispatch through the baked _call_method above
+        for public, th_name in type(process)._dispatch_methods.items():
+            if hasattr(process, public):
+                setattr(clone, public,
+                        clone._make_runtime_method(public, th_name))
+        self._clone = clone
+
+    # ------------------------------------------------------------------ guard
+    def _check(self):
+        if (self.process._inputs is not self._inputs_ref
+                or self.process._outputs is not self._outputs_ref):
+            raise ValueError(
+                "the process's observed data changed after this Predictor's "
+                "factorization — rebuild it with process.predictor(params)")
+
+    # ------------------------------------------------------------- statistics
+    def predict(self, space=None, **kwargs):
+        """Full statistics dict (same keys as ``process.predict``), every
+        statistic a baked matmul program sharing the one factorization."""
+        self._check()
+        return self._clone.predict(space=space, **kwargs)
+
+    def __call__(self, space=None, **kwargs):
+        return self.predict(space=space, **kwargs)
+
+    @property
+    def executed(self):
+        return self._clone.executed
+
+    def __getattr__(self, name):
+        # Delegate any statistic (mean/std/quantiler/sampler/
+        # logpredictive/...) to the baked clone.  Arguments must be passed
+        # by keyword (the positional slot of the runtime methods is params,
+        # which the baked path ignores).
+        if name.startswith("_"):
+            raise AttributeError(name)
+        target = getattr(self._clone, name)
+        if not callable(target):
+            raise AttributeError(name)
+
+        def bound(*args, **kwargs):
+            self._check()
+            return target(*args, **kwargs)
+
+        bound.__name__ = name
+        return bound

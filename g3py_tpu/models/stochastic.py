@@ -466,7 +466,14 @@ class StochasticProcess(PlotModel):
         if params is None:
             params = self.active.dict_to_array(self.params) if array else self.params
         elif not array and isinstance(params, dict):
+            # ``_state_`` keys carry precomputed posterior factorizations
+            # (elliptical.posterior_state) — not hypers; keep them across
+            # the filter
+            state = {k: v for k, v in params.items()
+                     if isinstance(k, str) and k.startswith("_state_")}
             params = self.filter_params(params)
+            if state:
+                params = dict(params, **state)
         if inputs is None and not self.is_observed:
             prior = True
         space, inputs, outputs = self._resolve_data(space, inputs, outputs)
@@ -492,7 +499,11 @@ class StochasticProcess(PlotModel):
             name = aname
             params = np.asarray(params, dtype=settings.floatx)
         else:
-            params = {k: asarray_x(v) for k, v in params.items()}
+            # keep already-on-device arrays (posterior-state matrices can be
+            # O(n^2) — round-tripping them through numpy every call would
+            # dominate the serving fast path)
+            params = {k: (v if isinstance(v, jax.Array) else asarray_x(v))
+                      for k, v in params.items()}
         return self.compiles[name](params, space, inputs, outputs, vector)
 
     def _call_method_vrows(self, th_name, rows, space=None, inputs=None,

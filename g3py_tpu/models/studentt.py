@@ -103,9 +103,14 @@ class StudentTProcess(EllipticalProcess):
         degree = self.f_degree
 
         def fn(params, space, inputs, outputs, vector):
-            chol = self._obs_chol(params, inputs)
-            resid = to_num(mapping.inv(params, outputs)) - location(params, inputs)
-            alpha = solve_lower_triangular(chol, resid)
+            from .elliptical import STATE_OBS_Z
+            if STATE_OBS_Z in params:  # precomputed whitened residual
+                alpha = params[STATE_OBS_Z]
+            else:
+                chol = self._obs_chol(params, inputs)
+                resid = to_num(mapping.inv(params, outputs)) - location(
+                    params, inputs)
+                alpha = solve_lower_triangular(chol, resid)
             beta = jnp.dot(alpha, alpha)
             n = jnp.asarray(jnp.shape(inputs)[0], settings.dtype)
             nu = degree(params)

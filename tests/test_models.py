@@ -216,3 +216,80 @@ class TestIterativeModelNLL:
 
         g_ = jax.grad(f)(u0)
         assert np.all(np.isfinite(np.asarray(g_)))
+
+
+class TestPredictor:
+    """Serving fast path: one factorization, matmul-only statistics
+    (models/predictor.py; the reference re-factorized per statistic,
+    reference stochastic.py:444-513)."""
+
+    def _build(self, cls, rng, mapping=False, name="PR"):
+        import g3py_tpu as g3
+
+        x = np.linspace(0, 10, 60, dtype=np.float32).reshape(-1, 1)
+        y = (np.abs(np.sin(x[:, 0])) + 0.5
+             + 0.05 * rng.standard_normal(60)).astype(np.float32)
+        kws = dict(space=x, location=g3.Bias(), kernel=g3.SE(x), name=name)
+        if mapping:
+            kws["mapping"] = g3.BoxCoxLinear(y)
+        sp = cls(**kws)
+        sp.observed(x, y)
+        return sp, x, y
+
+    @pytest.mark.parametrize("family,mapping", [
+        ("GP", False), ("WGP", True), ("TP", False)])
+    def test_matches_unfactored_predict(self, rng, family, mapping):
+        import g3py_tpu as g3
+
+        cls = {"GP": g3.GP, "WGP": g3.WGP, "TP": g3.TP}[family]
+        sp, x, y = self._build(cls, rng, mapping=mapping,
+                               name=family + "PRED")
+        xq = np.linspace(-1, 11, 40, dtype=np.float32).reshape(-1, 1)
+        params = sp.params_default
+        cov = family != "WGP"  # warped covariance is not analytic
+        base = sp.predict(params=params, space=xq, quantiles=True, var=True,
+                          cov=cov)
+        pr = sp.predictor(params)
+        fast = pr(xq, quantiles=True, var=True, cov=cov)
+        assert set(base.keys()) == set(fast.keys())
+        for k in base:
+            b, f = np.asarray(base[k]), np.asarray(fast[k])
+            np.testing.assert_allclose(f, b, rtol=2e-4, atol=2e-4,
+                                       err_msg=f"{family} {k}")
+        # delegated single statistics and the executed-counter contract:
+        # the observed gram is factored exactly once, in posterior_state
+        mu = pr.mean(space=xq)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(base["mean"]),
+                                   rtol=2e-4, atol=2e-4)
+        assert sp.compiles["posterior_state"].executed == 1
+
+    def test_logpredictive_and_sampler_use_state(self, rng):
+        import g3py_tpu as g3
+
+        sp, x, y = self._build(g3.GP, rng, name="GPPREDLP")
+        xq = np.linspace(0, 10, 25, dtype=np.float32).reshape(-1, 1)
+        params = sp.params_default
+        pr = sp.predictor(params)
+        base = sp.predict(params=params, space=xq, distribution=True)
+        fast = pr(xq, distribution=True)
+        v = np.asarray(base["mean"])
+        assert float(fast["logpredictive"](v)) == pytest.approx(
+            float(base["logpredictive"](v)), rel=1e-5)
+        s = pr.sampler(space=xq, samples=3, rng=np.random.default_rng(0))
+        sb = sp.sampler(params, space=xq, samples=3,
+                        rng=np.random.default_rng(0))
+        np.testing.assert_allclose(s, sb, rtol=2e-4, atol=2e-4)
+
+    def test_stale_data_guard(self, rng):
+        import g3py_tpu as g3
+
+        sp, x, y = self._build(g3.GP, rng, name="GPPREDG")
+        pr = sp.predictor(sp.params_default)
+        _ = pr(x[:5])
+        # changing only the plotting space must NOT invalidate
+        sp.set_space(x[:10], hidden=y[:10])
+        _ = pr(x[:5])
+        # changing the observed data must
+        sp.observed(x[:30], y[:30])
+        with pytest.raises(ValueError, match="rebuild"):
+            pr(x[:5])
