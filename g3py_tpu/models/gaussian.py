@@ -271,6 +271,12 @@ class GaussianProcess(EllipticalProcess):
             return best, [(n, -v, p) for n, v, p in results]
         return best
 
+    def _quantile_p(self, params, q, prior=False, noise=False):
+        """Latent-space quantile coefficient: quantile = T(mu + p * sd)
+        (reference gaussian.py:56-73).  Host scalar; StudentT overrides
+        with the posterior-df t ppf."""
+        return np.float32(stats.norm.ppf(q))
+
     def _batch_quantile_p(self, q, rows, space=None, inputs=None, outputs=None,
                           prior=False, noise=False):
         return np.full(len(rows), stats.norm.ppf(q), dtype=settings.floatx)

@@ -116,11 +116,104 @@ class Predictor:
                 "factorization — rebuild it with process.predictor(params)")
 
     # ------------------------------------------------------------- statistics
-    def predict(self, space=None, **kwargs):
-        """Full statistics dict (same keys as ``process.predict``), every
-        statistic a baked matmul program sharing the one factorization."""
+    def predict(self, space=None, mean=True, std=True, var=False, cov=False,
+                median=False, quantiles=False, quantiles_noise=False,
+                samples=0, distribution=False, prior=False, noise=False,
+                simulations=None, fused=True):
+        """Full statistics dict (same keys as ``process.predict``).
+
+        With ``fused=True`` (default) every requested analytic statistic is
+        computed by ONE compiled call — one dispatch, one host sync per
+        query batch instead of one per statistic (XLA CSE shares the
+        location/sd subgraphs; quantiles use the class's latent-coefficient
+        hook ``_quantile_p``).  Monte-Carlo ``simulations`` and ``fused=
+        False`` fall back to the per-statistic path."""
         self._check()
-        return self._clone.predict(space=space, **kwargs)
+        clone = self._clone
+        if simulations is not None or not fused:
+            return clone.predict(
+                space=space, mean=mean, std=std, var=var, cov=cov,
+                median=median, quantiles=quantiles,
+                quantiles_noise=quantiles_noise, samples=samples,
+                distribution=distribution, prior=prior, noise=noise,
+                simulations=simulations)
+        if not clone.is_observed:
+            prior = True
+
+        from ..utils import DictObj
+
+        spec = []  # (output key, th builder name or ("q", p), noise flag)
+        if mean:
+            spec.append(("mean", "th_mean", noise))
+        if var:
+            spec.append(("variance", "th_variance", noise))
+        if std:
+            spec.append(("std", "th_std", noise))
+        if cov:
+            spec.append(("covariance", "th_covariance", noise))
+        if median:
+            spec.append(("median", "th_median", noise))
+        if quantiles:
+            spec.append(("quantile_up",
+                         ("q", clone._quantile_p(self.params, 0.975,
+                                                 prior=prior, noise=noise)),
+                         noise))
+            spec.append(("quantile_down",
+                         ("q", clone._quantile_p(self.params, 0.025,
+                                                 prior=prior, noise=noise)),
+                         noise))
+        if quantiles_noise:
+            spec.append(("noise_std", "th_std", True))
+            spec.append(("noise_up",
+                         ("q", clone._quantile_p(self.params, 0.975,
+                                                 prior=prior, noise=True)),
+                         True))
+            spec.append(("noise_down",
+                         ("q", clone._quantile_p(self.params, 0.025,
+                                                 prior=prior, noise=True)),
+                         True))
+
+        values = DictObj()
+        if spec:
+            bname = "th_bundle_" + ("prior__" if prior else "") + "__".join(
+                k + (f"@{s[1]:.6g}" if isinstance(s, tuple) else "")
+                + ("n" if nz else "")
+                for k, s, nz in spec)
+            if not hasattr(clone, bname):
+                parts = []
+                for out_key, s, nz in spec:
+                    if isinstance(s, tuple):  # latent quantile T(mu + p sd)
+                        loc_fn = clone.th_location(prior=prior, noise=nz)
+                        sd_fn = clone.th_kernel_sd(prior=prior, noise=nz)
+                        mapping = clone.f_mapping
+
+                        def f(params, sp, i, o, v, _l=loc_fn, _s=sd_fn,
+                              _p=s[1], _m=mapping):
+                            return _m(params, _l(params, sp, i, o, v)
+                                      + _p * _s(params, sp, i, o, v))
+                    else:
+                        f = getattr(clone, s)(prior=prior, noise=nz)
+                    parts.append((out_key, f))
+
+                def make_bundle(_parts):
+                    def bundle_builder(prior=False, noise=False):
+                        def bundle(params, sp, i, o, v):
+                            return {k: fn(params, sp, i, o, v)
+                                    for k, fn in _parts}
+                        return bundle
+                    return bundle_builder
+
+                setattr(clone, bname, make_bundle(parts))
+            out = clone._call_method(bname, space=space, prior=prior,
+                                     noise=noise)
+            values.update(out)
+        if samples > 0:
+            values["samples"] = clone.sampler(None, space, samples=samples,
+                                              prior=prior, noise=noise)
+        if distribution:
+            values["logpredictive"] = lambda x: clone.logpredictive(
+                None, space, vector=x, prior=prior, noise=True)
+        return values
 
     def __call__(self, space=None, **kwargs):
         return self.predict(space=space, **kwargs)

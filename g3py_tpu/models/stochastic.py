@@ -54,6 +54,8 @@ class CompiledFn:
     def __call__(self, *args):
         self.executed += 1
         out = self.fn(*args)
+        if isinstance(out, dict):  # fused statistic bundles
+            return {k: np.asarray(v) for k, v in out.items()}
         return np.asarray(out)
 
 

@@ -169,6 +169,12 @@ class StudentTProcess(EllipticalProcess):
         latent = loc + p * sd
         return self.mapping(params, space, inputs, outputs, vector=latent)
 
+    def _quantile_p(self, params, q, prior=False, noise=False):
+        """Student-t latent quantile coefficient at the posterior df
+        (reference studentT.py:51-55)."""
+        df = float(self.freedom(params, prior=prior, noise=noise))
+        return np.float32(stats.t.ppf(q, df=df))
+
     def _batch_quantile_p(self, q, rows, space=None, inputs=None, outputs=None,
                           prior=False, noise=False):
         df = np.asarray(self._call_method_vrows(

@@ -293,3 +293,41 @@ class TestPredictor:
         sp.observed(x[:30], y[:30])
         with pytest.raises(ValueError, match="rebuild"):
             pr(x[:5])
+
+    def test_fused_bundle_single_dispatch(self, rng):
+        """The fused predict computes every analytic statistic in ONE
+        compiled call (one dispatch per query batch)."""
+        import g3py_tpu as g3
+
+        sp, x, y = self._build(g3.GP, rng, name="GPPREDF")
+        xq = np.linspace(0, 10, 30, dtype=np.float32).reshape(-1, 1)
+        params = sp.params_default
+        pr = sp.predictor(params)
+        base = sp.predict(params=params, space=xq, quantiles=True,
+                          quantiles_noise=True, var=True, median=True)
+        fast = pr(xq, quantiles=True, quantiles_noise=True, var=True,
+                  median=True)
+        assert set(base.keys()) == set(fast.keys())
+        for k in base:
+            np.testing.assert_allclose(
+                np.asarray(fast[k]), np.asarray(base[k]), rtol=2e-4,
+                atol=2e-4, err_msg=k)
+        bundles = [k for k in pr._clone.compiles if k.startswith("posterior_bundle")
+                   or "_bundle_" in k]
+        assert len(bundles) == 1, pr._clone.compiles.keys()
+        n0 = pr._clone.compiles[bundles[0]].executed
+        _ = pr(xq, quantiles=True, quantiles_noise=True, var=True, median=True)
+        assert pr._clone.compiles[bundles[0]].executed == n0 + 1
+
+    def test_fused_matches_per_statistic_tp(self, rng):
+        import g3py_tpu as g3
+
+        sp, x, y = self._build(g3.TP, rng, name="TPPREDF")
+        xq = np.linspace(0, 10, 30, dtype=np.float32).reshape(-1, 1)
+        pr = sp.predictor(sp.params_default)
+        fast = pr(xq, quantiles=True)
+        slow = pr._clone.predict(space=xq, quantiles=True)
+        for k in slow:
+            np.testing.assert_allclose(
+                np.asarray(fast[k]), np.asarray(slow[k]), rtol=2e-4,
+                atol=2e-4, err_msg=k)
