@@ -254,24 +254,31 @@ _nuts_warmup_jit = partial(jax.jit, static_argnames=("logp_fn", "warmup",
     _nuts_warmup_impl)
 
 
-def nuts_warmup(logp, z0, warmup=200, key=None, max_depth=8, adapt_mass=True):
+def nuts_warmup(logp, z0, warmup=200, key=None, max_depth=8, adapt_mass=True,
+                target_accept=0.8):
     """Adapt step size + diagonal mass; returns (z_adapted, eps, inv_mass)."""
     if key is None or isinstance(key, int):
         key = random.PRNGKey(0 if key is None else key)
     z0 = jnp.asarray(z0, settings.dtype)
     z, eps, inv_mass = _nuts_warmup_jit(logp, z0, key, warmup, max_depth,
+                                        target=target_accept,
                                         adapt_mass=adapt_mass)
     return np.asarray(z), float(eps), np.asarray(inv_mass)
 
 
 def nuts_sampler(logp, z0, samples, eps=None, warmup=200, key=None,
-                 max_depth=8, chains=1, adapt_mass=True):
+                 max_depth=8, chains=1, adapt_mass=True, target_accept=0.8):
     """Run NUTS; returns (chain (chains, samples, ndim),
     lnprob (chains, samples), info dict).
 
     ``logp`` must be a traceable scalar log-density of the flat
     unconstrained parameter vector (every process exposes one through its
     pure-logp machinery; see ``StochasticProcess._sampling_logps``).
+
+    ``target_accept``: dual-averaging acceptance target.  Raise toward
+    0.95-0.99 on posteriors that report divergences (GP hyper posteriors
+    have funnel-like curvature; a smaller adapted step trades tree depth
+    for validity — Stan's ``adapt_delta`` guidance applies).
     """
     if key is None or isinstance(key, int):
         key = random.PRNGKey(0 if key is None else key)
@@ -285,6 +292,7 @@ def nuts_sampler(logp, z0, samples, eps=None, warmup=200, key=None,
         warm_keys = random.split(k_warm, n_chains)
         zs, epss, inv_masses = jax.vmap(
             lambda k, z: _nuts_warmup_impl(logp, z, k, warmup, max_depth,
+                                           target=target_accept,
                                            adapt_mass=adapt_mass)
         )(warm_keys, z0)
         z0 = zs

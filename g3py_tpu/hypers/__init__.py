@@ -404,8 +404,17 @@ class Hypers:
 
     # -- hyper registration ---------------------------------------------------
     def _param(self, current, name, prior, shape=()):
-        """Create-or-pass-through one hyper slot."""
-        if current is None:
+        """Create-or-pass-through one hyper slot.
+
+        ``current`` may be: None (create with the component's default
+        prior), a ``Param`` (pass through), a ``Prior`` instance (create
+        the slot under the conventional name but with that prior — the
+        ergonomic way to override a prior, e.g.
+        ``GP(..., var_noise=Exponential(1.0))``, paralleling the
+        reference's custom-RV hypers), or a fixed numeric constant."""
+        if isinstance(current, Prior):
+            current = Param(name, shape=shape, prior=current)
+        elif current is None:
             current = Param(name, shape=shape, prior=prior)
         if isinstance(current, Param):
             self.hypers.append(current)

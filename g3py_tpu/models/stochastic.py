@@ -1018,7 +1018,7 @@ class StochasticProcess(PlotModel):
                       burnin_method="multi-sum", outlayer_percentile=0.0005,
                       clusters=None, prior=False, parallel=False, threads=1,
                       plot=False, file=None, load=True, seed=0, method="ensemble",
-                      nuts_warmup=200, max_depth=8):
+                      nuts_warmup=200, max_depth=8, target_accept=0.8):
         """MCMC over the hyperparameter posterior (reference :676-800).
 
         ``method='ensemble'`` (default) is the reference's affine-invariant
@@ -1070,7 +1070,8 @@ class StochasticProcess(PlotModel):
                                   ).astype(settings.floatx))
             echain, lnprob, _info = nuts_sampler(
                 logp_tr, z0, samples, warmup=nuts_warmup, key=seed,
-                max_depth=max_depth, chains=chains)
+                max_depth=max_depth, chains=chains,
+                target_accept=target_accept)
         else:
             lnprob, echain = mcmc_ensemble(
                 ndim, samples=samples, chains=chains, ntemps=ntemps, start=start,

@@ -281,3 +281,30 @@ class TestFreedom:
         f.check_hypers("T_")
         params = {p.name: np.asarray(v, np.float32) for p, v in f.default_hypers(x, y).items()}
         assert float(f(params)) == pytest.approx(2.0 + len(y))
+
+
+class TestPriorInstanceHyper:
+    def test_prior_instance_overrides_default(self):
+        """A Prior instance passed as a hyper value creates the slot under
+        the conventional name with that prior (round-3 ergonomic API)."""
+        import numpy as np
+        import g3py_tpu as g3
+        from g3py_tpu.hypers import Exponential
+
+        rng = np.random.default_rng(0)
+        x = np.linspace(0, 5, 20, dtype=np.float32).reshape(-1, 1)
+        y = np.sin(x[:, 0]).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                   name="PRIAPI", var_noise=Exponential(2.0))
+        gp.observed(x, y)
+        assert "PRIAPI_Noise_var" in gp.params_default
+        reg = gp.active
+        p = [p for p in reg.ordered_params if p.name == "PRIAPI_Noise_var"][0]
+        assert isinstance(p.prior, Exponential) and p.prior.lam == 2.0
+        # prior logp term actually contributes: lam sensitivity
+        params = dict(gp.params_default)
+        lp = gp.logp(params)
+        params2 = dict(params, PRIAPI_Noise_var=np.float32(
+            float(params["PRIAPI_Noise_var"]) * 2.0))
+        lp2 = gp.logp(params2)
+        assert np.isfinite(lp) and np.isfinite(lp2) and lp != lp2
