@@ -31,6 +31,7 @@ MODULES = [
     "tut07_multi_output",
     "tut08_graphical_models",
     "tut09_large_scale",
+    "tut10_serving",
 ]
 
 
