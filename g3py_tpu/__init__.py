@@ -229,6 +229,8 @@ from .bayesian import (
     PlotModel,
     optimize,
     Experiment,
+    fit_splits,
+    lbfgs_fanout,
     ensemble_sampler,
     pt_sampler,
     hmc_sampler,

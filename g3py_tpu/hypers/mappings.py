@@ -63,9 +63,15 @@ class Mapping(Hypers):
         elementwise map is diagonal, and d(sum inv)/dy_i = d inv_i/dy_i
         (reference computed the full tt.jacobian diagonal,
         mappings.py:20-23)."""
+        return jnp.sum(self.logdet_dinv_elem(params, y))
+
+    def logdet_dinv_elem(self, params, y):
+        """Per-element ``log dT^{-1}/dy_i`` (elementwise warpings have
+        diagonal Jacobians).  Masked-observation loglikes sum a subset of
+        these terms (gaussian.th_loglike_masked_fn)."""
         y = jnp.asarray(y)
         diag = jax.grad(lambda v: jnp.sum(self.inv(params, v)))(y)
-        return jnp.sum(jnp.log(diag))
+        return jnp.log(diag)
 
     def __matmul__(self, other):
         return MappingComposed(self, other)

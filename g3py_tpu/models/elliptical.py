@@ -124,8 +124,14 @@ class EllipticalProcess(StochasticProcess):
 
             def pure(p, space, inputs, outputs, vector):
                 chol = safe_cholesky(to_cov(kernel_noise.cov(p, inputs)))
+                # the factorization runs ONCE per predictor — pick the
+                # block for compile cost (fewer unrolled panels), not the
+                # last few ms of runtime (2048: 46s compile / 77.5ms at
+                # 16k vs 1024: 74s / 67.2ms on the hosted tunnel)
+                nobs = inputs.shape[0]
                 linv = blocked_trtri(
-                    chol, block=_trtri_block_for(inputs.shape[0]))
+                    chol, block=nobs if nobs <= 512 else
+                    (512 if nobs <= 4096 else 2048))
                 resid = to_num(mapping.inv(p, outputs)) - location(p, inputs)
                 z = jnp.matmul(linv, resid,
                                precision=settings.matmul_precision)

@@ -109,6 +109,54 @@ class GaussianProcess(EllipticalProcess):
 
         return fn
 
+    def th_loglike_masked_fn(self):
+        """Masked-observation loglikelihood ``fn(params, inputs, outputs,
+        w)`` with ``w`` a {0,1} inclusion vector — EXACTLY the loglike of
+        the included submatrix, at one static shape for every split.
+
+        Excluded coordinates are decoupled from the gram by replacing
+        their rows/columns with identity rows (``K_w = w w' o K +
+        diag(1-w)``) and zeroing their residuals: the Cholesky then
+        factors block-diagonally, the excluded block contributing zero to
+        both the quadratic form and the log-determinant.  This turns the
+        reference's per-split recompiles (``random_obs`` subsampling,
+        reference data.py:129-164 feeding new shared-variable shapes) into
+        a vmappable axis — the enabler for training a whole Experiment
+        grid of splits on-device at once (bayesian/fanout.py)."""
+        mapping = self.f_mapping
+        location = self.f_location
+        kernel_noise = self.f_kernel_noise
+
+        def fn(params, inputs, outputs, w):
+            w = jnp.asarray(w, settings.dtype)
+            mu = location(params, inputs)
+            cov = to_cov(kernel_noise.cov(params, inputs))
+            covw = cov * jnp.outer(w, w) + jnp.diag(1.0 - w)
+            tinv = to_num(mapping.inv(params, outputs))
+            resid = (tinv - mu) * w
+            logdet_map = jnp.sum(
+                mapping.logdet_dinv_elem(params, outputs) * w)
+            quad, logdet_half, ok = mvn_quad_logdet(covw, resid)
+            n_eff = jnp.sum(w)
+            r = (-0.5 * n_eff * LOG2PI - 0.5 * quad - logdet_half
+                 + logdet_map)
+            bad = (ok == 0) | (~jnp.isfinite(quad)) | (~jnp.isfinite(logdet_map))
+            return jnp.where(bad, GUARD, to_num(r, nan=GUARD, neginf=GUARD))
+
+        return fn
+
+    def fit_splits(self, masks, start=None, points=4, max_iters=200,
+                   tol=1e-5, noise_mult=0.2, seed=0):
+        """Train this model on every observation split at once — one
+        vmapped device program over (split, start) pairs built on the
+        masked loglike (see ``th_loglike_masked_fn`` and
+        bayesian/fanout.py).  Returns (per-split best params list,
+        (S, points) logp matrix)."""
+        from ..bayesian.fanout import fit_splits as _fit_splits
+        return _fit_splits(self, masks, start=start, points=points,
+                           max_iters=max_iters, tol=tol,
+                           noise_mult=noise_mult, seed=seed)
+
     def th_logpredictive(self, prior=False, noise=False):
         """Independent-marginal log-predictive of an arbitrary vector using
         the *diagonal* posterior cholesky (reference gaussian.py:42-54)."""

@@ -285,3 +285,84 @@ class TestHoldoutSelection:
         assert len(res) == 1
         assert "valid_l1" in res.columns
         assert np.isfinite(res["test_l1"].iloc[0])
+
+
+class TestFanout:
+    """Masked-observation loglike + on-device (split x start) fan-out
+    (bayesian/fanout.py; the reference trained each Experiment cell
+    sequentially through scipy, selection.py:183-292)."""
+
+    def _data(self, n=50):
+        rng = np.random.default_rng(0)
+        x = np.linspace(0, 10, n, dtype=np.float32).reshape(-1, 1)
+        y = (np.abs(np.sin(x[:, 0])) + 0.5
+             + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        return rng, x, y
+
+    @pytest.mark.parametrize("family", ["GP", "WGP"])
+    def test_masked_loglike_equals_submodel(self, family):
+        import jax.numpy as jnp
+        import g3py_tpu as g3
+
+        rng, x, y = self._data()
+        n = len(x)
+        cls = {"GP": g3.GP, "WGP": g3.WGP}[family]
+        name = family + "MSKT"
+        mk = {"mapping": g3.BoxCoxLinear(y)} if family == "WGP" else {}
+        sp = cls(space=x, location=g3.Bias(), kernel=g3.SE(x), name=name, **mk)
+        sp.observed(x, y)
+        like_m = sp.th_loglike_masked_fn()
+        idx = np.sort(rng.choice(n, 30, replace=False))
+        w = np.zeros(n, np.float32)
+        w[idx] = 1.0
+        params = {k: jnp.asarray(v) for k, v in sp.params_default.items()}
+        lm = float(like_m(params, jnp.asarray(x), jnp.asarray(y),
+                          jnp.asarray(w)))
+        mk2 = {"mapping": g3.BoxCoxLinear(y[idx])} if family == "WGP" else {}
+        sub = cls(space=x[idx], location=g3.Bias(), kernel=g3.SE(x[idx]),
+                  name=name + "SUB", **mk2)
+        sub.observed(x[idx], y[idx])
+        pv = {k.replace(name, name + "SUB", 1): v
+              for k, v in sp.params_default.items()}
+        assert lm == pytest.approx(float(sub.loglike(pv)), abs=1e-4)
+        # differentiable
+        import jax
+        u0 = jnp.asarray(sp.active.dict_to_array(sp.params_default))
+        g_ = jax.grad(lambda u: like_m(sp.active.array_to_dict_jax(u),
+                                       jnp.asarray(x), jnp.asarray(y),
+                                       jnp.asarray(w)))(u0)
+        assert np.all(np.isfinite(np.asarray(g_)))
+
+    def test_fit_splits_matches_sequential_map(self):
+        import g3py_tpu as g3
+
+        rng, x, y = self._data(60)
+        n = len(x)
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x), name="FST")
+        gp.observed(x, y)
+        S = 2
+        masks = np.zeros((S, n), np.float32)
+        for i in range(S):
+            masks[i, np.sort(rng.choice(n, 40, replace=False))] = 1.0
+        plist, vals = gp.fit_splits(masks, points=2, seed=1)
+        assert vals.shape == (S, 2) and len(plist) == S
+        for i in range(S):
+            idx = np.where(masks[i] > 0)[0]
+            sub = g3.GP(space=x[idx], location=g3.Bias(),
+                        kernel=g3.SE(x[idx]), name=f"FSTS{i}")
+            sub.observed(x[idx], y[idx])
+            lp_scipy = sub.logp(sub.find_MAP(points=2, display=False))
+            assert vals[i].max() > lp_scipy - 1.5
+
+    def test_fit_splits_rejects_fix_vars(self):
+        import g3py_tpu as g3
+
+        rng, x, y = self._data(30)
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x), name="FSTFX")
+        gp.observed(x, y)
+        gp.active.fixed_datatrace = object()  # simulate fix_vars state
+        try:
+            with pytest.raises(ValueError, match="fix_vars"):
+                gp.fit_splits(np.ones((1, len(x)), np.float32))
+        finally:
+            gp.active.fixed_datatrace = None
