@@ -4,7 +4,7 @@
 from .registry import GraphicalModel, Model, get_model
 from .models import PlotModel
 from .selection import optimize, Experiment
-from .fanout import lbfgs_fanout, fit_splits
+from .fanout import lbfgs_fanout, lbfgs_fanout_sharded, fit_splits
 from .samplers import ensemble_sampler, pt_sampler, hmc_sampler, mcmc_ensemble
 from .nuts import nuts_sampler, nuts_warmup
 from .average import (

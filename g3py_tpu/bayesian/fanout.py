@@ -28,7 +28,7 @@ from jax import lax
 from ..config import settings
 from ..utils import DictObj
 
-__all__ = ["lbfgs_fanout", "fit_splits"]
+__all__ = ["lbfgs_fanout", "lbfgs_fanout_sharded", "fit_splits"]
 
 
 @partial(jax.jit, static_argnames=("obj_fn", "max_iters"))
@@ -72,8 +72,35 @@ def lbfgs_fanout(obj_fn, starts, masks, max_iters, tol):
     return jax.vmap(run_one)(starts, masks)
 
 
+def lbfgs_fanout_sharded(obj_fn, starts, masks, max_iters=200, tol=1e-5,
+                         mesh=None):
+    """``lbfgs_fanout`` with the pair axis sharded over a device mesh —
+    the TPU-native Experiment fan-out (SURVEY 2.7: independent
+    simulations are embarrassingly parallel; here they partition over the
+    mesh instead of over processes).  Pads the pair count to a multiple of
+    the mesh size; each device optimizes its shard of (start, mask) pairs
+    simultaneously under the same jitted program."""
+    from ..parallel.mesh import make_mesh, data_sharding
+
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = int(np.prod(mesh.devices.shape))
+    starts = np.asarray(starts, settings.floatx)
+    masks = np.asarray(masks, settings.floatx)
+    p = len(starts)
+    pad = (-p) % ndev
+    if pad:
+        starts = np.concatenate([starts, np.repeat(starts[-1:], pad, 0)])
+        masks = np.concatenate([masks, np.repeat(masks[-1:], pad, 0)])
+    sh = data_sharding(mesh, rank=2)
+    starts_d = jax.device_put(jnp.asarray(starts), sh)
+    masks_d = jax.device_put(jnp.asarray(masks), sh)
+    pts, vals = lbfgs_fanout(obj_fn, starts_d, masks_d, max_iters, tol)
+    return np.asarray(pts)[:p], np.asarray(vals)[:p]
+
+
 def fit_splits(process, masks, start=None, points=4, max_iters=200,
-               tol=1e-5, noise_mult=0.2, seed=0):
+               tol=1e-5, noise_mult=0.2, seed=0, shard=False, mesh=None):
     """MAP-train a GP-family process on every observation split at once.
 
     ``masks``: (S, n_obs) {0,1} inclusion rows over the process's current
@@ -86,8 +113,10 @@ def fit_splits(process, masks, start=None, points=4, max_iters=200,
     Returns ``(params_list, values)``: per-split best-start natural-space
     param dicts, and the (S, points) final posterior-logp matrix.
 
-    Not supported with ``fix_vars`` (the masked objective spans the full
-    unconstrained vector)."""
+    ``shard=True`` partitions the (split, start) pair axis over a device
+    mesh (``mesh`` or all devices) — each device trains its shard of the
+    grid in parallel.  Not supported with ``fix_vars`` (the masked
+    objective spans the full unconstrained vector)."""
     reg = process.active
     if reg.fixed_datatrace is not None:
         raise ValueError("fit_splits does not support fix_vars")
@@ -119,9 +148,14 @@ def fit_splits(process, masks, start=None, points=4, max_iters=200,
     u0 = np.broadcast_to(starts[None], (S, K, base.size)).reshape(S * K, -1)
     wv = np.broadcast_to(masks[:, None, :], (S, K, masks.shape[1])
                          ).reshape(S * K, -1)
-    pts, vals = lbfgs_fanout(obj, jnp.asarray(np.ascontiguousarray(u0)),
-                             jnp.asarray(np.ascontiguousarray(wv)),
-                             max_iters, tol)
+    if shard:
+        pts, vals = lbfgs_fanout_sharded(
+            obj, np.ascontiguousarray(u0), np.ascontiguousarray(wv),
+            max_iters=max_iters, tol=tol, mesh=mesh)
+    else:
+        pts, vals = lbfgs_fanout(obj, jnp.asarray(np.ascontiguousarray(u0)),
+                                 jnp.asarray(np.ascontiguousarray(wv)),
+                                 max_iters, tol)
     vals = np.asarray(vals).reshape(S, K)
     pts = np.asarray(pts).reshape(S, K, -1)
     best = vals.argmax(axis=1)

@@ -93,6 +93,50 @@ class StudentTProcess(EllipticalProcess):
 
         return fn
 
+    def th_loglike_masked_fn(self):
+        """Masked-observation multivariate-t loglike (same identity-row
+        gram surgery as the gaussian version, gaussian.py
+        ``th_loglike_masked_fn``): n becomes n_eff = sum(w) in every
+        density term, so one static shape serves every split — exactly the
+        submatrix model's loglike at the same ``degree`` value."""
+        mapping = self.f_mapping
+        location = self.f_location
+        degree = self.f_degree
+        kernel_noise = self.f_kernel_noise
+
+        def fn(params, inputs, outputs, w):
+            w = jnp.asarray(w, settings.dtype)
+            mu = location(params, inputs)
+            cov = to_cov(kernel_noise.cov(params, inputs))
+            covw = cov * jnp.outer(w, w) + jnp.diag(1.0 - w)
+            tinv = to_num(mapping.inv(params, outputs))
+            resid = (tinv - mu) * w
+            logdet_map = jnp.sum(
+                mapping.logdet_dinv_elem(params, outputs) * w)
+            nu = degree(params)
+            beta, logdet_half, ok = mvn_quad_logdet(covw, resid)
+            n = jnp.sum(w)
+            pi_x = jnp.asarray(np.pi, settings.dtype)
+            r1 = -0.5 * (nu + n) * jnp.log1p(beta / (nu - 2.0))
+            gaussian_limit = -n * 0.5 * jnp.log(2.0 * pi_x)
+            student = (gammaln((nu + n) * 0.5) - gammaln(nu * 0.5)
+                       - 0.5 * n * jnp.log((nu - 2.0) * pi_x))
+            r2 = jnp.where(nu >= 1e6, gaussian_limit, student)
+            r = r1 + r2 - logdet_half + logdet_map
+            bad = (ok == 0) | (~jnp.isfinite(beta)) | (~jnp.isfinite(logdet_map))
+            return jnp.where(bad, GUARD, to_num(r, nan=GUARD, neginf=GUARD))
+
+        return fn
+
+    def fit_splits(self, masks, start=None, points=4, max_iters=200,
+                   tol=1e-5, noise_mult=0.2, seed=0, shard=False, mesh=None):
+        """On-device (split x start) MAP fan-out (see bayesian/fanout.py)."""
+        from ..bayesian.fanout import fit_splits as _fit_splits
+        return _fit_splits(self, masks, start=start, points=points,
+                           max_iters=max_iters, tol=tol,
+                           noise_mult=noise_mult, seed=seed, shard=shard,
+                           mesh=mesh)
+
     # -- posterior scaling (reference studentT.py:36-49) -----------------------
     def _scaling_fn(self, prior):
         if prior:

@@ -366,3 +366,47 @@ class TestFanout:
                 gp.fit_splits(np.ones((1, len(x)), np.float32))
         finally:
             gp.active.fixed_datatrace = None
+
+    def test_masked_loglike_studentt(self):
+        import jax.numpy as jnp
+        import g3py_tpu as g3
+
+        rng, x, y = self._data()
+        n = len(x)
+        sp = g3.TP(space=x, location=g3.Bias(), kernel=g3.SE(x), name="TPMSKT")
+        sp.observed(x, y)
+        like_m = sp.th_loglike_masked_fn()
+        idx = np.sort(rng.choice(n, 30, replace=False))
+        w = np.zeros(n, np.float32)
+        w[idx] = 1.0
+        # pin the degree so full and sub models use the same nu (the
+        # Freedom default is n_obs, which differs between them)
+        params = dict(sp.params_default)
+        deg_key = [k for k in params if "Freedom" in k or "degree" in k
+                   or "Degree" in k]
+        pj = {k: jnp.asarray(v) for k, v in params.items()}
+        lm = float(like_m(pj, jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)))
+        sub = g3.TP(space=x[idx], location=g3.Bias(), kernel=g3.SE(x[idx]),
+                    name="TPMSKTSUB")
+        sub.observed(x[idx], y[idx])
+        pv = {k.replace("TPMSKT", "TPMSKTSUB", 1): v
+              for k, v in params.items()}
+        assert lm == pytest.approx(float(sub.loglike(pv)), abs=1e-3)
+
+    def test_fit_splits_sharded_matches(self):
+        """shard=True partitions the pair grid over the 8-device CPU mesh
+        and must reproduce the unsharded result."""
+        import g3py_tpu as g3
+
+        rng, x, y = self._data(40)
+        n = len(x)
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x), name="FSTS")
+        gp.observed(x, y)
+        S = 3
+        masks = np.zeros((S, n), np.float32)
+        for i in range(S):
+            masks[i, np.sort(rng.choice(n, 28, replace=False))] = 1.0
+        p0, v0 = gp.fit_splits(masks, points=2, seed=1, max_iters=60)
+        p1, v1 = gp.fit_splits(masks, points=2, seed=1, max_iters=60,
+                               shard=True)
+        np.testing.assert_allclose(v1, v0, rtol=1e-3, atol=1e-2)
