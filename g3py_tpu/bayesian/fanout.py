@@ -100,7 +100,8 @@ def lbfgs_fanout_sharded(obj_fn, starts, masks, max_iters=200, tol=1e-5,
 
 
 def fit_splits(process, masks, start=None, points=4, max_iters=200,
-               tol=1e-5, noise_mult=0.2, seed=0, shard=False, mesh=None):
+               tol=1e-5, noise_mult=0.2, seed=0, shard=False, mesh=None,
+               return_points=False):
     """MAP-train a GP-family process on every observation split at once.
 
     ``masks``: (S, n_obs) {0,1} inclusion rows over the process's current
@@ -161,4 +162,6 @@ def fit_splits(process, masks, start=None, points=4, max_iters=200,
     best = vals.argmax(axis=1)
     params_list = [DictObj(reg.array_to_dict(pts[i, best[i]]))
                    for i in range(S)]
+    if return_points:
+        return params_list, vals, pts  # pts: (S, K, ndim) unconstrained
     return params_list, vals

@@ -254,6 +254,96 @@ class Experiment:
                           + str({k: v for k, v in row.items() if k.startswith('test')}))
         return self.results
 
+    def run_fanout(self, n_simulations=1, repeat=False, display=False,
+                   points=None, max_iters=200, shard=False, mesh=None):
+        """``run`` with the training grid fused on device: every
+        (simulation, start) pair of each model trains simultaneously
+        through the masked loglike (bayesian/fanout.py) instead of the
+        per-cell scipy loop — S*K optimizations per model become one
+        compiled program (13 s warm for a 4x2 grid at n=256 on the hosted
+        chip vs ~383 s per split sequentially; docs/performance.md).
+
+        Semantics vs ``run``: identical splits, scores, result rows and
+        resume behavior; start points are the FULL-data defaults plus
+        perturbations (the reference recomputed defaults per split);
+        holdout selection (when configured) picks among the grid's
+        optimized candidates by validation l2, like the reference.
+        Requires every model to expose ``th_loglike_masked_fn`` (the
+        GP/WGP/TP families)."""
+        from .fanout import fit_splits
+
+        if points is None:
+            points = max(self.points, self.starts, 1)
+        sims = {}
+        for sim in range(n_simulations):
+            if sim not in self.simulations:
+                self.simulations[sim] = self.new_data(seed=sim)
+            sims[sim] = self.simulations[sim]
+        n_all = len(self.data_x) if self.data_limit > 1 else int(
+            self.data_limit * len(self.data_x))
+        x_all = np.asarray(self.data_x[:n_all])
+        y_all = np.asarray(self.data_y[:n_all])
+        for sp in self.models:
+            if not hasattr(sp, "th_loglike_masked_fn"):
+                raise ValueError(
+                    f"model {sp.name} has no masked loglike; use run()")
+            todo = []
+            for sim in range(n_simulations):
+                done = False
+                if self.results is not None and not repeat:
+                    done = ((self.results["_simulation"] == sim)
+                            & (self.results["_model"] == sp.name)).any()
+                if not done:
+                    todo.append(sim)
+            if not todo:
+                continue
+            sp.observed(x_all, y_all)
+            masks = np.zeros((len(todo), len(x_all)), np.float32)
+            for row_i, sim in enumerate(todo):
+                masks[row_i, sims[sim][0]] = 1.0
+            t0 = time.time()
+            plist, vals, pts = fit_splits(
+                sp, masks, points=points, max_iters=max_iters, shard=shard,
+                mesh=mesh, return_points=True)
+            grid_time = time.time() - t0
+            reg = sp.active
+            for row_i, sim in enumerate(todo):
+                obs_i, valid_i, test_i = sims[sim]
+                sp.observed(x_all[obs_i], y_all[obs_i])
+                params = plist[row_i]
+                if len(valid_i):
+                    # holdout selection among this sim's optimized starts
+                    best_score = np.inf
+                    for k in range(pts.shape[1]):
+                        cand = DictObj(reg.array_to_dict(pts[row_i, k]))
+                        try:
+                            s = self.calc_scores(sp, cand, valid_i)
+                            score = float(s.get("_l2", np.inf))
+                        except Exception:
+                            score = np.inf
+                        if np.isfinite(score) and score < best_score:
+                            params, best_score = cand, score
+                row = DictObj()
+                row["_simulation"] = sim
+                row["_model"] = sp.name
+                row["time_obs"] = 0.0
+                row["time_params"] = grid_time / len(todo)
+                for k, v in self.calc_scores(sp, params, obs_i).items():
+                    row["obs" + k] = v
+                if len(valid_i):
+                    for k, v in self.calc_scores(sp, params, valid_i).items():
+                        row["valid" + k] = v
+                for k, v in self.calc_scores(sp, params, test_i).items():
+                    row["test" + k] = v
+                for k, v in params.items():
+                    row[k] = np.asarray(v)
+                self.add_result(row)
+                if display:
+                    print(f"sim {sim} model {sp.name} (fanout): "
+                          + str({k: v for k, v in row.items()
+                                 if k.startswith('test')}))
+        return self.results
+
     # -- reporting ---------------------------------------------------------------
     def describe(self, score="test_l2"):
         """Pivot results per model (reference selection.py:297-324)."""

@@ -410,3 +410,35 @@ class TestFanout:
         p1, v1 = gp.fit_splits(masks, points=2, seed=1, max_iters=60,
                                shard=True)
         np.testing.assert_allclose(v1, v0, rtol=1e-3, atol=1e-2)
+
+    def test_experiment_run_fanout_matches_run(self):
+        """run_fanout reproduces run()'s scores on identical splits
+        (fused grid vs sequential scipy), incl. holdout selection."""
+        import g3py_tpu as g3
+
+        rng, x, y = self._data(50)
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x), name="EXFT")
+        gp.observed(x, y)
+        ex = g3.Experiment(models=[gp])
+        ex.set_data(x, y, p=0.7, holdout=0.2)
+        ex.set_selection(find_MAP=True, starts=2, points=2)
+        res = ex.run_fanout(n_simulations=2, max_iters=120)
+        assert len(res) == 2
+        assert np.all(np.isfinite(res["test_l2"].astype(float)))
+
+        gp2 = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                    name="EXST")
+        gp2.observed(x, y)
+        ex2 = g3.Experiment(models=[gp2])
+        ex2.set_data(x, y, p=0.7, holdout=0.2)
+        ex2.set_selection(find_MAP=True, starts=2, points=2)
+        ex2.simulations = dict(ex.simulations)
+        res2 = ex2.run(n_simulations=2)
+        for sim in range(2):
+            a = float(res[res._simulation == sim]["test_l2"].iloc[0])
+            b = float(res2[res2._simulation == sim]["test_l2"].iloc[0])
+            assert a < b * 1.5 + 0.05, (sim, a, b)
+        # resume semantics: nothing retrained on a second call
+        n_rows = len(ex.results)
+        ex.run_fanout(n_simulations=2)
+        assert len(ex.results) == n_rows
