@@ -157,6 +157,44 @@ def main():
     except Exception as e:
         print(f"# n16384 point skipped: {e}", file=sys.stderr)
 
+    # ---- serving fast path: factored vs unfactored posterior mean ----------
+    try:
+        ns, m = 2048, 256
+        xs = rng.standard_normal((ns, d)).astype(np.float32)
+        ys = (np.sin(xs[:, 0])
+              + 0.1 * rng.standard_normal(ns)).astype(np.float32)
+        gps = g3.GP(space=xs[:4], location=g3.Bias(), kernel=g3.SE(xs),
+                    name="BSRV")
+        gps.observed(xs, ys)
+        ps = gps.params_default
+        xq = rng.standard_normal((m, d)).astype(np.float32)
+        vec = np.zeros(m, dtype=np.float32)
+        _ = gps.mean(ps, xq)
+        bkey = [k for k in gps.compiles if k.startswith("posterior_mean")][0]
+        pdict = {k: np.asarray(v, np.float32)
+                 for k, v in gps.filter_params(ps).items()}
+        base_fn = gps.compiles[bkey].fn
+
+        def _pipeline(fn, *args, reps=20):
+            outs = [fn(*args) for _ in range(3)]
+            _block(outs[-1])
+            t0 = time.perf_counter()
+            outs = [fn(*args) for _ in range(reps)]
+            _block(outs[-1])
+            return (time.perf_counter() - t0) / reps
+
+        t_unf = _pipeline(base_fn, pdict, xq, gps._inputs, gps._outputs, vec)
+        pr = gps.predictor(ps)
+        _ = pr.mean(space=xq)
+        fkey = [k for k in pr._clone.compiles
+                if k.startswith("posterior_mean")][0]
+        t_srv = _pipeline(pr._clone.compiles[fkey].fn, xq, vec)
+        print(f"# serving_mean_n2048_m256: unfactored={t_unf*1e3:.2f}ms "
+              f"predictor={t_srv*1e3:.2f}ms ({t_unf/t_srv:.0f}x)",
+              file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"# serving bench skipped: {e}", file=sys.stderr)
+
     # ---- optional: ensemble iteration rate + NUTS eff. samples/sec ---------
     import os
 
