@@ -150,6 +150,11 @@ class Predictor:
         if std:
             spec.append(("std", "th_std", noise))
         if cov:
+            if clone.th_covariance(prior=prior, noise=noise) is None:
+                raise ValueError(
+                    f"{type(clone).__name__} has no analytic posterior "
+                    "covariance (warped covariances have no closed form); "
+                    "use samples= for an empirical covariance")
             spec.append(("covariance", "th_covariance", noise))
         if median:
             spec.append(("median", "th_median", noise))

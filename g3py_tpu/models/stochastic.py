@@ -824,6 +824,11 @@ class StochasticProcess(PlotModel):
             values["std"] = self.std(params, space, inputs, outputs, prior=prior,
                                      noise=noise, simulations=simulations)
         if cov:
+            if not hasattr(self, "covariance"):
+                raise ValueError(
+                    f"{type(self).__name__} has no analytic posterior "
+                    "covariance (warped covariances have no closed form); "
+                    "use samples= for an empirical covariance")
             values["covariance"] = self.covariance(params, space, inputs, outputs,
                                                    prior=prior, noise=noise)
         if median:
