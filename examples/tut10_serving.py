@@ -65,6 +65,19 @@ def main(quick=True, plot=False):
     state_calls = gp.compiles["posterior_state"].executed
     assert state_calls == 1, "the gram must be factored exactly once"
 
+    # ---- Bayesian model-average serving ---------------------------------
+    # per-row factorizations computed once (vmapped), then averaged
+    # statistics stream as batched matmuls
+    dt = gp.sample_hypers(start=params, samples=30 if quick else 300,
+                          chains=4, seed=0)
+    ap = gp.averaged_predictor(dt.iloc[:: max(1, len(dt) // 12)])
+    avg = ap(batches[0], quantiles=True)
+    ref_avg = gp.average(dt.iloc[:: max(1, len(dt) // 12)], scores=False,
+                         quantiles=True, space=batches[0])
+    np.testing.assert_allclose(np.asarray(avg["mean"]),
+                               np.asarray(ref_avg["mean"]),
+                               rtol=5e-4, atol=5e-4)
+
     # data changes invalidate loudly
     gp.observed(x[: n // 2], y[: n // 2])
     try:

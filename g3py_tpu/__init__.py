@@ -195,6 +195,7 @@ from .models import (
     StochasticProcess,
     EllipticalProcess,
     Predictor,
+    AveragedPredictor,
     GaussianProcess,
     WarpedGaussianProcess,
     StudentTProcess,

@@ -2,7 +2,7 @@
 
 from .stochastic import StochasticProcess
 from .elliptical import EllipticalProcess
-from .predictor import Predictor
+from .predictor import Predictor, AveragedPredictor
 from .gaussian import (
     GaussianProcess,
     WarpedGaussianProcess,
@@ -50,6 +50,7 @@ __all__ = [
     "StochasticProcess",
     "EllipticalProcess",
     "Predictor",
+    "AveragedPredictor",
     "GaussianProcess",
     "WarpedGaussianProcess",
     "WarpedGaussianDistribution",

@@ -102,6 +102,33 @@ class EllipticalProcess(StochasticProcess):
         """Robust Cholesky of the (noisy) observed gram."""
         return safe_cholesky(to_cov(self.f_kernel_noise.cov(params, inputs)))
 
+    def _posterior_state_pure(self):
+        """Pure ``fn(params, inputs, outputs) -> state dict`` behind
+        :meth:`posterior_state` (also vmapped over parameter rows by the
+        datatrace-averaged predictor)."""
+        mapping = self.f_mapping
+        location = self.f_location
+        kernel_noise = self.f_kernel_noise
+
+        def pure(p, inputs, outputs):
+            chol = safe_cholesky(to_cov(kernel_noise.cov(p, inputs)))
+            # the factorization runs ONCE per predictor — pick the block
+            # for compile cost (fewer unrolled panels), not the last few
+            # ms of runtime (2048: 46s compile / 77.5ms at 16k vs 1024:
+            # 74s / 67.2ms on the hosted tunnel)
+            nobs = inputs.shape[0]
+            linv = blocked_trtri(
+                chol, block=nobs if nobs <= 512 else
+                (512 if nobs <= 4096 else 2048))
+            resid = to_num(mapping.inv(p, outputs)) - location(p, inputs)
+            z = jnp.matmul(linv, resid, precision=settings.matmul_precision)
+            alpha = jnp.matmul(linv.T, z,
+                               precision=settings.matmul_precision)
+            return {STATE_OBS_LINV: linv, STATE_OBS_ALPHA: alpha,
+                    STATE_OBS_Z: z}
+
+        return pure
+
     def posterior_state(self, params=None):
         """Factor the observed gram ONCE for streaming prediction.
 
@@ -118,27 +145,10 @@ class EllipticalProcess(StochasticProcess):
         params = self.filter_params(params)
         name = "posterior_state"
         if name not in self.compiles:
-            mapping = self.f_mapping
-            location = self.f_location
-            kernel_noise = self.f_kernel_noise
+            state_pure = self._posterior_state_pure()
 
             def pure(p, space, inputs, outputs, vector):
-                chol = safe_cholesky(to_cov(kernel_noise.cov(p, inputs)))
-                # the factorization runs ONCE per predictor — pick the
-                # block for compile cost (fewer unrolled panels), not the
-                # last few ms of runtime (2048: 46s compile / 77.5ms at
-                # 16k vs 1024: 74s / 67.2ms on the hosted tunnel)
-                nobs = inputs.shape[0]
-                linv = blocked_trtri(
-                    chol, block=nobs if nobs <= 512 else
-                    (512 if nobs <= 4096 else 2048))
-                resid = to_num(mapping.inv(p, outputs)) - location(p, inputs)
-                z = jnp.matmul(linv, resid,
-                               precision=settings.matmul_precision)
-                alpha = jnp.matmul(linv.T, z,
-                                   precision=settings.matmul_precision)
-                return {STATE_OBS_LINV: linv, STATE_OBS_ALPHA: alpha,
-                        STATE_OBS_Z: z}
+                return state_pure(p, inputs, outputs)
 
             self.compiles[name] = CompiledFn(pure, name)
         _, inputs, outputs = self._resolve_data(None, None, None)
@@ -159,6 +169,14 @@ class EllipticalProcess(StochasticProcess):
         bound to these params and the current observed data."""
         from .predictor import Predictor
         return Predictor(self, params=params)
+
+    def averaged_predictor(self, datatrace, max_rows=64):
+        """Serving fast path for the Bayesian model average: factor the
+        posterior once PER DATATRACE ROW (vmapped), then serve
+        row-averaged statistics as batched matmuls
+        (:class:`~g3py_tpu.models.predictor.AveragedPredictor`)."""
+        from .predictor import AveragedPredictor
+        return AveragedPredictor(self, datatrace, max_rows=max_rows)
 
     def _whitened_cross(self, params, inputs, cross):
         """v = L^{-1} K_is — by matmul against the precomputed inverse when

@@ -34,7 +34,7 @@ import numpy as np
 from ..config import settings
 from .stochastic import CompiledFn, _prep_matrix, _prep_vector
 
-__all__ = ["Predictor"]
+__all__ = ["Predictor", "AveragedPredictor"]
 
 
 class Predictor:
@@ -244,3 +244,123 @@ class Predictor:
 
         bound.__name__ = name
         return bound
+
+
+class AveragedPredictor:
+    """Streaming Bayesian model average: one factorization PER DATATRACE
+    ROW, then every query batch is row-parallel matmuls + an average.
+
+    ``process.average(datatrace, ...)`` (the reference's flagship Bayesian
+    output, reference models.py:489-519) re-factorizes every row's gram
+    inside every statistic of every call.  Here the per-row states
+    (L^{-1}, alpha, z) are computed once by a vmapped
+    ``_posterior_state_pure`` and baked into vmapped statistic programs:
+    a query batch costs O(R n m d + R n^2 m) MXU work with no Cholesky.
+
+    >>> ap = gp.averaged_predictor(dt)       # R factorizations, one vmap
+    >>> out = ap(x_query, quantiles=True)    # averaged statistics
+    >>> out["_l1"], out["_l2"]               # scores vs hidden, like average()
+
+    Memory: the stacked state is R x n_obs^2 floats (capped by
+    ``max_rows``; rows are subsampled evenly beyond it, matching the
+    average's Monte-Carlo nature).
+    """
+
+    def __init__(self, process, datatrace, max_rows=64):
+        import jax
+        import jax.numpy as jnp
+
+        rows = (process._datatrace_rows(datatrace)
+                if hasattr(datatrace, "iterrows") else
+                np.asarray(datatrace, settings.floatx))
+        if rows.ndim == 1:
+            rows = rows[None, :]
+        if len(rows) > max_rows:
+            sel = np.linspace(0, len(rows) - 1, max_rows).astype(int)
+            rows = rows[sel]
+        self.process = process
+        self.rows = np.asarray(rows, settings.floatx)
+        self._inputs_ref = process._inputs
+        self._outputs_ref = process._outputs
+
+        reg = process.active
+        inputs_c = jnp.asarray(process._inputs)
+        outputs_c = jnp.asarray(process._outputs)
+        rows_d = jnp.asarray(self.rows)
+        params_rows = jax.vmap(reg.array_to_dict_jax)(rows_d)
+        state_pure = process._posterior_state_pure()
+        state_rows = jax.jit(jax.vmap(
+            lambda p: state_pure(p, inputs_c, outputs_c)))(params_rows)
+        merged_rows = dict(params_rows)
+        merged_rows.update(state_rows)
+        self.state_rows = state_rows
+
+        clone = copy.copy(process)
+        clone.compiles = {}
+
+        def _call_method_vrows(cself, th_name, rows_, space=None, inputs=None,
+                               outputs=None, vector=None, vector_rows=None,
+                               prior=False, noise=False, *args, **kwargs):
+            self._check()
+            space = cself._space if space is None else _prep_matrix(space)
+            per_row_vec = vector_rows is not None
+            if per_row_vec:
+                vector = np.asarray(vector_rows, dtype=settings.floatx)
+            elif vector is None:
+                vector = np.zeros(len(space), dtype=settings.floatx)
+            else:
+                vector = _prep_vector(vector)
+            name = ("avrows_" + ("pv_" if per_row_vec else "")
+                    + cself._cache_name(th_name, prior, noise, args, kwargs))
+            if name not in cself.compiles:
+                pure = getattr(cself, th_name)(prior=prior, noise=noise,
+                                               *args, **kwargs)
+
+                def apure(prow, s, v, _pure=pure):
+                    return _pure(prow, s, inputs_c, outputs_c, v)
+
+                vm = jax.vmap(apure,
+                              in_axes=(0, None, 0 if per_row_vec else None))
+
+                def baked(s, v, _vm=vm):
+                    return _vm(merged_rows, s, v)
+
+                cself.compiles[name] = CompiledFn(baked, name)
+            return cself.compiles[name](space, vector)
+
+        clone._call_method_vrows = MethodType(_call_method_vrows, clone)
+        self._clone = clone
+
+    def _check(self):
+        if (self.process._inputs is not self._inputs_ref
+                or self.process._outputs is not self._outputs_ref):
+            raise ValueError(
+                "the process's observed data changed after this "
+                "AveragedPredictor's factorizations — rebuild it")
+        return self
+
+    def batch(self, space=None, **kwargs):
+        """Per-row statistics (leading row axis), like
+        ``process.batch_predict``, with the factorizations reused."""
+        self._check()
+        return self._clone.batch_predict(self.rows, space=space, **kwargs)
+
+    def predict(self, space=None, scores=False, **kwargs):
+        """Row-averaged statistics (the ``average()`` output keys);
+        ``scores=True`` adds ``_l1``/``_l2`` against the process's current
+        ``hidden`` when the query space matches it."""
+        from ..utils import DictObj
+
+        batch = self.batch(space=space, **kwargs)
+        out = DictObj({k: np.asarray(v, np.float64).mean(axis=0)
+                       for k, v in batch.items()})
+        hidden = self.process.hidden
+        if scores and hidden is not None and "mean" in batch \
+                and np.shape(batch["mean"])[-1] == len(hidden):
+            resid = np.asarray(batch["mean"], np.float64) - hidden
+            out["_l1"] = float(np.mean(np.abs(resid)))
+            out["_l2"] = float(np.mean(resid ** 2))
+        return out
+
+    def __call__(self, space=None, **kwargs):
+        return self.predict(space=space, **kwargs)

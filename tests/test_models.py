@@ -331,3 +331,32 @@ class TestPredictor:
             np.testing.assert_allclose(
                 np.asarray(fast[k]), np.asarray(slow[k]), rtol=2e-4,
                 atol=2e-4, err_msg=k)
+
+    def test_averaged_predictor_matches_average(self, rng):
+        """AveragedPredictor (per-row factorizations baked once) must
+        reproduce average() over the same datatrace rows."""
+        import g3py_tpu as g3
+
+        sp, x, y = self._build(g3.WGP, rng, mapping=True, name="AVPRED")
+        params = sp.find_MAP(points=2, display=False)
+        dt = sp.sample_hypers(start=params, samples=40, chains=4, seed=0)
+        dt_small = dt.iloc[::10]
+        base = sp.average(dt_small, scores=False, quantiles=True)
+        ap = sp.averaged_predictor(dt_small)
+        fast = ap(None, quantiles=True)
+        assert set(base.keys()) == set(fast.keys())
+        for k in base:
+            np.testing.assert_allclose(np.asarray(fast[k]),
+                                       np.asarray(base[k]), rtol=5e-4,
+                                       atol=5e-4, err_msg=k)
+        sp.set_space(x, hidden=y)
+        bs = sp.average(dt_small, scores=True)
+        fs = ap(None, scores=True)
+        assert fs["_l1"] == pytest.approx(bs["_l1"], rel=1e-4)
+        # row cap subsamples evenly
+        ap2 = sp.averaged_predictor(dt_small, max_rows=3)
+        assert len(ap2.rows) == 3
+        # stale-data guard
+        sp.observed(x[:20], y[:20])
+        with pytest.raises(ValueError, match="rebuild"):
+            ap(None)
