@@ -101,7 +101,7 @@ def lbfgs_fanout_sharded(obj_fn, starts, masks, max_iters=200, tol=1e-5,
 
 def fit_splits(process, masks, start=None, points=4, max_iters=200,
                tol=1e-5, noise_mult=0.2, seed=0, shard=False, mesh=None,
-               return_points=False):
+               return_points=False, pair_chunk=None):
     """MAP-train a GP-family process on every observation split at once.
 
     ``masks``: (S, n_obs) {0,1} inclusion rows over the process's current
@@ -116,8 +116,13 @@ def fit_splits(process, masks, start=None, points=4, max_iters=200,
 
     ``shard=True`` partitions the (split, start) pair axis over a device
     mesh (``mesh`` or all devices) — each device trains its shard of the
-    grid in parallel.  Not supported with ``fix_vars`` (the masked
-    objective spans the full unconstrained vector)."""
+    grid in parallel.  ``pair_chunk`` runs the grid in equal-shape
+    sequential chunks (last chunk padded; one compile serves all) — use it
+    to bound per-dispatch memory/wall-time on runtimes that struggle with
+    very large fused programs (the hosted tunnel's worker crashed on a
+    32-pair n=512 grid; 24 pairs ran fine — docs/performance.md).  Not
+    supported with ``fix_vars`` (the masked objective spans the full
+    unconstrained vector)."""
     reg = process.active
     if reg.fixed_datatrace is not None:
         raise ValueError("fit_splits does not support fix_vars")
@@ -149,13 +154,33 @@ def fit_splits(process, masks, start=None, points=4, max_iters=200,
     u0 = np.broadcast_to(starts[None], (S, K, base.size)).reshape(S * K, -1)
     wv = np.broadcast_to(masks[:, None, :], (S, K, masks.shape[1])
                          ).reshape(S * K, -1)
-    if shard:
-        pts, vals = lbfgs_fanout_sharded(
-            obj, np.ascontiguousarray(u0), np.ascontiguousarray(wv),
-            max_iters=max_iters, tol=tol, mesh=mesh)
+    u0 = np.ascontiguousarray(u0)
+    wv = np.ascontiguousarray(wv)
+    if pair_chunk is not None and len(u0) > pair_chunk:
+        pts_parts, vals_parts = [], []
+        for lo in range(0, len(u0), pair_chunk):
+            uc = u0[lo:lo + pair_chunk]
+            wc = wv[lo:lo + pair_chunk]
+            pad = pair_chunk - len(uc)
+            if pad:  # equal shapes -> the first chunk's compile is reused
+                uc = np.concatenate([uc, np.repeat(uc[-1:], pad, 0)])
+                wc = np.concatenate([wc, np.repeat(wc[-1:], pad, 0)])
+            if shard:
+                pc, vc = lbfgs_fanout_sharded(obj, uc, wc,
+                                              max_iters=max_iters, tol=tol,
+                                              mesh=mesh)
+            else:
+                pc, vc = lbfgs_fanout(obj, jnp.asarray(uc), jnp.asarray(wc),
+                                      max_iters, tol)
+            pts_parts.append(np.asarray(pc)[:pair_chunk - pad or None])
+            vals_parts.append(np.asarray(vc)[:pair_chunk - pad or None])
+        pts = np.concatenate(pts_parts)
+        vals = np.concatenate(vals_parts)
+    elif shard:
+        pts, vals = lbfgs_fanout_sharded(obj, u0, wv, max_iters=max_iters,
+                                         tol=tol, mesh=mesh)
     else:
-        pts, vals = lbfgs_fanout(obj, jnp.asarray(np.ascontiguousarray(u0)),
-                                 jnp.asarray(np.ascontiguousarray(wv)),
+        pts, vals = lbfgs_fanout(obj, jnp.asarray(u0), jnp.asarray(wv),
                                  max_iters, tol)
     vals = np.asarray(vals).reshape(S, K)
     pts = np.asarray(pts).reshape(S, K, -1)

@@ -146,7 +146,8 @@ class GaussianProcess(EllipticalProcess):
         return fn
 
     def fit_splits(self, masks, start=None, points=4, max_iters=200,
-                   tol=1e-5, noise_mult=0.2, seed=0, shard=False, mesh=None):
+                   tol=1e-5, noise_mult=0.2, seed=0, shard=False, mesh=None,
+                   pair_chunk=None):
         """Train this model on every observation split at once — one
         vmapped device program over (split, start) pairs built on the
         masked loglike (see ``th_loglike_masked_fn`` and
@@ -156,7 +157,7 @@ class GaussianProcess(EllipticalProcess):
         return _fit_splits(self, masks, start=start, points=points,
                            max_iters=max_iters, tol=tol,
                            noise_mult=noise_mult, seed=seed, shard=shard,
-                           mesh=mesh)
+                           mesh=mesh, pair_chunk=pair_chunk)
 
     def th_logpredictive(self, prior=False, noise=False):
         """Independent-marginal log-predictive of an arbitrary vector using

@@ -129,13 +129,14 @@ class StudentTProcess(EllipticalProcess):
         return fn
 
     def fit_splits(self, masks, start=None, points=4, max_iters=200,
-                   tol=1e-5, noise_mult=0.2, seed=0, shard=False, mesh=None):
+                   tol=1e-5, noise_mult=0.2, seed=0, shard=False, mesh=None,
+                   pair_chunk=None):
         """On-device (split x start) MAP fan-out (see bayesian/fanout.py)."""
         from ..bayesian.fanout import fit_splits as _fit_splits
         return _fit_splits(self, masks, start=start, points=points,
                            max_iters=max_iters, tol=tol,
                            noise_mult=noise_mult, seed=seed, shard=shard,
-                           mesh=mesh)
+                           mesh=mesh, pair_chunk=pair_chunk)
 
     # -- posterior scaling (reference studentT.py:36-49) -----------------------
     def _scaling_fn(self, prior):

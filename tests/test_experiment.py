@@ -442,3 +442,20 @@ class TestFanout:
         n_rows = len(ex.results)
         ex.run_fanout(n_simulations=2)
         assert len(ex.results) == n_rows
+
+    def test_fit_splits_pair_chunk_matches(self):
+        """Chunked grid execution (padded equal-shape chunks, one compile)
+        must reproduce the single-program result."""
+        import g3py_tpu as g3
+
+        rng, x, y = self._data(40)
+        n = len(x)
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x), name="FSTC")
+        gp.observed(x, y)
+        masks = np.zeros((3, n), np.float32)
+        for i in range(3):
+            masks[i, np.sort(rng.choice(n, 30, replace=False))] = 1.0
+        p0, v0 = gp.fit_splits(masks, points=2, seed=1, max_iters=60)
+        p1, v1 = gp.fit_splits(masks, points=2, seed=1, max_iters=60,
+                               pair_chunk=4)
+        np.testing.assert_allclose(v1, v0, rtol=1e-4, atol=1e-3)
