@@ -279,8 +279,9 @@ class Experiment:
             if sim not in self.simulations:
                 self.simulations[sim] = self.new_data(seed=sim)
             sims[sim] = self.simulations[sim]
-        n_all = len(self.data_x) if self.data_limit > 1 else int(
-            self.data_limit * len(self.data_x))
+        # same limit rule as new_data: fraction when <=1, absolute otherwise
+        n_all = (int(self.data_limit) if self.data_limit > 1
+                 else int(self.data_limit * len(self.data_x)))
         x_all = np.asarray(self.data_x[:n_all])
         y_all = np.asarray(self.data_y[:n_all])
         for sp in self.models:
