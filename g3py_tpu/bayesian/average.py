@@ -339,8 +339,16 @@ def gelman_rubin(chains, method="multi-sum"):
 
 
 def burn_in_samples(chains, tol=0.1, method="multi-sum"):
-    """Bisection for the earliest window with R-hat-1 below tol
-    (reference :685-706)."""
+    """Bisection for the smallest prefix window with |R-hat - 1| below tol;
+    that count of leading samples is discarded as burn-in.
+
+    Deliberate deviation from the reference (:685-706): there, ``burnin =
+    upper`` is assigned *before* ``upper = n``, so the returned value is the
+    previously proven window — one bisection step above the minimal one
+    (up to 2x).  Here the loop keeps the invariant "``upper`` is always a
+    window length proven below tol" (the initial full window passed the
+    entry check) and returns it, i.e. the midpoint just proven converged.
+    Pinned by tests/test_analytics.py::test_burn_in_change_point."""
     try:
         score = gelman_rubin(chains, method)
     except Exception:
@@ -353,15 +361,13 @@ def burn_in_samples(chains, tol=0.1, method="multi-sum"):
         return chains.shape[1]
     lower = 0
     upper = chains.shape[1]
-    burnin = upper
     while lower + 1 < upper:
         n = lower + (upper - lower) // 2
         if gelman_rubin(chains[:, :n, :], method) < tol:
-            burnin = upper
             upper = n
         else:
             lower = n
-    return burnin
+    return upper
 
 
 def effective_sample_min(process, alpha=0.05, error=0.05, p=None):

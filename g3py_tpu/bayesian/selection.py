@@ -310,7 +310,9 @@ class Experiment:
             reg = sp.active
             for row_i, sim in enumerate(todo):
                 obs_i, valid_i, test_i = sims[sim]
+                t0 = time.time()
                 sp.observed(x_all[obs_i], y_all[obs_i])
+                time_obs = time.time() - t0
                 params = plist[row_i]
                 if len(valid_i):
                     # holdout selection among this sim's optimized starts
@@ -327,15 +329,23 @@ class Experiment:
                 row = DictObj()
                 row["_simulation"] = sim
                 row["_model"] = sp.name
-                row["time_obs"] = 0.0
+                # same timing columns as run(): the fused grid's train time
+                # is amortized evenly over its rows
+                row["time_obs"] = time_obs
                 row["time_params"] = grid_time / len(todo)
+                t0 = time.time()
                 for k, v in self.calc_scores(sp, params, obs_i).items():
                     row["obs" + k] = v
+                row["time_scores_obs"] = time.time() - t0
                 if len(valid_i):
+                    t0 = time.time()
                     for k, v in self.calc_scores(sp, params, valid_i).items():
                         row["valid" + k] = v
+                    row["time_valid"] = time.time() - t0
+                t0 = time.time()
                 for k, v in self.calc_scores(sp, params, test_i).items():
                     row["test" + k] = v
+                row["time_test"] = time.time() - t0
                 for k, v in params.items():
                     row[k] = np.asarray(v)
                 self.add_result(row)

@@ -9,6 +9,7 @@ Legacy classes with no jax meaning (``EvalOp``, ``InverseFunction``,
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .ops.guards import to_num, inf_to_num, to_cov, to_bounded
@@ -25,6 +26,7 @@ __all__ = [
     "CholeskyRobust",
     "inverse_function",
     "gradient",
+    "gradient1",
     "makefn",
     "transformed_hypers",
     "modelcontext",
@@ -51,6 +53,17 @@ def gradient(fn, argnums=0):
     """Reference ``gradient(cost, wrt)`` built flat concatenated symbolic
     grads (tensors.py:118-126); functionally that is ``jax.grad``."""
     return jax.grad(fn, argnums=argnums)
+
+
+def gradient1(fn, argnums=0):
+    """Reference ``gradient1(f, v)``: flat gradient of a scalar w.r.t. one
+    input (tensors.py:11-14).  Returns the raveled ``jax.grad``."""
+    g = jax.grad(fn, argnums=argnums)
+
+    def flat(*args, **kwargs):
+        return jnp.ravel(g(*args, **kwargs))
+
+    return flat
 
 
 def makefn(fn, name="makefn"):

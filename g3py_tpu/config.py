@@ -50,10 +50,16 @@ class Settings:
     plot_big: bool = False
     # Fused Pallas gram kernels on ARD_L2 (TPU only, tile-aligned shapes;
     # transparent XLA fallback otherwise).  True = families measured at
-    # >= XLA parity on real hardware (mat32, rq); "all" = also se/mat52
+    # >= XLA parity on real hardware (mat32, mat52); "all" = also se/rq
     # (which measured slower than XLA's own fusion); False = never.
     # Numbers in ops/pallas_gram.py and docs/performance.md.
     pallas_gram: object = True
+    # Blocked (syrk-tile) Cholesky for the CLEAN first factorization attempt
+    # at n >= 8192 (ops/linalg.py blocked_cholesky).  Measured on v5e f32:
+    # 76.2 ms vs XLA's 79.5 ms at n=16384 (block 1024); ties at 4096.  The
+    # jitter-retry path keeps XLA's factorization (robustness + compile
+    # cost over the tunnel).  False = always XLA.
+    blocked_cholesky: bool = True
 
     @property
     def dtype(self):

@@ -31,7 +31,7 @@ from ..hypers.means import Mean, Zero
 from ..hypers.mappings import Mapping, Identity
 from ..ops.guards import to_cov, to_num, to_bounded
 from ..ops.linalg import (safe_cholesky, solve_lower_triangular, cho_solve,
-                          blocked_trtri, _trtri_block_for)
+                          blocked_trtri)
 from ..utils.plots import plot_text, show, grid2d, plot_2d
 from .stochastic import StochasticProcess, CompiledFn, zero32
 

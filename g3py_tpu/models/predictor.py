@@ -81,7 +81,25 @@ class Predictor:
                          outputs=None, vector=None, prior=False, noise=False,
                          array=False, *args, **kwargs):
             self._check()
-            space = cself._space if space is None else _prep_matrix(space)
+            # footgun guard: pr.mean(xq) lands xq in the ignored params slot.
+            # Internal statistic composition (the TP posterior-df and fused
+            # bundle paths) legitimately threads the params dict and the
+            # observed inputs/outputs through — only a non-mapping
+            # positional params (an array = a query space) is the misuse.
+            from collections.abc import Mapping as _Mapping
+
+            if params is not None and not isinstance(params, _Mapping):
+                raise TypeError(
+                    "Predictor statistics take keyword arguments (space=, "
+                    "vector=); params/inputs/outputs were baked at "
+                    "construction.  A positional call like pr.mean(xq) lands "
+                    "xq in the ignored params slot — use pr.mean(space=xq), "
+                    "or rebuild with process.predictor(params) to change "
+                    "hypers.")
+            # read the process-side space at call time so set_space(new)
+            # after construction is honored (only observed data invalidates)
+            space = (self.process._space if space is None
+                     else _prep_matrix(space))
             if vector is None:
                 vector = np.zeros(len(space), dtype=settings.floatx)
             else:
@@ -302,7 +320,13 @@ class AveragedPredictor:
                                outputs=None, vector=None, vector_rows=None,
                                prior=False, noise=False, *args, **kwargs):
             self._check()
-            space = cself._space if space is None else _prep_matrix(space)
+            if inputs is not None or outputs is not None:
+                raise TypeError(
+                    "AveragedPredictor statistics take keyword arguments "
+                    "(space=, vector=); inputs/outputs were baked at "
+                    "construction — rebuild to change the observed data.")
+            space = (self.process._space if space is None
+                     else _prep_matrix(space))
             per_row_vec = vector_rows is not None
             if per_row_vec:
                 vector = np.asarray(vector_rows, dtype=settings.floatx)

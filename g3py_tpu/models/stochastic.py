@@ -870,7 +870,11 @@ class StochasticProcess(PlotModel):
         BFGS/Powell through scipy with hardened objectives (reference
         :566-674).  ``engine='jax'`` runs optax L-BFGS fully on device with
         all starts vmapped simultaneously — one compiled program instead of
-        a host optimization loop."""
+        a host optimization loop.  ``engine='iterative'`` trains through the
+        matrix-free preconditioned CG/SLQ objective (GP family, large N on
+        one chip); ``engine='distributed'`` trains through the
+        device-sharded exact NLL (GP family, N beyond one chip's HBM — the
+        gram lives as row bands across the mesh)."""
         if engine == "jax":
             return self._find_map_jax(start=start, points=points,
                                       return_points=return_points,
@@ -882,6 +886,12 @@ class StochasticProcess(PlotModel):
                                             return_points=return_points,
                                             display=display,
                                             max_iters=max_iters, **kwargs)
+        if engine == "distributed":
+            # device-sharded exact objective (GaussianProcess family)
+            return self._find_map_distributed(start=start, points=points,
+                                              return_points=return_points,
+                                              display=display,
+                                              max_iters=max_iters, **kwargs)
         if kwargs:
             # only the iterative engine takes extra solver knobs — swallowing
             # them here would silently ignore typos / missing engine=

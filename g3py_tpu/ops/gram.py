@@ -41,6 +41,14 @@ def _as2d(x):
     return x
 
 
+def _acc_dtype(dt):
+    """Matmul accumulator type: f32 inputs accumulate in f32 (blocks bf16
+    MXU passes); f64 inputs must accumulate in f64 — a hard-coded f32
+    preferred type silently rounded the gram to f32 under
+    ``settings.floatx='float64'`` (found by the f64 north-star job)."""
+    return jnp.float64 if dt == jnp.dtype(jnp.float64) else jnp.float32
+
+
 def weighted_sqdist(x1, x2, rate=None, exact=False):
     """sum_d (x1_d - x2_d)^2 * rate_d^2 as an (N, M) matrix.
 
@@ -67,7 +75,7 @@ def weighted_sqdist(x1, x2, rate=None, exact=False):
     n2 = jnp.sum(s2 * s2, axis=-1)
     cross = jnp.matmul(
         s1, s2.T, precision=settings.matmul_precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_dtype(s1.dtype),
     )
     d = n1[:, None] + n2[None, :] - 2.0 * cross.astype(s1.dtype)
     return jnp.maximum(d, 0.0)
@@ -86,7 +94,7 @@ def weighted_dot(x1, x2, weight=None):
         x1 = x1 * w  # fold the weight into one operand; single matmul
     return jnp.matmul(
         x1, x2.T, precision=settings.matmul_precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_acc_dtype(x1.dtype),
     ).astype(x1.dtype)
 
 

@@ -76,6 +76,38 @@ class TestAnalytics:
             assert ess >= 1, method
 
 
+class TestBurnIn:
+    def test_burn_in_change_point(self):
+        """Pin the re-derived bisection (bayesian/average.py): on a chain
+        whose walkers start dispersed and merge at a change point, the
+        returned burn-in is the SMALLEST prefix window with |R-hat - 1|
+        below tol — not the reference's stale previous upper bound (its
+        ``burnin = upper`` before ``upper = n`` returns one bisection step
+        above the minimal proven window)."""
+        from g3py_tpu.bayesian.average import burn_in_samples, gelman_rubin
+
+        rng = np.random.default_rng(3)
+        nwalk, nsamp, ndim = 4, 256, 2
+        chains = rng.standard_normal((nwalk, nsamp, ndim))
+        # change point: walkers offset apart for the first 40 iterations
+        offsets = 4.0 * np.array([-1.5, -0.5, 0.5, 1.5])
+        chains[:, :40, :] += offsets[:, None, None]
+        tol = 0.1
+        b = burn_in_samples(chains, tol=tol)
+        assert b < nsamp  # the full chain passes, so the bisection ran
+        assert gelman_rubin(chains[:, :b, :]) < tol  # proven converged
+        assert gelman_rubin(chains[:, :b - 1, :]) >= tol  # and minimal
+
+    def test_burn_in_unconverged_returns_full(self):
+        """When even the full window fails, the whole chain is burn-in."""
+        from g3py_tpu.bayesian.average import burn_in_samples
+
+        rng = np.random.default_rng(0)
+        chains = rng.standard_normal((4, 64, 2))
+        chains += np.arange(4)[:, None, None] * 50.0  # never merge
+        assert burn_in_samples(chains, tol=0.1) == 64
+
+
 class TestPlots:
     def test_plot_datatrace(self, gp_with_trace):
         gp, dt = gp_with_trace

@@ -280,6 +280,32 @@ class TestPredictor:
                         rng=np.random.default_rng(0))
         np.testing.assert_allclose(s, sb, rtol=2e-4, atol=2e-4)
 
+    def test_positional_space_footgun_raises(self, rng):
+        """ADVICE round-1: pr.mean(xq) used to silently serve the default
+        space (xq swallowed by the ignored params slot) — now a TypeError.
+        Internal dict-threading (TP freedom path) stays allowed."""
+        import g3py_tpu as g3
+
+        sp, x, y = self._build(g3.GP, rng, name="GPPREDFG")
+        pr = sp.predictor(sp.params_default)
+        xq = np.linspace(0, 5, 7, dtype=np.float32).reshape(-1, 1)
+        with pytest.raises(TypeError, match="keyword arguments"):
+            pr.mean(xq)
+        mu = pr.mean(space=xq)
+        assert np.shape(mu) == (7,)
+
+    def test_live_space_after_set_space(self, rng):
+        """ADVICE round-1: space=None statistics follow the process's
+        CURRENT space, not a construction-time snapshot."""
+        import g3py_tpu as g3
+
+        sp, x, y = self._build(g3.GP, rng, name="GPPREDLS")
+        pr = sp.predictor(sp.params_default)
+        _ = pr.mean()
+        new_space = x[:13]
+        sp.set_space(new_space, hidden=y[:13])
+        assert np.shape(pr.mean()) == (13,)
+
     def test_stale_data_guard(self, rng):
         import g3py_tpu as g3
 

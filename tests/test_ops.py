@@ -222,6 +222,47 @@ class TestBlockedTrtri:
         np.testing.assert_allclose(Linv @ L, np.eye(n), atol=1e-4)
 
 
+class TestBlockedCholesky:
+    def _psd(self, rng, n):
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        return a @ a.T + n * np.eye(n, dtype=np.float32)
+
+    @pytest.mark.parametrize("variant", ["tile", "panel"])
+    def test_matches_numpy(self, rng, variant):
+        from g3py_tpu.ops.linalg import (blocked_cholesky,
+                                         blocked_cholesky_panel)
+
+        fn = blocked_cholesky if variant == "tile" else blocked_cholesky_panel
+        A = self._psd(rng, 96)
+        L = np.asarray(fn(jnp.asarray(A), block=32))
+        Lr = np.linalg.cholesky(A.astype(np.float64))
+        np.testing.assert_allclose(L, Lr, rtol=1e-4, atol=1e-3)
+        assert np.allclose(np.triu(L, 1), 0.0)
+
+    @pytest.mark.parametrize("variant", ["tile", "panel"])
+    def test_non_divisible_padding(self, rng, variant):
+        from g3py_tpu.ops.linalg import (blocked_cholesky,
+                                         blocked_cholesky_panel)
+
+        fn = blocked_cholesky if variant == "tile" else blocked_cholesky_panel
+        A = self._psd(rng, 50)
+        L = np.asarray(fn(jnp.asarray(A), block=16))
+        Lr = np.linalg.cholesky(A.astype(np.float64))
+        np.testing.assert_allclose(L, Lr, rtol=1e-4, atol=1e-3)
+
+    @pytest.mark.parametrize("variant", ["tile", "panel"])
+    def test_nan_propagates_for_indefinite(self, rng, variant):
+        """safe_cholesky's jitter search relies on NaN signaling failure —
+        a blocked substitute must preserve that."""
+        from g3py_tpu.ops.linalg import (blocked_cholesky,
+                                         blocked_cholesky_panel)
+
+        fn = blocked_cholesky if variant == "tile" else blocked_cholesky_panel
+        B = -np.eye(64, dtype=np.float32)
+        L = np.asarray(fn(jnp.asarray(B), block=16))
+        assert np.isnan(L).any()
+
+
 class TestMvnQuadLogdet:
     def test_values_and_grads(self, rng):
         from g3py_tpu.ops.linalg import mvn_quad_logdet

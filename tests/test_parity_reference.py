@@ -141,6 +141,24 @@ def test_scores_match_reference(oracle, model_name):
                 f"{model_name} obs {key} off by >4x: mine={m!r} ref={r!r}")
 
 
+def test_f64_north_star():
+    """BASELINE's 1e-6 NLL north star, closed with rounding removed: run
+    the full pipeline in float64 (subprocess — x64 is process-global) on
+    sunsets oracle configs and demand 1e-6 agreement with an independent
+    plain-numpy float64 implementation (tests/f64_north_star_job.py; the
+    recorded reference scores themselves carry f32 rounding, so the f32
+    suite pins those at 2e-3/1e-4 instead)."""
+    import subprocess
+    import sys
+
+    job = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "f64_north_star_job.py")
+    r = subprocess.run([sys.executable, job], capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, f"f64 job failed:\n{r.stdout}\n{r.stderr}"
+    assert "all comparisons within 1e-6" in r.stdout
+
+
 def test_param_transform_roundtrip_matches_reference():
     """Notebook 04 cell 9 records transform_params({'WGP_Noise_var': 0.1})
     == -2.3025851249694824 (float32 log)."""
