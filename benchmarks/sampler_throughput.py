@@ -57,7 +57,7 @@ def bench_model(name, gp, ens_iters=500, nuts_samples=300, nuts_warmup=150,
           f"(chains={chains_ens} iters={ens_iters} t={t_ens:.2f}s) | "
           f"NUTS ess/s={nuts_ess:.1f} t={t_nuts:.2f}s "
           f"accept={np.asarray(info['accept_rate']).mean():.2f} "
-          f"depth={np.asarray(info['tree_depths']).mean():.1f} "
+          f"depth={np.asarray(info["mean_tree_depth"]).mean():.1f} "
           f"div={int(np.asarray(info['divergences']).sum())}", flush=True)
 
 

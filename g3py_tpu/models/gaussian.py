@@ -23,7 +23,7 @@ from ..ops.guards import to_num, to_cov
 from ..ops.linalg import solve_lower_triangular, mvn_quad_logdet
 from ..ops.quadrature import gauss_hermite
 from ..utils import DictObj
-from .elliptical import EllipticalProcess
+from .elliptical import EllipticalProcess, _contains_kernel_noise
 from .stochastic import zero32
 
 __all__ = ["GaussianProcess", "WarpedGaussianProcess",
@@ -58,20 +58,6 @@ class WarpedGaussianDistribution:
     logp_cho = staticmethod(warped_gaussian_logp_cho)
 
 
-def _contains_kernel_noise(kernel):
-    """True when a KernelNoise term hides anywhere in a kernel tree."""
-    from ..hypers.kernels import KernelNoise
-
-    stack = [kernel]
-    while stack:
-        k = stack.pop()
-        if isinstance(k, KernelNoise):
-            return True
-        for attr in ("k1", "k2", "k_inner"):
-            sub = getattr(k, attr, None)
-            if sub is not None:
-                stack.append(sub)
-    return False
 
 
 class GaussianProcess(EllipticalProcess):
@@ -230,118 +216,33 @@ class GaussianProcess(EllipticalProcess):
 
     def nll_distributed(self, params=None, mesh=None, block=None, axis="dp"):
         """Device-sharded exact negative loglikelihood (tensor parallelism
-        over the gram, parallel/cholesky.py): each device evaluates and
-        factors its own row band of the N x N gram inside ``shard_map`` —
-        the unsharded matrix never exists on any chip, in forward or
-        backward pass.  This is the multi-chip training objective the
-        reference has no counterpart for (its ``find_MAP`` workflow,
-        reference stochastic.py:566-674, is single-host Theano).
+        over the gram): the gaussian scalarization of the shared band
+        primitive (``EllipticalProcess._distributed_qld``) — each device
+        evaluates and factors its own row band of the N x N gram inside
+        ``shard_map``; the unsharded matrix never exists on any chip, in
+        forward or backward pass.  This is the multi-chip training
+        objective the reference has no counterpart for (its ``find_MAP``
+        workflow, reference stochastic.py:566-674, is single-host Theano).
 
         Requires the standard noisy construction (``noisy=True``) and
         ``len(inputs)`` divisible by the mesh device count.  Includes the
         warping Jacobian and mean, matching ``loglike`` (no hyper priors).
         Differentiable w.r.t. ``params`` (gram via the sharded custom VJP;
         mean/warping by ordinary autodiff through the residual)."""
-        from ..hypers import hval
-        from ..hypers.kernels import KernelSum, KernelNoise
-        from ..parallel.cholesky import distributed_gp_nll, _resolve_mesh
-
-        mesh = _resolve_mesh(mesh, axis)
-        n_dev = mesh.shape[axis]
-        n_obs = len(self.inputs) if self.inputs is not None else 0
-        if n_obs == 0 or n_obs % n_dev:
-            raise ValueError(
-                f"nll_distributed: n={n_obs} observations must divide "
-                f"evenly over the {n_dev}-device mesh (subset/pad the "
-                "training data or use a mesh whose size divides n)")
+        qld = self._distributed_qld(mesh=mesh, block=block, axis=axis)
         if params is None:
             params = self.params
         params = {k: jnp.asarray(v)
                   for k, v in self.filter_params(params).items()}
-        kn = self.f_kernel_noise
-        if not (isinstance(kn, KernelSum) and isinstance(kn.k2, KernelNoise)):
-            raise ValueError("nll_distributed needs the noisy=True "
-                             "KernelSum(kernel, KernelNoise) construction")
-        if _contains_kernel_noise(self.f_kernel):
-            # the band gram is built from CROSS covariances (x_band vs x);
-            # a KernelNoise term inside the signal kernel contributes 0
-            # there and would silently vanish — reject instead
-            raise ValueError("nll_distributed does not support KernelNoise "
-                             "terms inside the signal kernel (the band gram "
-                             "sees only cross-covariances)")
-        kernel = self.f_kernel
-        noise_hyper = kn.k2.var
-        nll_fn = distributed_gp_nll(
-            lambda p, x1, x2: kernel.cov(p, x1, x2),
-            mesh=mesh, block=block, axis=axis,
-            noise_fn=lambda p: hval(noise_hyper, p))
         x = jnp.asarray(self.inputs)
         outputs = jnp.asarray(self.outputs)
         resid = (self._latent_obs(params, outputs)
                  - self.f_location(params, x))
-        val = nll_fn(params, x, resid)
+        quad, logdet_half = qld(params, x, resid)
+        n = np.asarray(len(self.inputs), settings.dtype)
+        val = 0.5 * quad + logdet_half + 0.5 * n * LOG2PI
         # warping Jacobian: loglike = log N(T^{-1}y) + logdet dT^{-1}/dy
         return val - self.f_mapping.logdet_dinv(params, outputs)
-
-    def _find_map_distributed(self, start=None, points=1, return_points=False,
-                              display=True, max_iters=200, mesh=None,
-                              block=None, axis="dp", **_):
-        """MAP search over the device-sharded exact NLL (plus hyper
-        priors): L-BFGS-B where every objective/gradient evaluation is one
-        SPMD program over the mesh (``find_MAP(engine='distributed')``).
-        Symmetric with ``engine='iterative'`` but exact — no trace
-        estimator, so the optimum matches the single-device engine to
-        solver tolerance while the gram stays sharded."""
-        import jax as _jax
-        import scipy.optimize as spo
-
-        reg = self.active
-        if start is None:
-            start = self.params_default
-        starts = list(start) if isinstance(start, list) else [start]
-        rng = np.random.default_rng(0)  # match _find_map_jax's determinism
-        while len(starts) < points:
-            starts.append(self.params_random(mean=starts[0], sigma=0.15,
-                                             prop=True, rng=rng))
-        prior_pure = self._logp_pure(prior=True)
-        xj = jnp.asarray(self.inputs)
-        yj = jnp.asarray(self.outputs)
-        vec0 = jnp.zeros(0, dtype=settings.dtype)
-
-        def objective(u):
-            p = reg.array_to_dict_jax(u)
-            nll = self.nll_distributed(p, mesh=mesh, block=block, axis=axis)
-            return nll - prior_pure(p, xj, xj, yj, vec0)
-
-        vg = _jax.jit(_jax.value_and_grad(objective))
-
-        def f_and_g(u):
-            v, g = vg(jnp.asarray(u, settings.dtype))
-            v = float(v)
-            g = np.asarray(g, np.float64)
-            if not np.isfinite(v) or not np.all(np.isfinite(g)):
-                # hardened objective (reference selection.py nan_to_high):
-                # overshoots into dead regions must read as 'very bad'
-                return 1e10, np.zeros_like(g)
-            return v, g
-
-        results = []
-        for i, s in enumerate(starts, start=1):
-            u0 = np.asarray(reg.dict_to_array(s), np.float64)
-            if display:
-                print(f"start{i} (-logp): {f_and_g(u0)[0]:.6g}")
-            res = spo.minimize(f_and_g, u0, jac=True, method="L-BFGS-B",
-                               options={"maxiter": max_iters})
-            results.append((f"distributed{i}", float(res.fun),
-                            reg.array_to_dict(
-                                np.asarray(res.x, settings.floatx))))
-            if display:
-                print(f"start{i} done (-logp): {res.fun:.6g}")
-        results.sort(key=lambda t: t[1])
-        best = results[0][2]
-        if return_points:
-            return best, [(n, -v, p) for n, v, p in results]
-        return best
 
     def _find_map_iterative(self, start=None, points=1, return_points=False,
                             display=True, max_iters=200, rank=64, block=2048,

@@ -128,6 +128,36 @@ class StudentTProcess(EllipticalProcess):
 
         return fn
 
+    def nll_distributed(self, params=None, mesh=None, block=None, axis="dp"):
+        """Device-sharded exact Student-t negative loglikelihood: the
+        multivariate-t scalarization (same density terms as
+        ``th_loglike_fn``) of the shared band primitive
+        ``EllipticalProcess._distributed_qld`` — quad and logdet come from
+        the row-band-sharded gram; nu/gammaln terms are replicated scalar
+        math.  Same contract as the GP version (noisy=True construction,
+        n divisible by the mesh; warping Jacobian included; no priors)."""
+        qld = self._distributed_qld(mesh=mesh, block=block, axis=axis)
+        if params is None:
+            params = self.params
+        params = {k: jnp.asarray(v)
+                  for k, v in self.filter_params(params).items()}
+        x = jnp.asarray(self.inputs)
+        outputs = jnp.asarray(self.outputs)
+        resid = (self._latent_obs(params, outputs)
+                 - self.f_location(params, x))
+        beta, logdet_half = qld(params, x, resid)
+        nu = self.f_degree(params)
+        n = jnp.asarray(len(self.inputs), settings.dtype)
+        pi_x = jnp.asarray(np.pi, settings.dtype)
+        r1 = -0.5 * (nu + n) * jnp.log1p(beta / (nu - 2.0))
+        gaussian_limit = -n * 0.5 * jnp.log(2.0 * pi_x)
+        student = (gammaln((nu + n) * 0.5) - gammaln(nu * 0.5)
+                   - 0.5 * n * jnp.log((nu - 2.0) * pi_x))
+        r2 = jnp.where(nu >= 1e6, gaussian_limit, student)
+        ll = (r1 + r2 - logdet_half
+              + self.f_mapping.logdet_dinv(params, outputs))
+        return -ll
+
     def fit_splits(self, masks, start=None, points=4, max_iters=200,
                    tol=1e-5, noise_mult=0.2, seed=0, shard=False, mesh=None,
                    pair_chunk=None):

@@ -60,7 +60,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import settings
 
-__all__ = ["distributed_cholesky", "distributed_trsm", "distributed_gp_nll"]
+__all__ = ["distributed_cholesky", "distributed_trsm",
+           "distributed_quad_logdet", "distributed_gp_nll"]
 
 
 def _band_cholesky_body(a_local, n, block, n_dev, axis):
@@ -204,9 +205,17 @@ def distributed_trsm(l, b, mesh=None, block=None, axis="dp"):
     return z[:, 0] if squeeze else z
 
 
-def distributed_gp_nll(cov_fn, mesh=None, block=None, axis="dp",
-                       noise_fn=None):
-    """Build a trainable device-sharded exact-GP negative log likelihood.
+def distributed_quad_logdet(cov_fn, mesh=None, block=None, axis="dp",
+                            noise_fn=None):
+    """Build the trainable device-sharded elliptical-gram primitive
+    ``fn(params, x, y) -> (quad, logdet_half)`` with
+
+      quad        = y' K^{-1} y
+      logdet_half = sum log diag chol(K)   (= 1/2 log det K)
+
+    — the sharded counterpart of ``ops.linalg.mvn_quad_logdet``, from which
+    every elliptical-family NLL (gaussian :func:`distributed_gp_nll`, the
+    Student-t scalarization in ``models/studentt.py``) is a few scalar ops.
 
     Args:
       cov_fn: ``cov_fn(params, x1, x2) -> (len(x1), len(x2))`` cross
@@ -215,9 +224,10 @@ def distributed_gp_nll(cov_fn, mesh=None, block=None, axis="dp",
         variance added to the gram diagonal.
       mesh/block/axis: band layout (see :func:`distributed_cholesky`).
 
-    Returns ``nll(params, x, y) -> scalar`` differentiable w.r.t. ``params``
-    and ``y`` (``x`` is constant).  The (n, n) gram only ever exists as
-    per-device row bands, in forward and backward passes alike.
+    Differentiable w.r.t. ``params`` and ``y`` (``x`` is constant); the
+    (n, n) gram only ever exists as per-device row bands, in forward and
+    backward passes alike (dquad/dK = -a a', dlogdet_half/dK = K^{-1}/2
+    with K^{-1} assembled band-wise from the sharded TRSM inverse).
     """
     from jax import shard_map
 
@@ -261,7 +271,7 @@ def distributed_gp_nll(cov_fn, mesh=None, block=None, axis="dp",
             fwd_body, mesh=mesh, in_specs=(P(), P(), P(axis)),
             out_specs=(P(axis, None), P(axis), P(), P()))
 
-        def bwd_body(params, x, l_local, z_local, gbar):
+        def bwd_body(params, x, l_local, z_local, gq, gl):
             rows = rows_per_dev
             me = lax.axis_index(axis)
             row0 = me * rows
@@ -286,53 +296,64 @@ def distributed_gp_nll(cov_fn, mesh=None, block=None, axis="dp",
                 jnp.zeros((rows, n), dtype=l_local.dtype), (axis,))
             s_local = lax.fori_loop(0, n_dev, chunk, s_init)
             alpha_band = lax.dynamic_slice_in_dim(alpha, row0, rows, axis=0)
-            kbar_band = (0.5 * gbar) * (
-                s_local - alpha_band[:, None] * alpha[None, :])
+            # dquad/dK = -a a'; dlogdet_half/dK = K^{-1}/2
+            kbar_band = ((0.5 * gl) * s_local
+                         - gq * alpha_band[:, None] * alpha[None, :])
             _, gram_vjp = jax.vjp(
                 lambda p: _band_gram(p, x, n, rows_per_dev), params)
             # params enter the shard_map unvarying (P()), so the vma-aware
             # vjp already psums the per-device cotangents — no explicit
             # collective here or the gradient multiplies by the device count
             (pbar,) = gram_vjp(kbar_band)
-            ybar_local = gbar * alpha_band
+            ybar_local = (2.0 * gq) * alpha_band  # dquad/dy = 2 K^{-1} y
             return pbar, ybar_local
 
         bwd_sharded = shard_map(
             bwd_body, mesh=mesh,
-            in_specs=(P(), P(), P(axis, None), P(axis), P()),
+            in_specs=(P(), P(), P(axis, None), P(axis), P(), P()),
             out_specs=(P(), P(axis)))
         return fwd_sharded, bwd_sharded
 
     @jax.custom_vjp
-    def nll(params, x, y):
-        n = y.shape[0]
-        fwd_sharded, _ = _make(n)
-        _, _, quad, logdet = fwd_sharded(params, x, y)
-        return (0.5 * quad + logdet
-                + 0.5 * np.asarray(n, settings.dtype)
-                * np.float32(np.log(2 * np.pi)))
+    def qld(params, x, y):
+        fwd_sharded, _ = _make(y.shape[0])
+        _, _, quad, logdet_half = fwd_sharded(params, x, y)
+        return quad, logdet_half
 
-    def nll_fwd(params, x, y):
-        n = y.shape[0]
-        fwd_sharded, _ = _make(n)
-        l_local, z_local, quad, logdet = fwd_sharded(params, x, y)
-        val = (0.5 * quad + logdet
-               + 0.5 * np.asarray(n, settings.dtype)
-               * np.float32(np.log(2 * np.pi)))
-        return val, (params, x, y, l_local, z_local)
+    def qld_fwd(params, x, y):
+        fwd_sharded, _ = _make(y.shape[0])
+        l_local, z_local, quad, logdet_half = fwd_sharded(params, x, y)
+        return (quad, logdet_half), (params, x, y, l_local, z_local)
 
-    def nll_bwd(res, gbar):
+    def qld_bwd(res, cotangents):
+        gq, gl = cotangents
         params, x, y, l_local, z_local = res
-        n = y.shape[0]
-        _, bwd_sharded = _make(n)
-        pbar, ybar = bwd_sharded(params, x, l_local, z_local, gbar)
+        _, bwd_sharded = _make(y.shape[0])
+        pbar, ybar = bwd_sharded(params, x, l_local, z_local, gq, gl)
         return pbar, jnp.zeros_like(x), ybar
 
-    nll.defvjp(nll_fwd, nll_bwd)
+    qld.defvjp(qld_fwd, qld_bwd)
 
     def prepared(params, x, y):
         x = jax.device_put(jnp.asarray(x, settings.dtype), repl)
         y = jax.device_put(jnp.asarray(y, settings.dtype), vec)
-        return nll(params, x, y)
+        return qld(params, x, y)
 
     return prepared
+
+
+def distributed_gp_nll(cov_fn, mesh=None, block=None, axis="dp",
+                       noise_fn=None):
+    """Trainable device-sharded exact-GP negative log likelihood
+    ``nll(params, x, y) -> scalar`` — the gaussian scalarization of
+    :func:`distributed_quad_logdet` (same args and sharding contract)."""
+    qld = distributed_quad_logdet(cov_fn, mesh=mesh, block=block, axis=axis,
+                                  noise_fn=noise_fn)
+
+    def nll(params, x, y):
+        quad, logdet_half = qld(params, x, y)
+        n = np.asarray(jnp.shape(y)[0], settings.dtype)
+        return (0.5 * quad + logdet_half
+                + 0.5 * n * np.float32(np.log(2 * np.pi)))
+
+    return nll

@@ -270,6 +270,29 @@ class TestDistributedEngine:
         lp_ref = float(gp.logp(p_ref))
         assert lp_dist >= lp_ref - 1.0
 
+    def test_nll_distributed_studentt(self, rng):
+        """The Student-t scalarization of the shared sharded primitive
+        (and its warped variant) matches the single-device loglike."""
+        n = 128
+        x = np.sort(rng.uniform(0, 20, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(0.8 * x[:, 0])
+             + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        tp = g3.TP(space=x, location=g3.Bias(), kernel=g3.SE(x), name="DTP")
+        tp.observed(x, y)
+        np.testing.assert_allclose(float(tp.nll_distributed(tp.params_default)),
+                                   -float(tp.loglike(tp.params_default)),
+                                   rtol=1e-4, atol=5e-3)
+        wtp = g3.WTP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     mapping=g3.ArcsinhLinear(y), name="DWTP")
+        wtp.observed(x, y)
+        np.testing.assert_allclose(
+            float(wtp.nll_distributed(wtp.params_default)),
+            -float(wtp.loglike(wtp.params_default)), rtol=1e-4, atol=5e-3)
+        # the engine drives it through the same find_MAP surface
+        p = tp.find_MAP(points=1, engine="distributed", display=False,
+                        max_iters=10)
+        assert float(tp.logp(p)) > float(tp.logp(tp.params_default)) + 10
+
     def test_nll_distributed_rejects_bad_constructions(self, rng):
         gp = self._make_gp(rng, 64)
         gp2 = g3.GP(space=gp.space, kernel=g3.SE(gp.space), noisy=False,
