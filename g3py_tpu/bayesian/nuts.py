@@ -20,8 +20,13 @@ the canonical (forward-time) frame and one criterion serves both
 directions.
 
 Warmup: dual-averaging step-size adaptation (Hoffman & Gelman 2014,
-Algorithm 5) targeting the mean leaf acceptance statistic, identity mass
-matrix.
+Algorithm 5) targeting the mean leaf acceptance statistic; mass adaptation
+by Welford posterior-(co)variance estimation — ``adapt_mass=True`` fits a
+diagonal metric (Stan's diag_e), ``adapt_mass='dense'`` the full covariance
+(dense_e: ``inv_mass`` is the regularized posterior covariance, momentum
+drawn as ``L^{-T} eps`` with ``L = chol(inv_mass)``).  Dense is the lever
+for funnel-correlated posteriors (warped-GP hypers) where a diagonal metric
+leaves divergences behind.
 """
 
 from functools import partial
@@ -38,16 +43,34 @@ __all__ = ["nuts_sampler", "nuts_warmup"]
 _DIVERGENCE = 1000.0
 
 
+def _mv(inv_mass, r):
+    """M^{-1} r for a diagonal (vector) or dense (matrix) inverse mass."""
+    if inv_mass.ndim == 2:
+        return jnp.matmul(inv_mass, r)
+    return inv_mass * r
+
+
+def _draw_momentum(key, inv_mass, dtype):
+    """r ~ N(0, M) with M = inv(inv_mass): diagonal -> eps/sqrt(inv_mass);
+    dense -> L^{-T} eps with L = chol(inv_mass) (so cov(r) = inv_mass^{-1})."""
+    ndim = inv_mass.shape[-1]
+    eps = random.normal(key, (ndim,), dtype=dtype)
+    if inv_mass.ndim == 2:
+        l = jnp.linalg.cholesky(inv_mass)
+        return jax.scipy.linalg.solve_triangular(l.T, eps, lower=False)
+    return eps * lax.rsqrt(inv_mass)
+
+
 def _leapfrog(grad_fn, z, r, eps_signed, inv_mass):
     r = r + 0.5 * eps_signed * grad_fn(z)
-    z = z + eps_signed * r * inv_mass
+    z = z + eps_signed * _mv(inv_mass, r)
     r = r + 0.5 * eps_signed * grad_fn(z)
     return z, r
 
 
 def _uturn(r_sum, r_first, r_last, inv_mass):
     """Generalized U-turn criterion on velocities v = M^{-1} r."""
-    v = r_sum * inv_mass
+    v = _mv(inv_mass, r_sum)
     return (jnp.dot(v, r_first) <= 0.0) | (jnp.dot(v, r_last) <= 0.0)
 
 
@@ -72,7 +95,7 @@ def _build_subtree(logp_fn, grad_fn, key, z0, r0, eps_signed, depth,
         key_, k_sel = random.split(key_)
 
         z_new, r_new = _leapfrog(grad_fn, z, r, eps_signed, inv_mass)
-        energy = -logp_fn(z_new) + 0.5 * jnp.dot(r_new * inv_mass, r_new)
+        energy = -logp_fn(z_new) + 0.5 * jnp.dot(_mv(inv_mass, r_new), r_new)
         delta = energy - energy0
         div = ~jnp.isfinite(delta) | (delta > _DIVERGENCE)
         logw_leaf = jnp.where(div, -jnp.inf, -delta)
@@ -120,9 +143,8 @@ def _nuts_step(logp_fn, grad_fn, key, z, eps, max_depth, inv_mass=None):
     if inv_mass is None:
         inv_mass = jnp.ones((ndim,), z.dtype)
     k_mom, k_tree = random.split(key)
-    # r ~ N(0, M): std = sqrt(m) = 1/sqrt(inv_mass)
-    r0 = random.normal(k_mom, (ndim,), dtype=z.dtype) * lax.rsqrt(inv_mass)
-    energy0 = -logp_fn(z) + 0.5 * jnp.dot(r0 * inv_mass, r0)
+    r0 = _draw_momentum(k_mom, inv_mass, z.dtype)
+    energy0 = -logp_fn(z) + 0.5 * jnp.dot(_mv(inv_mass, r0), r0)
 
     def cond(state):
         depth, turning, diverging = state[1], state[10], state[11]
@@ -192,11 +214,15 @@ def _nuts_chain(logp_fn, z0, eps, samples, key, max_depth, inv_mass=None):
 
 
 def _dual_avg_phase(logp_fn, grad_fn, z0, key, iters, max_depth, inv_mass,
-                    target=0.8, eps0=0.1, collect_var=False):
-    """One dual-averaging phase (Hoffman & Gelman Algorithm 5), optionally
-    accumulating a Welford posterior-variance estimate for mass adaptation."""
+                    target=0.8, eps0=0.1, dense=False):
+    """One dual-averaging phase (Hoffman & Gelman Algorithm 5), accumulating
+    a Welford posterior-(co)variance estimate for mass adaptation (vector
+    second moments, or the full outer-product matrix when ``dense``)."""
     mu = jnp.log(10.0 * eps0)
     gamma, t0, kappa = 0.05, 10.0, 0.75
+    ndim = z0.shape[0]
+    m2_0 = (jnp.zeros((ndim, ndim), z0.dtype) if dense
+            else jnp.zeros_like(z0))
 
     def step(carry, inp):
         z, log_eps, log_eps_bar, h_bar, w_mean, w_m2 = carry
@@ -210,17 +236,19 @@ def _dual_avg_phase(logp_fn, grad_fn, z0, key, iters, max_depth, inv_mass,
         log_eps = mu - jnp.sqrt(mm) / gamma * h_bar
         w = mm ** (-kappa)
         log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-        # Welford accumulation of posterior variance
+        # Welford accumulation of the posterior (co)variance
         delta = z_new - w_mean
         w_mean = w_mean + delta / mm
-        w_m2 = w_m2 + delta * (z_new - w_mean)
+        delta2 = z_new - w_mean
+        w_m2 = w_m2 + (jnp.outer(delta, delta2) if dense
+                       else delta * delta2)
         return (z_new, log_eps, log_eps_bar, h_bar, w_mean, w_m2), None
 
     keys = random.split(key, iters)
     (z, _, log_eps_bar, _, w_mean, w_m2), _ = lax.scan(
         step, (z0, jnp.log(jnp.asarray(eps0, z0.dtype)),
                jnp.zeros((), z0.dtype), jnp.zeros((), z0.dtype),
-               jnp.zeros_like(z0), jnp.zeros_like(z0)),
+               jnp.zeros_like(z0), m2_0),
         (keys, jnp.arange(iters)))
     var = w_m2 / jnp.maximum(iters - 1, 1)
     return z, jnp.exp(log_eps_bar), var
@@ -229,20 +257,37 @@ def _dual_avg_phase(logp_fn, grad_fn, z0, key, iters, max_depth, inv_mass,
 def _nuts_warmup_impl(logp_fn, z0, key, warmup, max_depth, target=0.8,
                       eps0=0.1, adapt_mass=True):
     """Two-phase warmup: dual-averaging with unit mass while estimating the
-    posterior variance (Welford), then re-adaptation of the step size under
-    the fitted diagonal mass (inv_mass = posterior variance — Stan's
-    diag_e metric)."""
+    posterior (co)variance (Welford), then re-adaptation of the step size
+    under the fitted mass.  ``adapt_mass=True`` fits a diagonal metric
+    (inv_mass = posterior variance — Stan's diag_e); ``adapt_mass='dense'``
+    fits the full covariance (dense_e) — the cure for funnel-correlated
+    posteriors where a diagonal metric leaves divergences behind."""
     grad_fn = jax.grad(logp_fn)
     ones = jnp.ones_like(z0)
     k1, k2 = random.split(key)
+    dense = adapt_mass == "dense"
     n1 = warmup // 2 if adapt_mass else warmup
     z, eps, var = _dual_avg_phase(logp_fn, grad_fn, z0, k1, n1, max_depth,
-                                  ones, target, eps0)
+                                  ones, target, eps0, dense=dense)
     if not adapt_mass:
         return z, eps, ones
-    # regularized variance (Stan shrinks toward unity)
     reg = (n1 / (n1 + 5.0))
-    inv_mass = reg * jnp.maximum(var, 1e-10) + (1.0 - reg) * 1e-3
+    if dense:
+        # regularized covariance (Stan shrinks toward a scaled identity)
+        ndim = z0.shape[0]
+        inv_mass = (reg * var
+                    + (1.0 - reg) * 1e-3 * jnp.eye(ndim, dtype=z0.dtype))
+        # guard: a non-PSD estimate (short phase-1) falls back to its diag
+        l = jnp.linalg.cholesky(inv_mass)
+        bad = ~jnp.all(jnp.isfinite(l))
+        inv_mass = jnp.where(
+            bad,
+            jnp.diag(jnp.maximum(jnp.diagonal(var), 1e-10) * reg
+                     + (1.0 - reg) * 1e-3),
+            inv_mass)
+    else:
+        # regularized variance (Stan shrinks toward unity)
+        inv_mass = reg * jnp.maximum(var, 1e-10) + (1.0 - reg) * 1e-3
     z, eps, _ = _dual_avg_phase(logp_fn, grad_fn, z, k2, warmup - n1,
                                 max_depth, inv_mass, target, eps)
     return z, eps, inv_mass
@@ -279,6 +324,11 @@ def nuts_sampler(logp, z0, samples, eps=None, warmup=200, key=None,
     0.95-0.99 on posteriors that report divergences (GP hyper posteriors
     have funnel-like curvature; a smaller adapted step trades tree depth
     for validity — Stan's ``adapt_delta`` guidance applies).
+
+    ``adapt_mass``: True (default) fits a diagonal metric during warmup,
+    ``'dense'`` the full posterior covariance (dense_e) — use it when a
+    high ``target_accept`` still reports divergences (correlated funnels,
+    e.g. warped-GP power/scale vs noise hypers), False keeps unit mass.
     """
     if key is None or isinstance(key, int):
         key = random.PRNGKey(0 if key is None else key)

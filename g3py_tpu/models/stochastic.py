@@ -1033,7 +1033,8 @@ class StochasticProcess(PlotModel):
                       burnin_method="multi-sum", outlayer_percentile=0.0005,
                       clusters=None, prior=False, parallel=False, threads=1,
                       plot=False, file=None, load=True, seed=0, method="ensemble",
-                      nuts_warmup=200, max_depth=8, target_accept=0.8):
+                      nuts_warmup=200, max_depth=8, target_accept=0.8,
+                      nuts_mass="diag"):
         """MCMC over the hyperparameter posterior (reference :676-800).
 
         ``method='ensemble'`` (default) is the reference's affine-invariant
@@ -1086,7 +1087,8 @@ class StochasticProcess(PlotModel):
             echain, lnprob, _info = nuts_sampler(
                 logp_tr, z0, samples, warmup=nuts_warmup, key=seed,
                 max_depth=max_depth, chains=chains,
-                target_accept=target_accept)
+                target_accept=target_accept,
+                adapt_mass="dense" if nuts_mass == "dense" else True)
         else:
             lnprob, echain = mcmc_ensemble(
                 ndim, samples=samples, chains=chains, ntemps=ntemps, start=start,

@@ -32,6 +32,7 @@ __all__ = [
     "blocked_cholesky",
     "blocked_trtri",
     "blocked_lauum",
+    "blocked_lauum_panel",
     "mvn_quad_logdet",
 ]
 
@@ -333,6 +334,48 @@ def blocked_lauum(w, block=2048):
     rows = [
         jnp.concatenate(
             [upper[i][j] if j >= i else upper[j][i].T for j in range(nb)],
+            axis=1)
+        for i in range(nb)
+    ]
+    out = jnp.concatenate(rows, axis=0)
+    return out[:n, :n]
+
+
+def blocked_lauum_panel(w, block=1024):
+    """``W^T W`` for lower-triangular W with ONE tall matmul per block
+    column — same n^3/3 MACs as :func:`blocked_lauum` but nb large
+    contractions instead of nb^3/6 tile matmuls:
+
+      block-column j of the (upper) result = W[jB:, :(j+1)B]^T W[jB:, jB:(j+1)B]
+
+    (rows above jB contribute nothing: W is lower-triangular, so W[k, j]=0
+    for k < jB).  lauum has no dependency chain — it is a masked syrk —
+    so unlike the factorization/inversion passes its throughput is limited
+    only by matmul shape, and the tall form lets the MXU run at dense-syrk
+    rate."""
+    n = w.shape[-1]
+    if n <= block:
+        return jnp.matmul(w.T, w, precision=lax.Precision.HIGHEST)
+    nb = -(-n // block)
+    n_pad = nb * block
+    wp = _pad_tril(w, n_pad)
+
+    cols = []
+    for j in range(nb):
+        rows_j = n_pad - j * block
+        left = lax.dynamic_slice(wp, (j * block, 0),
+                                 (rows_j, (j + 1) * block))
+        right = lax.dynamic_slice(wp, (j * block, j * block),
+                                  (rows_j, block))
+        cols.append(jnp.matmul(left.T, right,
+                               precision=lax.Precision.HIGHEST))
+
+    def upper(i, j):  # block (i, j) with i <= j
+        return cols[j][i * block:(i + 1) * block, :]
+
+    rows = [
+        jnp.concatenate(
+            [upper(i, j) if j >= i else upper(j, i).T for j in range(nb)],
             axis=1)
         for i in range(nb)
     ]

@@ -34,6 +34,7 @@ MODULES = [
     "tut08_graphical_models",
     "tut09_large_scale",
     "tut10_serving",
+    "tut11_distributed_training",
 ]
 
 

@@ -298,15 +298,16 @@ class TestMvnQuadLogdet:
                                    rtol=1e-3, atol=1e-4)
 
     def test_blocked_lauum(self, rng):
-        from g3py_tpu.ops.linalg import blocked_lauum
+        from g3py_tpu.ops.linalg import blocked_lauum, blocked_lauum_panel
 
-        for n in (100, 128):
-            a = rng.standard_normal((n, n)).astype(np.float32)
-            w = jnp.asarray(np.tril(a))
-            got = blocked_lauum(w, block=32)
-            want = np.asarray(w, np.float64).T @ np.asarray(w, np.float64)
-            np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
-                                       atol=1e-4)
+        for fn in (blocked_lauum, blocked_lauum_panel):
+            for n in (100, 128):
+                a = rng.standard_normal((n, n)).astype(np.float32)
+                w = jnp.asarray(np.tril(a))
+                got = fn(w, block=32)
+                want = np.asarray(w, np.float64).T @ np.asarray(w, np.float64)
+                np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                           atol=1e-4, err_msg=fn.__name__)
 
     def test_failure_path_zero_grad(self):
         from g3py_tpu.ops.linalg import mvn_quad_logdet

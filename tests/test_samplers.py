@@ -122,6 +122,33 @@ class TestNUTS:
         assert np.all(info["divergences"] == 0)
         assert np.all(info["accept_rate"] > 0.5)
 
+    def test_dense_mass_cuts_tree_depth(self):
+        """adapt_mass='dense' (dense_e metric): on a strongly correlated
+        gaussian the fitted full covariance decorrelates the dynamics —
+        correct moments at materially lower tree depth (fewer gradient
+        evals per effective sample) than the diagonal metric."""
+        import jax.numpy as jnp
+        from g3py_tpu.bayesian.nuts import nuts_sampler
+
+        cov = np.array([[1.0, 0.95, 0.0], [0.95, 1.0, 0.0],
+                        [0.0, 0.0, 0.01]], np.float32)
+        prec = jnp.asarray(np.linalg.inv(cov).astype(np.float32))
+
+        def logp(p):
+            return -0.5 * p @ prec @ p
+
+        depths = {}
+        for mass in (True, "dense"):
+            chain, _, info = nuts_sampler(logp, np.zeros(3, np.float32),
+                                          samples=1200, warmup=400, key=0,
+                                          chains=2, adapt_mass=mass)
+            got = np.cov(chain[:, 400:, :].reshape(-1, 3).T)
+            np.testing.assert_allclose(got, cov, atol=0.35,
+                                       err_msg=str(mass))
+            assert np.all(info["divergences"] == 0)
+            depths[mass] = float(info["mean_tree_depth"].mean())
+        assert depths["dense"] < depths[True] - 0.5, depths
+
     def test_gp_hypers_via_nuts(self, rng):
         import g3py_tpu as g3
 
