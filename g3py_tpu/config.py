@@ -56,10 +56,12 @@ class Settings:
     pallas_gram: object = True
     # Blocked (syrk-tile) Cholesky for the CLEAN first factorization attempt
     # at n >= 8192 (ops/linalg.py blocked_cholesky).  Measured on v5e f32:
-    # 76.2 ms vs XLA's 79.5 ms at n=16384 (block 1024); ties at 4096.  The
-    # jitter-retry path keeps XLA's factorization (robustness + compile
-    # cost over the tunnel).  False = always XLA.
-    blocked_cholesky: bool = True
+    # STANDALONE it wins (76.2 ms vs XLA's 79.5 ms at n=16384, block 1024)
+    # but in the full differentiated NLL graph it LOSES (245.1 vs 241.9 ms
+    # e2e, reproduced A/B/A/B in one process) — XLA schedules the monolithic
+    # factorization better alongside the surrounding passes.  Default False;
+    # the kernel stays available for standalone factorizations.
+    blocked_cholesky: bool = False
 
     @property
     def dtype(self):
