@@ -51,6 +51,16 @@ def main(quick=True, plot=False):
     u1 = u0 - 1e-3 * grad
     assert float(f(u1)) < float(f(u0))
 
+    # ---- 1b. matrix-free SERVING: train iteratively, serve iteratively ------
+    # (round 4) one PCG solve + blocked cross-grams; no O(n^3), no n x n
+    pr = gp.predictor_iterative(params, rank=40, cg_iters=300)
+    xq = np.linspace(0, 30, 50, dtype=np.float32).reshape(-1, 1)
+    out = pr(xq, quantiles=True)
+    ref = gp.predict(params=params, space=xq, quantiles=True)
+    for k in ("mean", "std"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=5e-3, atol=5e-3, err_msg=k)
+
     # ---- 2. device-sharded NLL + gradient over the mesh ---------------------
     from g3py_tpu.parallel import make_mesh, distributed_gp_nll
 

@@ -172,6 +172,19 @@ class GaussianProcess(EllipticalProcess):
         latent = loc + p * sd
         return self.mapping(params, space, inputs, outputs, vector=latent)
 
+    def predictor_iterative(self, params=None, rank=64, block=2048,
+                            cg_iters=200, tol=1e-6):
+        """Matrix-free streaming serving for training sets too large to
+        factor (the counterpart of ``find_MAP(engine='iterative')``): one
+        preconditioned-CG solve + rank-R pivoted Cholesky, then every
+        statistic streams as blocked cross-gram matmuls — no O(n^3)
+        factorization and no n x n matrix (models/predictor.py
+        ``IterativePredictor``)."""
+        from .predictor import IterativePredictor
+
+        return IterativePredictor(self, params, rank=rank, block=block,
+                                  cg_iters=cg_iters, tol=tol)
+
     def nll_iterative(self, params=None, rank=64, block=2048, cg_iters=100,
                       probes=8, lanczos_iters=25, seed=0):
         """Matrix-free negative loglikelihood for training sets too large to

@@ -218,6 +218,83 @@ class TestIterativeModelNLL:
         assert np.all(np.isfinite(np.asarray(g_)))
 
 
+class TestIterativePredictor:
+    """Matrix-free serving (models/predictor.py IterativePredictor): CG
+    alpha + batched-PCG variance, no factorization, no n x n matrix —
+    the serving counterpart of find_MAP(engine='iterative')."""
+
+    def _fit(self, rng, cls=None, mapping=None, n=512):
+        import g3py_tpu as g3
+
+        x = np.sort(rng.uniform(0, 30, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(0.5 * x[:, 0])
+             + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        kws = dict(space=x, location=g3.Bias(), kernel=g3.SE(x), name="ITP")
+        if mapping == "log":
+            y = np.exp(0.3 * y).astype(np.float32)
+            kws["mapping"] = g3.LogShifted(y)
+            sp = g3.WGP(**kws)
+        else:
+            sp = g3.GP(**kws)
+        sp.observed(x, y)
+        return sp, sp.find_MAP(points=1, display=False)
+
+    def test_matches_dense_predict(self, rng):
+        import g3py_tpu as g3
+
+        gp, params = self._fit(rng)
+        xq = np.linspace(-2, 32, 120, dtype=np.float32).reshape(-1, 1)
+        dense = gp.predict(params=params, space=xq, quantiles=True, var=True)
+        pr = gp.predictor_iterative(params, rank=64, cg_iters=400)
+        assert pr.cg_rel_residual < 1e-3
+        out = pr(xq, quantiles=True, var=True)
+        for k in ("mean", "std", "variance", "quantile_up", "quantile_down"):
+            d, a = np.asarray(dense[k]), np.asarray(out[k])
+            scale = np.max(np.abs(d)) + 1e-9
+            assert np.max(np.abs(a - d)) / scale < 2e-3, k
+
+    def test_warped_moments_match(self, rng):
+        gp, params = self._fit(rng, mapping="log", n=256)
+        xq = np.linspace(0, 30, 60, dtype=np.float32).reshape(-1, 1)
+        dense = gp.predict(params=params, space=xq, quantiles=True)
+        pr = gp.predictor_iterative(params, rank=64, cg_iters=400)
+        out = pr(xq, quantiles=True)
+        for k in ("mean", "std", "quantile_up"):
+            d, a = np.asarray(dense[k]), np.asarray(out[k])
+            assert np.max(np.abs(a - d)) / (np.max(np.abs(d)) + 1e-9) \
+                < 5e-3, k
+
+    def test_sketch_variance_is_quicklook_only(self, rng):
+        """The rank-R Woodbury sketch (exact_var=False) is finite and
+        bounded by the prior variance but NOT accurate — documented
+        quick-look only."""
+        gp, params = self._fit(rng, n=256)
+        xq = np.linspace(0, 30, 60, dtype=np.float32).reshape(-1, 1)
+        pr = gp.predictor_iterative(params, rank=64, cg_iters=400)
+        v = np.asarray(pr.variance(xq, exact_var=False))
+        assert np.all(np.isfinite(v)) and np.all(v >= 0.0)
+
+    def test_rejections_and_stale_guard(self, rng):
+        import pytest as _pytest
+        import g3py_tpu as g3
+
+        gp, params = self._fit(rng, n=128)
+        x = gp.inputs
+        from g3py_tpu.models.predictor import IterativePredictor
+
+        tp = g3.TP(space=x, location=g3.Bias(), kernel=g3.SE(x), name="ITTP")
+        tp.observed(x, gp.outputs)
+        with _pytest.raises(ValueError, match="gaussian"):
+            IterativePredictor(tp, tp.params_default)
+        # an unconverged solve must raise, not serve garbage (hardening)
+        with _pytest.raises(ValueError, match="did not converge"):
+            gp.predictor_iterative(params, rank=2, cg_iters=1)
+        pr = gp.predictor_iterative(params, rank=32)
+        gp.observed(x[:64], gp.outputs[:64])
+        with _pytest.raises(ValueError, match="rebuild"):
+            pr.mean(x[:8])
+
+
 class TestPredictor:
     """Serving fast path: one factorization, matmul-only statistics
     (models/predictor.py; the reference re-factorized per statistic,
