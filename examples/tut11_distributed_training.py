@@ -63,6 +63,16 @@ def main(quick=True, plot=False):
                                -float(tp.loglike(tp.params_default)),
                                rtol=1e-4, atol=5e-3)
 
+    # serve the model you trained: the gram stays band-sharded, queries
+    # are a per-device cross-gram + sharded TRSM + psums
+    pr = gp.predictor_distributed(params)
+    xq = np.linspace(0, 20, 40, dtype=np.float32).reshape(-1, 1)
+    out = pr(xq, quantiles=True)
+    ref = gp.predict(params=params, space=xq, quantiles=True)
+    for k in ("mean", "std"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=2e-3, atol=2e-3, err_msg=k)
+
     if plot:
         gp.plot(params=params)
         g3.show()

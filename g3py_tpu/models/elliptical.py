@@ -117,44 +117,51 @@ class EllipticalProcess(StochasticProcess):
         return safe_cholesky(to_cov(self.f_kernel_noise.cov(params, inputs)))
 
     # -- device-sharded (multi-chip) training objective -------------------------
-    def _distributed_qld(self, mesh=None, block=None, axis="dp"):
-        """Shared builder for the device-sharded gram primitive
-        ``fn(params, x, resid) -> (quad, logdet_half)``
-        (parallel/cholesky.py `distributed_quad_logdet`): the (n, n)
-        observed gram lives as per-device row bands, never whole.  Used by
-        the elliptical subclasses' ``nll_distributed`` scalarizations
-        (gaussian and Student-t).  Requires the standard ``noisy=True``
-        construction and n divisible by the mesh device count."""
+    def _distributed_parts(self, mesh=None, axis="dp", what="nll_distributed"):
+        """Shared validation + (mesh, cov_fn, noise_fn) for every sharded
+        band-gram consumer (training objectives, multi-chip serving).
+        Requires the standard ``noisy=True`` construction and n divisible
+        by the mesh device count."""
         from ..hypers import hval
         from ..hypers.kernels import KernelSum, KernelNoise
-        from ..parallel.cholesky import (distributed_quad_logdet,
-                                         _resolve_mesh)
+        from ..parallel.cholesky import _resolve_mesh
 
         mesh = _resolve_mesh(mesh, axis)
         n_dev = mesh.shape[axis]
         n_obs = len(self.inputs) if self.inputs is not None else 0
         if n_obs == 0 or n_obs % n_dev:
             raise ValueError(
-                f"nll_distributed: n={n_obs} observations must divide "
+                f"{what}: n={n_obs} observations must divide "
                 f"evenly over the {n_dev}-device mesh (subset/pad the "
                 "training data or use a mesh whose size divides n)")
         kn = self.f_kernel_noise
         if not (isinstance(kn, KernelSum) and isinstance(kn.k2, KernelNoise)):
-            raise ValueError("nll_distributed needs the noisy=True "
+            raise ValueError(f"{what} needs the noisy=True "
                              "KernelSum(kernel, KernelNoise) construction")
         if _contains_kernel_noise(self.f_kernel):
             # the band gram is built from CROSS covariances (x_band vs x);
             # a KernelNoise term inside the signal kernel contributes 0
             # there and would silently vanish — reject instead
-            raise ValueError("nll_distributed does not support KernelNoise "
+            raise ValueError(f"{what} does not support KernelNoise "
                              "terms inside the signal kernel (the band gram "
                              "sees only cross-covariances)")
         kernel = self.f_kernel
         noise_hyper = kn.k2.var
-        return distributed_quad_logdet(
-            lambda p, x1, x2: kernel.cov(p, x1, x2),
-            mesh=mesh, block=block, axis=axis,
-            noise_fn=lambda p: hval(noise_hyper, p))
+        return (mesh, lambda p, x1, x2: kernel.cov(p, x1, x2),
+                lambda p: hval(noise_hyper, p))
+
+    def _distributed_qld(self, mesh=None, block=None, axis="dp"):
+        """Device-sharded gram primitive ``fn(params, x, resid) ->
+        (quad, logdet_half)`` (parallel/cholesky.py
+        `distributed_quad_logdet`): the (n, n) observed gram lives as
+        per-device row bands, never whole.  Used by the elliptical
+        subclasses' ``nll_distributed`` scalarizations (gaussian and
+        Student-t)."""
+        from ..parallel.cholesky import distributed_quad_logdet
+
+        mesh, cov_fn, noise_fn = self._distributed_parts(mesh, axis)
+        return distributed_quad_logdet(cov_fn, mesh=mesh, block=block,
+                                       axis=axis, noise_fn=noise_fn)
 
     def _find_map_distributed(self, start=None, points=1, return_points=False,
                               display=True, max_iters=200, mesh=None,

@@ -172,6 +172,18 @@ class GaussianProcess(EllipticalProcess):
         latent = loc + p * sd
         return self.mapping(params, space, inputs, outputs, vector=latent)
 
+    def predictor_distributed(self, params=None, mesh=None, block=None,
+                              axis="dp"):
+        """Multi-chip streaming serving (the counterpart of
+        ``find_MAP(engine='distributed')``): the observed gram is factored
+        once by the cooperative band Cholesky and stays row-band-sharded;
+        query batches cost a per-device cross-gram band, a sharded TRSM
+        and two psums (models/predictor.py ``DistributedPredictor``)."""
+        from .predictor import DistributedPredictor
+
+        return DistributedPredictor(self, params, mesh=mesh, block=block,
+                                    axis=axis)
+
     def predictor_iterative(self, params=None, rank=64, block=2048,
                             cg_iters=200, tol=1e-6):
         """Matrix-free streaming serving for training sets too large to

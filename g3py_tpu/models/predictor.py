@@ -34,7 +34,8 @@ import numpy as np
 from ..config import settings
 from .stochastic import CompiledFn, _prep_matrix, _prep_vector
 
-__all__ = ["Predictor", "AveragedPredictor", "IterativePredictor"]
+__all__ = ["Predictor", "AveragedPredictor", "IterativePredictor",
+           "DistributedPredictor"]
 
 
 class Predictor:
@@ -264,7 +265,98 @@ class Predictor:
         return bound
 
 
-class IterativePredictor:
+class _LatentStatisticsMixin:
+    """Statistics of a gaussian latent posterior (mu, sd) mapped through
+    the process's warping — shared by every factorization-free serving
+    backend (iterative single-chip, distributed multi-chip).  The backend
+    provides ``_moments(space, noise=..., **kw) -> (mu, sd)`` (numpy) and
+    ``self.process`` / ``self.params``; the mixin supplies the class
+    semantics: GH-quadrature moments for non-identity mappings, analytic
+    quantiles ``T(mu + p sd)`` (reference gaussian.py:56-174)."""
+
+    def _space_or_default(self, space):
+        return space if space is not None else self.process._space
+
+    def _is_identity(self):
+        from ..hypers.mappings import Identity
+
+        return isinstance(self.process.f_mapping, Identity)
+
+    def mean(self, space=None, noise=False, **kw):
+        mu, sd = self._moments(self._space_or_default(space), noise=noise,
+                               **kw)
+        if self._is_identity():
+            return mu
+        from ..ops.quadrature import gauss_hermite
+        import jax.numpy as jnp
+
+        mapping, pj = self.process.f_mapping, self.params
+        return np.asarray(gauss_hermite(lambda v: mapping(pj, v),
+                                        jnp.asarray(mu), jnp.asarray(sd),
+                                        n=settings.quadrature_degree))
+
+    def std(self, space=None, noise=False, **kw):
+        mu, sd = self._moments(self._space_or_default(space), noise=noise,
+                               **kw)
+        if self._is_identity():
+            return sd
+        from ..ops.quadrature import gauss_hermite
+        import jax.numpy as jnp
+
+        mapping, pj = self.process.f_mapping, self.params
+        m1 = gauss_hermite(lambda v: mapping(pj, v), jnp.asarray(mu),
+                           jnp.asarray(sd), n=settings.quadrature_degree)
+        m2 = gauss_hermite(lambda v: mapping(pj, v) ** 2, jnp.asarray(mu),
+                           jnp.asarray(sd), n=settings.quadrature_degree)
+        return np.sqrt(np.maximum(np.asarray(m2 - m1 ** 2), 1e-30))
+
+    def variance(self, space=None, noise=False, **kw):
+        return self.std(space, noise=noise, **kw) ** 2
+
+    def quantiler(self, space=None, q=0.975, noise=False, **kw):
+        mu, sd = self._moments(self._space_or_default(space), noise=noise,
+                               **kw)
+        p = self.process._quantile_p(self.params, q, noise=noise)
+        mapping, pj = self.process.f_mapping, self.params
+        return np.asarray(mapping(pj, mu + p * sd))
+
+    def median(self, space=None, **kw):
+        mu, _ = self._moments(self._space_or_default(space), **kw)
+        mapping, pj = self.process.f_mapping, self.params
+        return np.asarray(mapping(pj, mu))
+
+    def predict(self, space=None, mean=True, std=True, var=False,
+                median=False, quantiles=False, quantiles_noise=False,
+                noise=False, **kw):
+        from ..utils import DictObj
+
+        values = DictObj()
+        if mean:
+            values["mean"] = self.mean(space, noise=noise, **kw)
+        if std:
+            values["std"] = self.std(space, noise=noise, **kw)
+        if var:
+            values["variance"] = self.variance(space, noise=noise, **kw)
+        if median:
+            values["median"] = self.median(space, **kw)
+        if quantiles:
+            values["quantile_up"] = self.quantiler(space, q=0.975,
+                                                   noise=noise, **kw)
+            values["quantile_down"] = self.quantiler(space, q=0.025,
+                                                     noise=noise, **kw)
+        if quantiles_noise:
+            values["noise_std"] = self.std(space, noise=True, **kw)
+            values["noise_up"] = self.quantiler(space, q=0.975, noise=True,
+                                                **kw)
+            values["noise_down"] = self.quantiler(space, q=0.025, noise=True,
+                                                  **kw)
+        return values
+
+    def __call__(self, space=None, **kwargs):
+        return self.predict(space=space, **kwargs)
+
+
+class IterativePredictor(_LatentStatisticsMixin):
     """Streaming serving for training sets too large to factor (the N=50k
     stretch scale): NO O(n^3) factorization and NO n x n matrix, ever.
 
@@ -441,94 +533,87 @@ class IterativePredictor:
             var = var + float(self._noise_var)
         return mu, np.sqrt(np.maximum(var, 1e-30))
 
-    # ---- statistics (class semantics: analytic quantiles, GH moments) -----
-    def _is_identity(self):
-        from ..hypers.mappings import Identity
+    # statistics come from the shared latent-moments mixin (below)
 
-        return isinstance(self.process.f_mapping, Identity)
 
-    def mean(self, space=None, noise=False, exact_var=True):
-        mu, sd = self._moments(space if space is not None
-                               else self.process._space, noise=noise,
-                               exact_var=exact_var)
-        if self._is_identity():
-            return mu
-        from ..ops.quadrature import gauss_hermite
+class DistributedPredictor(_LatentStatisticsMixin):
+    """Multi-chip serving for models trained with
+    ``find_MAP(engine='distributed')``: the observed gram is factored ONCE
+    by the cooperative band Cholesky and stays row-band-sharded across the
+    mesh; every query batch costs one per-device band cross-gram, a
+    sharded TRSM, and two psums (parallel/cholesky.py
+    ``distributed_posterior``).  Neither the n x n gram nor the n x m
+    cross matrix ever exists unsharded — the serving counterpart of
+    ``nll_distributed``, completing the train-distributed /
+    serve-distributed story.
+
+    Statistics follow the gaussian class semantics via the shared latent
+    mixin (GH moments for warped mappings, analytic quantiles)."""
+
+    def __init__(self, process, params=None, mesh=None, block=None,
+                 axis="dp"):
+        import jax.numpy as jnp
+        from ..parallel.cholesky import distributed_posterior
+        from .gaussian import GaussianProcess
+
+        if not isinstance(process, GaussianProcess):
+            raise ValueError("DistributedPredictor implements the gaussian "
+                             "posterior algebra (GP/WGP family)")
+        if params is None:
+            params = process.params
+        mesh, cov_fn, noise_fn = process._distributed_parts(
+            mesh, axis, what="DistributedPredictor")
+        self.process = process
+        self.params = {k: jnp.asarray(np.asarray(v, settings.floatx))
+                       for k, v in process.filter_params(params).items()}
+        self._inputs_ref = process._inputs
+        self._outputs_ref = process._outputs
+        self._cov_fn = cov_fn
+        self._mesh = mesh
+
+        state_fn, query_fn = distributed_posterior(
+            cov_fn, mesh=mesh, block=block, axis=axis, noise_fn=noise_fn)
+        pj = self.params
+        x = jnp.asarray(process._inputs)
+        yout = jnp.asarray(process._outputs)
+        resid = (process._latent_obs(pj, yout)
+                 - process.f_location(pj, x))
+        self._x = x
+        self._noise_var = float(np.asarray(noise_fn(pj)))
+        self._l, self._alpha = state_fn(pj, x, resid)
+        self._query_fn = query_fn
+
+    def _check(self):
+        if (self.process._inputs is not self._inputs_ref
+                or self.process._outputs is not self._outputs_ref):
+            raise ValueError(
+                "the process's observed data changed after this "
+                "DistributedPredictor's factorization — rebuild it")
+
+    def _moments(self, space, noise=False, chunk=4096):
+        self._check()
+        import jax
         import jax.numpy as jnp
 
-        mapping, pj = self.process.f_mapping, self.params
-        return np.asarray(gauss_hermite(lambda v: mapping(pj, v),
-                                        jnp.asarray(mu), jnp.asarray(sd),
-                                        n=settings.quadrature_degree))
-
-    def std(self, space=None, noise=False, exact_var=True):
-        mu, sd = self._moments(space if space is not None
-                               else self.process._space, noise=noise,
-                               exact_var=exact_var)
-        if self._is_identity():
-            return sd
-        from ..ops.quadrature import gauss_hermite
-        import jax.numpy as jnp
-
-        mapping, pj = self.process.f_mapping, self.params
-        m1 = gauss_hermite(lambda v: mapping(pj, v), jnp.asarray(mu),
-                           jnp.asarray(sd), n=settings.quadrature_degree)
-        m2 = gauss_hermite(lambda v: mapping(pj, v) ** 2, jnp.asarray(mu),
-                           jnp.asarray(sd), n=settings.quadrature_degree)
-        return np.sqrt(np.maximum(np.asarray(m2 - m1 ** 2), 1e-30))
-
-    def variance(self, space=None, noise=False, exact_var=True):
-        return self.std(space, noise=noise, exact_var=exact_var) ** 2
-
-    def quantiler(self, space=None, q=0.975, noise=False, exact_var=True):
-        mu, sd = self._moments(space if space is not None
-                               else self.process._space, noise=noise,
-                               exact_var=exact_var)
-        p = self.process._quantile_p(self.params, q, noise=noise)
-        mapping, pj = self.process.f_mapping, self.params
-        return np.asarray(mapping(pj, mu + p * sd))
-
-    def median(self, space=None, exact_var=True):
-        mu, _ = self._moments(space if space is not None
-                              else self.process._space,
-                              exact_var=exact_var)
-        mapping, pj = self.process.f_mapping, self.params
-        return np.asarray(mapping(pj, mu))
-
-    def predict(self, space=None, mean=True, std=True, var=False,
-                median=False, quantiles=False, quantiles_noise=False,
-                noise=False, exact_var=True):
-        from ..utils import DictObj
-
-        values = DictObj()
-        if mean:
-            values["mean"] = self.mean(space, noise=noise,
-                                       exact_var=exact_var)
-        if std:
-            values["std"] = self.std(space, noise=noise, exact_var=exact_var)
-        if var:
-            values["variance"] = self.variance(space, noise=noise,
-                                               exact_var=exact_var)
-        if median:
-            values["median"] = self.median(space, exact_var=exact_var)
-        if quantiles:
-            values["quantile_up"] = self.quantiler(space, q=0.975,
-                                                   noise=noise,
-                                                   exact_var=exact_var)
-            values["quantile_down"] = self.quantiler(space, q=0.025,
-                                                     noise=noise,
-                                                     exact_var=exact_var)
-        if quantiles_noise:
-            values["noise_std"] = self.std(space, noise=True,
-                                           exact_var=exact_var)
-            values["noise_up"] = self.quantiler(space, q=0.975, noise=True,
-                                                exact_var=exact_var)
-            values["noise_down"] = self.quantiler(space, q=0.025, noise=True,
-                                                  exact_var=exact_var)
-        return values
-
-    def __call__(self, space=None, **kwargs):
-        return self.predict(space=space, **kwargs)
+        space = _prep_matrix(space)
+        proc, pj = self.process, self.params
+        mus, vs = [], []
+        for lo in range(0, len(space), chunk):
+            xq = jnp.asarray(space[lo:lo + chunk])
+            md, vr = self._query_fn(pj, self._x, self._l, self._alpha, xq)
+            kss = jax.vmap(lambda i: self._cov_fn(
+                pj, jax.lax.dynamic_slice(xq, (i, 0), (1, xq.shape[1])),
+                jax.lax.dynamic_slice(xq, (i, 0),
+                                      (1, xq.shape[1])))[0, 0]
+            )(jnp.arange(xq.shape[0]))
+            mu = proc.f_location(pj, xq) + md
+            mus.append(np.asarray(mu))
+            vs.append(np.maximum(np.asarray(kss) - np.asarray(vr), 0.0))
+        mu = np.concatenate(mus)
+        var = np.concatenate(vs)
+        if noise:
+            var = var + self._noise_var
+        return mu, np.sqrt(np.maximum(var, 1e-30))
 
 
 class AveragedPredictor:

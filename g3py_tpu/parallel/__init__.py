@@ -16,7 +16,8 @@ TPU-native equivalents here:
 from .mesh import make_mesh, data_sharding, replicate
 from .sharded import sharded_logp_fn, sharded_ensemble_step, pt_sampler_sharded
 from .cholesky import (distributed_cholesky, distributed_trsm,
-                       distributed_gp_nll)
+                       distributed_gp_nll, distributed_quad_logdet,
+                       distributed_posterior)
 
 __all__ = [
     "make_mesh",
@@ -28,4 +29,6 @@ __all__ = [
     "distributed_cholesky",
     "distributed_trsm",
     "distributed_gp_nll",
+    "distributed_quad_logdet",
+    "distributed_posterior",
 ]

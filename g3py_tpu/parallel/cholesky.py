@@ -61,7 +61,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..config import settings
 
 __all__ = ["distributed_cholesky", "distributed_trsm",
-           "distributed_quad_logdet", "distributed_gp_nll"]
+           "distributed_quad_logdet", "distributed_gp_nll",
+           "distributed_posterior"]
 
 
 def _band_cholesky_body(a_local, n, block, n_dev, axis):
@@ -135,6 +136,42 @@ def _band_trsm_body(l_local, b_local, n, block, n_dev, axis):
         zk_mine = zk[jnp.clip(grow - kb, 0, block - 1), :]
         return jnp.where(below[:, None], b_loc - upd,
                          jnp.where(in_panel[:, None], zk_mine, b_loc))
+
+    return lax.fori_loop(0, nb, panel, b_local)
+
+
+def _band_trsm_t_body(l_local, b_local, n, block, n_dev, axis):
+    """Backward substitution ``L^T A = B`` on row bands (the transpose
+    counterpart of :func:`_band_trsm_body`): panels run bottom-up; panel k
+    subtracts the psum of ``L[i,k]^T a_i`` over already-solved rows i
+    (every row below the panel), then solves against ``L_kk^T``."""
+    rows_per_dev = n // n_dev
+    nb = n // block
+    me = lax.axis_index(axis)
+    row0 = me * rows_per_dev
+    grow = row0 + lax.broadcasted_iota(jnp.int32, (rows_per_dev, 1), 0)[:, 0]
+    m = b_local.shape[1]
+
+    def panel(kk, b_loc):
+        k = nb - 1 - kk
+        kb = k * block
+        owns = (kb >= row0) & (kb + block <= row0 + rows_per_dev)
+        safe_off = jnp.clip(kb - row0, 0, rows_per_dev - block)
+        lkk_rows = lax.dynamic_slice(l_local, (safe_off, kb), (block, block))
+        bk_rows = lax.dynamic_slice(b_loc, (safe_off, 0), (block, m))
+        lkk = lax.psum(jnp.where(owns, lkk_rows, 0.0), axis)
+        zk = lax.psum(jnp.where(owns, bk_rows, 0.0), axis)
+        # contribution of my already-solved rows (strictly below the panel)
+        lk_mine = lax.dynamic_slice(l_local, (0, kb), (rows_per_dev, block))
+        solved = grow >= kb + block
+        contrib = jnp.matmul(lk_mine.T,
+                             jnp.where(solved[:, None], b_loc, 0.0),
+                             precision=lax.Precision.HIGHEST)
+        total = lax.psum(contrib, axis)
+        ak = solve_triangular(lkk.T, zk - total, lower=False)  # (block, m)
+        in_panel = (grow >= kb) & (grow < kb + block)
+        ak_mine = ak[jnp.clip(grow - kb, 0, block - 1), :]
+        return jnp.where(in_panel[:, None], ak_mine, b_loc)
 
     return lax.fori_loop(0, nb, panel, b_local)
 
@@ -340,6 +377,97 @@ def distributed_quad_logdet(cov_fn, mesh=None, block=None, axis="dp",
         return qld(params, x, y)
 
     return prepared
+
+
+def distributed_posterior(cov_fn, mesh=None, block=None, axis="dp",
+                          noise_fn=None):
+    """Multi-chip gaussian-posterior SERVING on the band layout: build
+    ``(state_fn, query_fn)`` closures over a mesh.
+
+      state_fn(params, x, resid) -> (l_sharded, alpha_sharded)
+        one cooperative blocked Cholesky of the (noisy) band gram plus two
+        sharded triangular solves: alpha = (K+sigma^2 I)^{-1} resid
+        (forward :func:`_band_trsm_body`, then the transpose solve
+        :func:`_band_trsm_t_body`).  Both outputs stay row-band-sharded.
+
+      query_fn(params, x, l_sharded, alpha_sharded, xq)
+        -> (mean_delta, var_reduction)
+        per device: its band of the cross-gram K_Xq, contributing
+        ``cross_band^T alpha_band`` (psum) to the mean and
+        ``colsum((L^{-1} K_Xq)_band^2)`` (sharded TRSM + psum) to the
+        posterior-variance reduction.  The n x n gram and the n x m cross
+        matrix never exist unsharded.
+
+    The caller assembles latent moments as ``mu = m(xq) + mean_delta`` and
+    ``var = k_ss_diag - var_reduction`` (models/predictor.py
+    ``DistributedPredictor``)."""
+    from jax import shard_map
+
+    mesh = _resolve_mesh(mesh, axis)
+    n_dev = mesh.shape[axis]
+    band = NamedSharding(mesh, P(axis, None))
+    vec = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def _band_gram(params, x, n, rows_per_dev):
+        me = lax.axis_index(axis)
+        row0 = me * rows_per_dev
+        x_band = lax.dynamic_slice_in_dim(x, row0, rows_per_dev, axis=0)
+        g = cov_fn(params, x_band, x)
+        if noise_fn is not None:
+            grow = row0 + lax.broadcasted_iota(
+                jnp.int32, (rows_per_dev,), 0)
+            gcol = lax.broadcasted_iota(jnp.int32, (n,), 0)
+            g = g + noise_fn(params) * (
+                grow[:, None] == gcol[None, :]).astype(g.dtype)
+        return g
+
+    def state_fn(params, x, resid):
+        x = jax.device_put(jnp.asarray(x, settings.dtype), repl)
+        resid = jax.device_put(jnp.asarray(resid, settings.dtype), vec)
+        n = resid.shape[0]
+        rows_per_dev = n // n_dev
+        blk = _check_dims(n, n_dev, block)
+
+        def body(params_, x_, r_local):
+            a_local = _band_gram(params_, x_, n, rows_per_dev)
+            l_local = _band_cholesky_body(a_local, n, blk, n_dev, axis)
+            z_local = _band_trsm_body(l_local, r_local[:, None], n, blk,
+                                      n_dev, axis)
+            al_local = _band_trsm_t_body(l_local, z_local, n, blk,
+                                         n_dev, axis)[:, 0]
+            return l_local, al_local
+
+        fn = shard_map(body, mesh=mesh, in_specs=(P(), P(), P(axis)),
+                       out_specs=(P(axis, None), P(axis)))
+        return jax.jit(fn)(params, x, resid)
+
+    def query_fn(params, x, l_sharded, alpha_sharded, xq):
+        n = l_sharded.shape[-1]
+        rows_per_dev = n // n_dev
+        blk = _check_dims(n, n_dev, block)
+        xq = jax.device_put(jnp.asarray(xq, settings.dtype), repl)
+
+        def body(params_, x_, l_local, al_local, xq_):
+            me = lax.axis_index(axis)
+            row0 = me * rows_per_dev
+            x_band = lax.dynamic_slice_in_dim(x_, row0, rows_per_dev,
+                                              axis=0)
+            cross = cov_fn(params_, x_band, xq_)  # (rows, m)
+            mean_delta = lax.psum(
+                jnp.matmul(cross.T, al_local,
+                           precision=lax.Precision.HIGHEST), axis)
+            w_local = _band_trsm_body(l_local, cross, n, blk, n_dev, axis)
+            var_red = lax.psum(jnp.sum(w_local * w_local, axis=0), axis)
+            return mean_delta, var_red
+
+        fn = shard_map(body, mesh=mesh,
+                       in_specs=(P(), P(), P(axis, None), P(axis), P()),
+                       out_specs=(P(), P()))
+        x = jax.device_put(jnp.asarray(x, settings.dtype), repl)
+        return jax.jit(fn)(params, x, l_sharded, alpha_sharded, xq)
+
+    return state_fn, query_fn
 
 
 def distributed_gp_nll(cov_fn, mesh=None, block=None, axis="dp",

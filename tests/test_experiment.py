@@ -293,6 +293,26 @@ class TestDistributedEngine:
                         max_iters=10)
         assert float(tp.logp(p)) > float(tp.logp(tp.params_default)) + 10
 
+    def test_predictor_distributed_matches_dense(self, rng):
+        """Multi-chip serving (DistributedPredictor): band-sharded factor
+        + sharded-TRSM queries must match the dense predict path on the
+        8-device mesh, including warped statistics."""
+        gp = self._make_gp(rng, 256)
+        params = gp.find_MAP(points=1, display=False)
+        xq = np.linspace(-2, 22, 100, dtype=np.float32).reshape(-1, 1)
+        dense = gp.predict(params=params, space=xq, quantiles=True, var=True)
+        pr = gp.predictor_distributed(params)
+        out = pr(xq, quantiles=True, var=True)
+        for k in ("mean", "std", "variance", "quantile_up",
+                  "quantile_down"):
+            d, a = np.asarray(dense[k]), np.asarray(out[k])
+            scale = np.max(np.abs(d)) + 1e-9
+            assert np.max(np.abs(a - d)) / scale < 2e-3, k
+        # stale-data guard
+        gp.observed(gp.inputs[:128], gp.outputs[:128])
+        with pytest.raises(ValueError, match="rebuild"):
+            pr.mean(xq)
+
     def test_nll_distributed_rejects_bad_constructions(self, rng):
         gp = self._make_gp(rng, 64)
         gp2 = g3.GP(space=gp.space, kernel=g3.SE(gp.space), noisy=False,
