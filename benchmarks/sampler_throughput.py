@@ -73,11 +73,16 @@ wgp = g3.WGP(space=xa[:4], location=g3.Bias(), kernel=g3.SE(xa),
 wgp.observed(xa, ya)
 bench_model("abalone-WGP n=125", wgp)
 
-# ---- 4k GP -----------------------------------------------------------------
-n, d = 4096, 8
-x = rng.standard_normal((n, d)).astype(np.float32)
-y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(np.float32)
-gp = g3.GP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x), name="SGP4")
-gp.observed(x, y)
-bench_model("GP n=4096", gp, ens_iters=100, nuts_samples=60, nuts_warmup=40,
-            chains_ens=16, chains_nuts=2)
+# ---- 4k GP (opt-in: the big-gram fused sampler scans have crashed the
+# hosted tunnel's TPU worker — run with G3PY_BENCH_4K=1 on a standard
+# runtime) -------------------------------------------------------------------
+import os
+
+if os.environ.get("G3PY_BENCH_4K"):
+    n, d = 4096, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    gp = g3.GP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x), name="SGP4")
+    gp.observed(x, y)
+    bench_model("GP n=4096", gp, ens_iters=100, nuts_samples=60,
+                nuts_warmup=40, chains_ens=16, chains_nuts=2)

@@ -325,6 +325,25 @@ class _LatentStatisticsMixin:
         mapping, pj = self.process.f_mapping, self.params
         return np.asarray(mapping(pj, mu))
 
+    def logpredictive(self, vector, space=None, **kw):
+        """Independent-marginal log-predictive of ``vector`` at the query
+        points — the same diagonal-posterior-cholesky semantics as
+        ``th_logpredictive`` (reference gaussian.py:42-54): latent normal
+        density of the warping pullback at (mu, sd_noise) plus the
+        pullback's log-Jacobian.  Powers ``_nlpd`` scoring for the
+        factorization-free serving paths."""
+        import jax.numpy as jnp
+
+        mu, sd = self._moments(self._space_or_default(space), noise=True,
+                               **kw)
+        mapping, pj = self.process.f_mapping, self.params
+        v = jnp.asarray(np.asarray(vector, settings.floatx))
+        tinv = np.asarray(mapping.inv(pj, v))
+        logdet = float(np.asarray(mapping.logdet_dinv(pj, v)))
+        z = (tinv - mu) / sd
+        return float(np.sum(-0.5 * np.log(2.0 * np.pi) - np.log(sd)
+                            - 0.5 * z * z) + logdet)
+
     def predict(self, space=None, mean=True, std=True, var=False,
                 median=False, quantiles=False, quantiles_noise=False,
                 noise=False, **kw):

@@ -252,6 +252,12 @@ class TestIterativePredictor:
             d, a = np.asarray(dense[k]), np.asarray(out[k])
             scale = np.max(np.abs(d)) + 1e-9
             assert np.max(np.abs(a - d)) / scale < 2e-3, k
+        # independent-marginal logpredictive matches the dense semantics
+        yq = np.interp(xq[:, 0], gp.inputs[:, 0], gp.outputs
+                       ).astype(np.float32)
+        ref = float(gp.logpredictive(params, xq, vector=yq, noise=True))
+        got = pr.logpredictive(yq, space=xq)
+        assert abs(got - ref) < 0.02 * abs(ref) + 0.5
 
     def test_warped_moments_match(self, rng):
         gp, params = self._fit(rng, mapping="log", n=256)
