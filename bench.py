@@ -215,15 +215,18 @@ def main():
                      "value": round(ens_ess_s, 1), "unit": "ESS/sec",
                      "vs_baseline": round(evals_s * 878e-6, 2)})
 
+        # dense_e mass + ta=0.95: measured round 4 on this workload vs
+        # diag_e — divergences halved (105 -> 51), ESS/s 2.0 -> 4.3
         samples, warmup, chains_n = 300, 200, 4
         _ = nuts_sampler(logp_tr, np.asarray(u2), samples=10, warmup=10,
                          key=0, chains=chains_n, max_depth=6,
-                         target_accept=0.95)
+                         target_accept=0.95, adapt_mass="dense")
         t0 = time.perf_counter()
         chn, lpn, info = nuts_sampler(logp_tr, np.asarray(u2),
                                       samples=samples, warmup=warmup, key=1,
                                       chains=chains_n, max_depth=6,
-                                      target_accept=0.95)
+                                      target_accept=0.95,
+                                      adapt_mass="dense")
         chn = np.asarray(chn)
         t_nuts = time.perf_counter() - t0
         ess = sum(_mESS(chn[c, samples // 2:, :]) for c in range(chains_n))
