@@ -84,6 +84,13 @@ class Experiment:
         self.points = 1
         self.powell = True
         self.max_time = None
+        # training engine for select_model: "scipy" (reference recipe),
+        # "jax" (vmapped on-device L-BFGS), "iterative" (matrix-free, GP
+        # family, large N) or "distributed" (band-sharded exact NLL over a
+        # mesh; the obs split size must divide the device count).  Extra
+        # engine knobs (rank/cg_iters/mesh/...) go in engine_kwargs.
+        self.engine = "scipy"
+        self.engine_kwargs = {}
         self.holdout = 0.0
         self.results = None
         self.simulations = {}
@@ -115,13 +122,16 @@ class Experiment:
         self.scores_time = time
 
     def set_selection(self, find_MAP=True, starts=1, points=1, powell=True,
-                      master=None, max_time=None):
+                      master=None, max_time=None, engine="scipy",
+                      engine_kwargs=None):
         self.find_MAP = find_MAP
         self.starts = starts
         self.points = points
         self.powell = powell
         self.master = master
         self.max_time = max_time
+        self.engine = engine
+        self.engine_kwargs = engine_kwargs or {}
 
     def save(self, path=None):
         path = path or self.file
@@ -169,9 +179,15 @@ class Experiment:
                 if ll > best_ll:
                     best, best_ll = s, ll
             return best
-        params, points_list = sp.find_MAP(
-            start=starts, points=self.points, powell=self.powell,
-            display=display, max_time=self.max_time, return_points=True)
+        if self.engine != "scipy":
+            params, points_list = sp.find_MAP(
+                start=starts, points=self.points, display=display,
+                engine=self.engine, return_points=True,
+                **(self.engine_kwargs or {}))
+        else:
+            params, points_list = sp.find_MAP(
+                start=starts, points=self.points, powell=self.powell,
+                display=display, max_time=self.max_time, return_points=True)
         if valid_index is None or len(valid_index) == 0:
             return params
         # holdout selection: smallest validation l2 among the candidates

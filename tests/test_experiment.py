@@ -80,6 +80,21 @@ class TestExperiment:
         piv = exp.describe(score="test_l1")
         assert piv.shape == (2, 2)
 
+    def test_engine_passthrough(self, rng):
+        """set_selection(engine=...) trains every (sim, model) pair through
+        the chosen find_MAP engine — here the on-device vmapped L-BFGS."""
+        x = np.linspace(0, 8, 40).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(x[:, 0])
+             + 0.1 * rng.standard_normal(40)).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x), name="EENG")
+        exp = Experiment(models=[gp])
+        exp.set_data(x, y, p=0.5)
+        exp.set_selection(find_MAP=True, points=2, engine="jax",
+                          engine_kwargs={"max_iters": 60})
+        results = exp.run(n_simulations=1, display=False)
+        assert len(results) == 1
+        assert np.isfinite(results["test_l1"].iloc[0])
+
     def test_selection_without_map(self, rng):
         x = np.linspace(0, 8, 30).astype(np.float32).reshape(-1, 1)
         y = np.sin(x[:, 0]).astype(np.float32)
@@ -292,6 +307,43 @@ class TestDistributedEngine:
         p = tp.find_MAP(points=1, engine="distributed", display=False,
                         max_iters=10)
         assert float(tp.logp(p)) > float(tp.logp(tp.params_default)) + 10
+
+    def test_distributed_posterior_lowlevel(self, rng):
+        """parallel.distributed_posterior: band-factored state and sharded
+        queries vs a dense f64 reference (alpha via the transpose TRSM)."""
+        import jax.numpy as jnp
+        from g3py_tpu.parallel import make_mesh, distributed_posterior
+
+        n, m = 256, 40
+        x = rng.standard_normal((n, 2)).astype(np.float32)
+        y = rng.standard_normal(n).astype(np.float32)
+        xq = rng.standard_normal((m, 2)).astype(np.float32)
+
+        def cov_fn(p, x1, x2):
+            d2 = ((x1[:, None, :] - x2[None, :, :]) ** 2).sum(-1)
+            return p["var"] * jnp.exp(-0.5 * d2 / p["ls"] ** 2)
+
+        params = {"var": jnp.float32(1.5), "ls": jnp.float32(1.2),
+                  "nv": jnp.float32(0.1)}
+        mesh = make_mesh(axis_names=("dp",))
+        state_fn, query_fn = distributed_posterior(
+            cov_fn, mesh=mesh, block=16, noise_fn=lambda p: p["nv"])
+        L, alpha = state_fn(params, x, y)
+        md, vr = query_fn(params, x, L, alpha, xq)
+
+        K = np.asarray(cov_fn(params, jnp.asarray(x), jnp.asarray(x))) \
+            + 0.1 * np.eye(n)
+        Kq = np.asarray(cov_fn(params, jnp.asarray(x), jnp.asarray(xq)))
+        a_ref = np.linalg.solve(K.astype(np.float64), y.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(alpha), a_ref, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(md),
+                                   Kq.T.astype(np.float64) @ a_ref,
+                                   atol=1e-3)
+        vr_ref = np.sum(Kq.astype(np.float64)
+                        * np.linalg.solve(K.astype(np.float64),
+                                          Kq.astype(np.float64)), axis=0)
+        np.testing.assert_allclose(np.asarray(vr), vr_ref, rtol=1e-4,
+                                   atol=1e-5)
 
     def test_predictor_distributed_matches_dense(self, rng):
         """Multi-chip serving (DistributedPredictor): band-sharded factor
