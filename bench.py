@@ -16,10 +16,13 @@ the headline) and carries every BASELINE metric as a parsed row under
   Theano reference at the same workload (206.26 s/eval,
   benchmarks/cpu_standin.py).
 * cholesky_gflops_n16384 — vs the same stand-in's spotrf segment.
-* nuts_ess_per_sec_wgp_n125 — NUTS effective samples (mESS)/sec at the
-  reference benchmark workload; vs_baseline is the reference's *estimated*
-  ceiling: its emcee ensemble at the recorded 878 us/eval with this run's
-  measured ESS-per-eval (the reference had no gradient sampler at all).
+* ensemble_ess_per_sec_wgp_n125 — steady-state ensemble ESS/s; its
+  vs_baseline is the clean eval-rate ratio against the reference's
+  recorded 878 us/eval (same move family, ESS-per-eval cancels).
+* nuts_ess_per_sec_wgp_n125 — NUTS (dense_e mass) ESS/s on the same
+  workload; vs_baseline is NUTS vs our own measured ensemble ESS/s.  On
+  this funnel-shaped warped-GP posterior the ensemble wins that ratio —
+  reported honestly; the reference had no gradient sampler at all.
 """
 
 import json
@@ -169,8 +172,9 @@ def main():
             {k: jnp.asarray(v) for k, v in gp16.params_default.items()}, x16j)
         k16 = jnp.asarray(k16) + 0.1 * jnp.eye(n16)
         _block(k16)
-        # the shipped factorization path: robust jitter search whose clean
-        # first attempt is the blocked syrk-tile form at this size
+        # the shipped factorization path: robust jitter search around XLA's
+        # monolithic cholesky (settings.blocked_cholesky defaults False —
+        # the tile form measured slower IN CONTEXT, docs/performance.md)
         chol16 = jax.jit(safe_cholesky)
         t_chol = _timeit(chol16, k16, repeat=3, warmup=2, best_of=2)
         gflops = n16 ** 3 / 3 / t_chol / 1e9
@@ -185,65 +189,6 @@ def main():
                      f"({gflops/1e3:.1f} TFLOP/s)")
     except Exception as e:
         notes.append(f"n16384 points skipped: {e}")
-
-    # ---- sampler throughput at the reference benchmark workload -------------
-    # Two rows: the ensemble (the reference's own sampler family — emcee
-    # stretch moves) where vs_baseline is the clean eval-rate ratio against
-    # the recorded 878us/eval (ESS-per-eval cancels: same move, same
-    # workload), and NUTS ESS/s (a gradient sampler the reference never
-    # had) where vs_baseline is NUTS vs our own measured ensemble ESS/s.
-    try:
-        from g3py_tpu.bayesian.nuts import nuts_sampler
-        from g3py_tpu.bayesian.samplers import ensemble_sampler
-        from g3py_tpu.bayesian.average import _mESS
-
-        logp_tr, _, _ = wgp._sampling_logps(prior=False)
-        ch_w, ndim2 = 32, len(np.asarray(u2))
-        p0w = (np.asarray(u2)[None, :]
-               * (1 + 0.05 * rng.standard_normal((ch_w, ndim2)))
-               ).astype(np.float32)
-        iters_w = 400
-        _ = ensemble_sampler(logp_tr, p0w, 10, key=0)
-        t0 = time.perf_counter()
-        ch_e, _lp = ensemble_sampler(logp_tr, p0w, iters_w, key=1)
-        ch_e = np.asarray(ch_e)
-        t_ens = time.perf_counter() - t0
-        ess_e = sum(_mESS(ch_e[c, iters_w // 2:, :]) for c in range(ch_w))
-        ens_ess_s = ess_e / (2 * t_ens)  # ESS measured on half the run
-        evals_s = ch_w * iters_w / t_ens
-        rows.append({"metric": "ensemble_ess_per_sec_wgp_n125",
-                     "value": round(ens_ess_s, 1), "unit": "ESS/sec",
-                     "vs_baseline": round(evals_s * 878e-6, 2)})
-
-        # dense_e mass + ta=0.95: measured round 4 on this workload vs
-        # diag_e — divergences halved (105 -> 51), ESS/s 2.0 -> 4.3
-        samples, warmup, chains_n = 300, 200, 4
-        _ = nuts_sampler(logp_tr, np.asarray(u2), samples=10, warmup=10,
-                         key=0, chains=chains_n, max_depth=6,
-                         target_accept=0.95, adapt_mass="dense")
-        t0 = time.perf_counter()
-        chn, lpn, info = nuts_sampler(logp_tr, np.asarray(u2),
-                                      samples=samples, warmup=warmup, key=1,
-                                      chains=chains_n, max_depth=6,
-                                      target_accept=0.95,
-                                      adapt_mass="dense")
-        chn = np.asarray(chn)
-        t_nuts = time.perf_counter() - t0
-        ess = sum(_mESS(chn[c, samples // 2:, :]) for c in range(chains_n))
-        # scale measured half-chain ESS to the full wall time share it used
-        frac = (samples / 2) / (samples + warmup)
-        nuts_ess_s = ess / (t_nuts * frac)
-        rows.append({"metric": "nuts_ess_per_sec_wgp_n125",
-                     "value": round(nuts_ess_s, 1), "unit": "ESS/sec",
-                     "vs_baseline": round(nuts_ess_s / max(ens_ess_s, 1e-9),
-                                          1)})
-        notes.append(
-            f"ensemble {evals_s:.0f} logp-evals/s (ref 1139/s) ess/s="
-            f"{ens_ess_s:.1f} | nuts_ess/s={nuts_ess_s:.1f} (ta=0.95, "
-            f"accept={np.asarray(info['accept_rate']).mean():.2f}, div="
-            f"{int(np.asarray(info['divergences']).sum())})")
-    except Exception as e:
-        notes.append(f"sampler metrics skipped: {e}")
 
     # ---- serving fast path: factored vs unfactored posterior mean ----------
     try:
@@ -281,6 +226,67 @@ def main():
                      f"predictor={t_srv*1e3:.2f}ms ({t_unf/t_srv:.0f}x)")
     except Exception as e:
         notes.append(f"serving bench skipped: {e}")
+
+    # ---- sampler throughput at the reference benchmark workload -------------
+    # Two rows: the ensemble (the reference's own sampler family — emcee
+    # stretch moves) where vs_baseline is the clean eval-rate ratio against
+    # the recorded 878us/eval (ESS-per-eval cancels: same move, same
+    # workload), and NUTS ESS/s (a gradient sampler the reference never
+    # had) where vs_baseline is NUTS vs our own measured ensemble ESS/s.
+    try:
+        from g3py_tpu.bayesian.nuts import nuts_sampler
+        from g3py_tpu.bayesian.samplers import ensemble_sampler
+        from g3py_tpu.bayesian.average import _mESS
+
+        logp_tr, _, _ = wgp._sampling_logps(prior=False)
+        ch_w, ndim2 = 32, len(np.asarray(u2))
+        p0w = (np.asarray(u2)[None, :]
+               * (1 + 0.05 * rng.standard_normal((ch_w, ndim2)))
+               ).astype(np.float32)
+        iters_w = 400
+        _ = ensemble_sampler(logp_tr, p0w, 10, key=0)
+        t0 = time.perf_counter()
+        ch_e, _lp = ensemble_sampler(logp_tr, p0w, iters_w, key=1)
+        ch_e = np.asarray(ch_e)
+        t_ens = time.perf_counter() - t0
+        ess_e = sum(_mESS(ch_e[c, iters_w // 2:, :]) for c in range(ch_w))
+        # ESS measured on the last half of the run, which took ~t_ens/2 of
+        # wall — steady-state rate, same normalization as the NUTS row
+        ens_ess_s = ess_e / (t_ens / 2)
+        evals_s = ch_w * iters_w / t_ens
+        rows.append({"metric": "ensemble_ess_per_sec_wgp_n125",
+                     "value": round(ens_ess_s, 1), "unit": "ESS/sec",
+                     "vs_baseline": round(evals_s * 878e-6, 2)})
+
+        # dense_e mass + ta=0.95: measured round 4 on this workload vs
+        # diag_e — divergences halved (105 -> 51), ESS/s 2.0 -> 4.3
+        samples, warmup, chains_n = 300, 200, 4
+        _ = nuts_sampler(logp_tr, np.asarray(u2), samples=10, warmup=10,
+                         key=0, chains=chains_n, max_depth=6,
+                         target_accept=0.95, adapt_mass="dense")
+        t0 = time.perf_counter()
+        chn, lpn, info = nuts_sampler(logp_tr, np.asarray(u2),
+                                      samples=samples, warmup=warmup, key=1,
+                                      chains=chains_n, max_depth=6,
+                                      target_accept=0.95,
+                                      adapt_mass="dense")
+        chn = np.asarray(chn)
+        t_nuts = time.perf_counter() - t0
+        ess = sum(_mESS(chn[c, samples // 2:, :]) for c in range(chains_n))
+        # scale measured half-chain ESS to the full wall time share it used
+        frac = (samples / 2) / (samples + warmup)
+        nuts_ess_s = ess / (t_nuts * frac)
+        rows.append({"metric": "nuts_ess_per_sec_wgp_n125",
+                     "value": round(nuts_ess_s, 1), "unit": "ESS/sec",
+                     "vs_baseline": round(nuts_ess_s / max(ens_ess_s, 1e-9),
+                                          1)})
+        notes.append(
+            f"ensemble {evals_s:.0f} logp-evals/s (ref 1139/s) ess/s="
+            f"{ens_ess_s:.1f} | nuts_ess/s={nuts_ess_s:.1f} (ta=0.95, "
+            f"accept={np.asarray(info['accept_rate']).mean():.2f}, div="
+            f"{int(np.asarray(info['divergences']).sum())})")
+    except Exception as e:
+        notes.append(f"sampler metrics skipped: {e}")
 
     out = dict(rows[0])
     out["metrics"] = rows

@@ -39,7 +39,8 @@ def bench_model(name, gp, ens_iters=500, nuts_samples=300, nuts_warmup=150,
     half = ch[:, ens_iters // 2:, :]
     ess_e = sum(_mESS(half[c]) for c in range(half.shape[0]))
     ens_steps = chains_ens * ens_iters / t_ens
-    ens_ess = ess_e / (2 * t_ens)  # ESS measured on half the run
+    # half-run ESS over the half-run's wall share: steady-state ESS/s
+    ens_ess = ess_e / (t_ens / 2)
 
     # ---- NUTS --------------------------------------------------------------
     _ = nuts_sampler(logp_tr, u0, samples=10, warmup=10, key=0,

@@ -277,14 +277,30 @@ class _LatentStatisticsMixin:
     def _space_or_default(self, space):
         return space if space is not None else self.process._space
 
+    def _moments_memo(self, space, noise=False, **kw):
+        """Memoized ``_moments``: ``predict(quantiles=True, var=True, ...)``
+        derives every statistic from the same (mu, sd), so the posterior
+        solve (multi-RHS PCG / sharded TRSM — seconds at N=50k) must run
+        once per (space, noise) rather than once per statistic."""
+        self._check()  # memo hits must not bypass the stale-data guard
+        space = _prep_matrix(space)
+        key = (space.tobytes(), space.shape, bool(noise),
+               tuple(sorted(kw.items())))
+        cache = self.__dict__.setdefault("_mom_cache", {})
+        if key not in cache:
+            if len(cache) >= 8:
+                cache.pop(next(iter(cache)))
+            cache[key] = self._moments(space, noise=noise, **kw)
+        return cache[key]
+
     def _is_identity(self):
         from ..hypers.mappings import Identity
 
         return isinstance(self.process.f_mapping, Identity)
 
     def mean(self, space=None, noise=False, **kw):
-        mu, sd = self._moments(self._space_or_default(space), noise=noise,
-                               **kw)
+        mu, sd = self._moments_memo(self._space_or_default(space),
+                                    noise=noise, **kw)
         if self._is_identity():
             return mu
         from ..ops.quadrature import gauss_hermite
@@ -296,8 +312,8 @@ class _LatentStatisticsMixin:
                                         n=settings.quadrature_degree))
 
     def std(self, space=None, noise=False, **kw):
-        mu, sd = self._moments(self._space_or_default(space), noise=noise,
-                               **kw)
+        mu, sd = self._moments_memo(self._space_or_default(space),
+                                    noise=noise, **kw)
         if self._is_identity():
             return sd
         from ..ops.quadrature import gauss_hermite
@@ -314,14 +330,14 @@ class _LatentStatisticsMixin:
         return self.std(space, noise=noise, **kw) ** 2
 
     def quantiler(self, space=None, q=0.975, noise=False, **kw):
-        mu, sd = self._moments(self._space_or_default(space), noise=noise,
-                               **kw)
+        mu, sd = self._moments_memo(self._space_or_default(space),
+                                    noise=noise, **kw)
         p = self.process._quantile_p(self.params, q, noise=noise)
         mapping, pj = self.process.f_mapping, self.params
         return np.asarray(mapping(pj, mu + p * sd))
 
     def median(self, space=None, **kw):
-        mu, _ = self._moments(self._space_or_default(space), **kw)
+        mu, _ = self._moments_memo(self._space_or_default(space), **kw)
         mapping, pj = self.process.f_mapping, self.params
         return np.asarray(mapping(pj, mu))
 
@@ -334,8 +350,8 @@ class _LatentStatisticsMixin:
         factorization-free serving paths."""
         import jax.numpy as jnp
 
-        mu, sd = self._moments(self._space_or_default(space), noise=True,
-                               **kw)
+        mu, sd = self._moments_memo(self._space_or_default(space),
+                                    noise=True, **kw)
         mapping, pj = self.process.f_mapping, self.params
         v = jnp.asarray(np.asarray(vector, settings.floatx))
         tinv = np.asarray(mapping.inv(pj, v))
@@ -395,7 +411,7 @@ class IterativePredictor(_LatentStatisticsMixin):
 
     The default variance is EXACT (``exact_var=True``): batched PCG solves
     against the cross-gram — one n-dim CG per query point, matching the
-    dense path to ~1e-4 relative (measured at n=1024).  ``exact_var=True``
+    dense path to ~1e-4 relative (measured at n=1024).  ``exact_var=False``
     substitutes the rank-R Woodbury sketch (one O(nR) apply per point) —
     use only for quick-look bands: although exact-arithmetic theory makes
     it an underestimate, in float32 the pivoted-Cholesky factors degrade

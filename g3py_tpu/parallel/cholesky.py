@@ -422,6 +422,8 @@ def distributed_posterior(cov_fn, mesh=None, block=None, axis="dp",
                 grow[:, None] == gcol[None, :]).astype(g.dtype)
         return g
 
+    _state_cache = {}  # n -> jitted sharded state build (re-use across calls)
+
     def state_fn(params, x, resid):
         x = jax.device_put(jnp.asarray(x, settings.dtype), repl)
         resid = jax.device_put(jnp.asarray(resid, settings.dtype), vec)
@@ -429,18 +431,22 @@ def distributed_posterior(cov_fn, mesh=None, block=None, axis="dp",
         rows_per_dev = n // n_dev
         blk = _check_dims(n, n_dev, block)
 
-        def body(params_, x_, r_local):
-            a_local = _band_gram(params_, x_, n, rows_per_dev)
-            l_local = _band_cholesky_body(a_local, n, blk, n_dev, axis)
-            z_local = _band_trsm_body(l_local, r_local[:, None], n, blk,
-                                      n_dev, axis)
-            al_local = _band_trsm_t_body(l_local, z_local, n, blk,
-                                         n_dev, axis)[:, 0]
-            return l_local, al_local
+        if n not in _state_cache:
+            def body(params_, x_, r_local):
+                a_local = _band_gram(params_, x_, n, rows_per_dev)
+                l_local = _band_cholesky_body(a_local, n, blk, n_dev, axis)
+                z_local = _band_trsm_body(l_local, r_local[:, None], n, blk,
+                                          n_dev, axis)
+                al_local = _band_trsm_t_body(l_local, z_local, n, blk,
+                                             n_dev, axis)[:, 0]
+                return l_local, al_local
 
-        fn = shard_map(body, mesh=mesh, in_specs=(P(), P(), P(axis)),
-                       out_specs=(P(axis, None), P(axis)))
-        return jax.jit(fn)(params, x, resid)
+            _state_cache[n] = jax.jit(shard_map(
+                body, mesh=mesh, in_specs=(P(), P(), P(axis)),
+                out_specs=(P(axis, None), P(axis))))
+        return _state_cache[n](params, x, resid)
+
+    _query_cache = {}  # n -> jitted sharded query (jit re-use across calls)
 
     def query_fn(params, x, l_sharded, alpha_sharded, xq):
         n = l_sharded.shape[-1]
@@ -448,24 +454,27 @@ def distributed_posterior(cov_fn, mesh=None, block=None, axis="dp",
         blk = _check_dims(n, n_dev, block)
         xq = jax.device_put(jnp.asarray(xq, settings.dtype), repl)
 
-        def body(params_, x_, l_local, al_local, xq_):
-            me = lax.axis_index(axis)
-            row0 = me * rows_per_dev
-            x_band = lax.dynamic_slice_in_dim(x_, row0, rows_per_dev,
-                                              axis=0)
-            cross = cov_fn(params_, x_band, xq_)  # (rows, m)
-            mean_delta = lax.psum(
-                jnp.matmul(cross.T, al_local,
-                           precision=lax.Precision.HIGHEST), axis)
-            w_local = _band_trsm_body(l_local, cross, n, blk, n_dev, axis)
-            var_red = lax.psum(jnp.sum(w_local * w_local, axis=0), axis)
-            return mean_delta, var_red
+        if n not in _query_cache:
+            def body(params_, x_, l_local, al_local, xq_):
+                me = lax.axis_index(axis)
+                row0 = me * rows_per_dev
+                x_band = lax.dynamic_slice_in_dim(x_, row0, rows_per_dev,
+                                                  axis=0)
+                cross = cov_fn(params_, x_band, xq_)  # (rows, m)
+                mean_delta = lax.psum(
+                    jnp.matmul(cross.T, al_local,
+                               precision=lax.Precision.HIGHEST), axis)
+                w_local = _band_trsm_body(l_local, cross, n, blk, n_dev,
+                                          axis)
+                var_red = lax.psum(jnp.sum(w_local * w_local, axis=0), axis)
+                return mean_delta, var_red
 
-        fn = shard_map(body, mesh=mesh,
-                       in_specs=(P(), P(), P(axis, None), P(axis), P()),
-                       out_specs=(P(), P()))
+            _query_cache[n] = jax.jit(shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(), P(axis, None), P(axis), P()),
+                out_specs=(P(), P())))
         x = jax.device_put(jnp.asarray(x, settings.dtype), repl)
-        return jax.jit(fn)(params, x, l_sharded, alpha_sharded, xq)
+        return _query_cache[n](params, x, l_sharded, alpha_sharded, xq)
 
     return state_fn, query_fn
 
