@@ -196,6 +196,8 @@ from .models import (
     EllipticalProcess,
     Predictor,
     AveragedPredictor,
+    IterativePredictor,
+    DistributedPredictor,
     GaussianProcess,
     WarpedGaussianProcess,
     StudentTProcess,

@@ -2,7 +2,8 @@
 
 from .stochastic import StochasticProcess
 from .elliptical import EllipticalProcess
-from .predictor import Predictor, AveragedPredictor
+from .predictor import (Predictor, AveragedPredictor,
+                        IterativePredictor, DistributedPredictor)
 from .gaussian import (
     GaussianProcess,
     WarpedGaussianProcess,
@@ -51,6 +52,8 @@ __all__ = [
     "EllipticalProcess",
     "Predictor",
     "AveragedPredictor",
+    "IterativePredictor",
+    "DistributedPredictor",
     "GaussianProcess",
     "WarpedGaussianProcess",
     "WarpedGaussianDistribution",
