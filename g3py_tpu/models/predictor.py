@@ -570,6 +570,92 @@ class IterativePredictor(_LatentStatisticsMixin):
 
     # statistics come from the shared latent-moments mixin (below)
 
+    def sampler(self, space=None, samples=1, key=0, n_features=2048,
+                noise=False):
+        """Joint posterior draws WITHOUT a factorization: pathwise
+        (Matheron) sampling (ops/rff.py; Wilson et al. 2020) —
+
+            f*(s) = m(s) + g_prior(s)
+                    + K_sX (K+sigma^2 I)^{-1} (resid - g_prior(X) - eps)
+
+        with the prior paths from a random-Fourier expansion of the SE
+        kernel and ONE multi-RHS PCG for all ``samples`` paths.  Returns
+        ``(len(space), samples)`` pushed through the warping, matching
+        ``process.sampler``'s contract (reference gaussian.py:75-97 —
+        which needs an O(m^3) posterior Cholesky per batch and cannot run
+        at this predictor's training sizes).  SE (ARD_L2) signal kernels
+        only; feature error is O(1/sqrt(n_features))."""
+        import jax
+        import jax.numpy as jnp
+        from jax import random as jrandom
+        from ..hypers import hval
+        from ..hypers.kernels import SE
+        from ..hypers.metrics import ARD_L2
+        from ..ops.rff import rff_prior_fn
+        from ..ops.iterative import (lazy_kernel_matvec, pcg_solve,
+                                     woodbury_preconditioner)
+
+        self._check()
+        kernel = self._kernel
+        if not (type(kernel) is SE and type(kernel.metric) is ARD_L2):
+            raise ValueError(
+                "pathwise sampling needs a pure SE signal kernel (its "
+                "spectral density is what the Fourier features draw from); "
+                f"got {type(kernel).__name__}")
+        space = _prep_matrix(self._space_or_default(space))
+        pj = self.params
+        x = self._x
+        ndim = x.shape[1]
+        var = jnp.asarray(hval(kernel.var, pj), settings.dtype)
+        rates = jnp.asarray(hval(kernel.metric.rate, pj), settings.dtype)
+        nv = self._noise_var
+        if isinstance(key, int):
+            key = jrandom.PRNGKey(key)
+        k_prior, k_eps = jrandom.split(key)
+        prior = rff_prior_fn(k_prior, ndim, n_features, rates, var, samples)
+
+        proc = self.process
+        yout = jnp.asarray(proc._outputs)
+        resid = proc._latent_obs(pj, yout) - proc.f_location(pj, x)
+        g_x = prior(x)  # (n, S)
+        eps = jnp.sqrt(nv) * jrandom.normal(k_eps, g_x.shape,
+                                            dtype=settings.dtype)
+        rhs = resid[:, None] - g_x - eps  # (n, S)
+
+        def mv(v):
+            return lazy_kernel_matvec(kernel, pj, x, v,
+                                      block=self.block) + nv * v
+
+        p_inv, _, _ = woodbury_preconditioner(self.l_factor, nv)
+        a = pcg_solve(mv, rhs.T, p_inv, maxiter=self.cg_iters)  # (S, n)
+        # hardening (same as the state build): unconverged path solves
+        # would silently return garbage draws
+        res = mv(a.T) - rhs
+        rel = float(jnp.max(jnp.linalg.norm(res, axis=0)
+                            / jnp.maximum(jnp.linalg.norm(rhs, axis=0),
+                                          1e-30)))
+        if not np.isfinite(rel) or rel > 5e-2:
+            raise ValueError(
+                "pathwise sampler: the multi-RHS PCG solve did not "
+                f"converge (worst relative residual {rel:.2e}); raise "
+                "cg_iters (path right-hand sides contain white-noise "
+                "components that need more iterations than the data "
+                "solve) or rank")
+
+        xq = jnp.asarray(space)
+        cross = kernel.cov(pj, xq, x)  # (m, n)
+        latent = (proc.f_location(pj, xq)[:, None] + prior(xq)
+                  + jnp.matmul(cross, a.T,
+                               precision=jax.lax.Precision.HIGHEST))
+        if noise:
+            k_obs = jrandom.fold_in(key, 104729)
+            latent = latent + jnp.sqrt(nv) * jrandom.normal(
+                k_obs, latent.shape, dtype=settings.dtype)
+        mapping = proc.f_mapping
+        out = np.stack([np.asarray(mapping(pj, latent[:, s]))
+                        for s in range(samples)], axis=1)
+        return out
+
 
 class DistributedPredictor(_LatentStatisticsMixin):
     """Multi-chip serving for models trained with
@@ -606,8 +692,9 @@ class DistributedPredictor(_LatentStatisticsMixin):
         self._cov_fn = cov_fn
         self._mesh = mesh
 
-        state_fn, query_fn = distributed_posterior(
+        state_fn, query_fn, solve_fn = distributed_posterior(
             cov_fn, mesh=mesh, block=block, axis=axis, noise_fn=noise_fn)
+        self._solve_fn = solve_fn
         pj = self.params
         x = jnp.asarray(process._inputs)
         yout = jnp.asarray(process._outputs)
@@ -624,6 +711,58 @@ class DistributedPredictor(_LatentStatisticsMixin):
             raise ValueError(
                 "the process's observed data changed after this "
                 "DistributedPredictor's factorization — rebuild it")
+
+    def sampler(self, space=None, samples=1, key=0, n_features=2048,
+                noise=False):
+        """Joint posterior draws with the gram still band-sharded:
+        pathwise (Matheron) sampling like ``IterativePredictor.sampler``
+        (ops/rff.py), but the update solve ``(K+sigma^2 I)^{-1} rhs`` is
+        EXACT — two sharded TRSMs against the band factor, no CG.  SE
+        (ARD_L2) signal kernels only."""
+        import jax
+        import jax.numpy as jnp
+        from jax import random as jrandom
+        from ..hypers import hval
+        from ..hypers.kernels import SE
+        from ..hypers.metrics import ARD_L2
+        from ..ops.rff import rff_prior_fn
+
+        self._check()
+        proc, pj = self.process, self.params
+        kernel = proc.f_kernel
+        if not (type(kernel) is SE and type(kernel.metric) is ARD_L2):
+            raise ValueError(
+                "pathwise sampling needs a pure SE signal kernel (its "
+                "spectral density is what the Fourier features draw from); "
+                f"got {type(kernel).__name__}")
+        space = _prep_matrix(self._space_or_default(space))
+        x = self._x
+        var = jnp.asarray(hval(kernel.var, pj), settings.dtype)
+        rates = jnp.asarray(hval(kernel.metric.rate, pj), settings.dtype)
+        nv = jnp.asarray(self._noise_var, settings.dtype)
+        if isinstance(key, int):
+            key = jrandom.PRNGKey(key)
+        k_prior, k_eps = jrandom.split(key)
+        prior = rff_prior_fn(k_prior, x.shape[1], n_features, rates, var,
+                             samples)
+        yout = jnp.asarray(proc._outputs)
+        resid = proc._latent_obs(pj, yout) - proc.f_location(pj, x)
+        g_x = prior(x)
+        eps = jnp.sqrt(nv) * jrandom.normal(k_eps, g_x.shape,
+                                            dtype=settings.dtype)
+        a = self._solve_fn(self._l, resid[:, None] - g_x - eps)  # (n, S)
+        xq = jnp.asarray(space)
+        cross = self._cov_fn(pj, xq, x)
+        latent = (proc.f_location(pj, xq)[:, None] + prior(xq)
+                  + jnp.matmul(cross, a,
+                               precision=jax.lax.Precision.HIGHEST))
+        if noise:
+            latent = latent + jnp.sqrt(nv) * jrandom.normal(
+                jrandom.fold_in(key, 104729), latent.shape,
+                dtype=settings.dtype)
+        mapping = proc.f_mapping
+        return np.stack([np.asarray(mapping(pj, latent[:, s]))
+                         for s in range(samples)], axis=1)
 
     def _moments(self, space, noise=False, chunk=4096):
         self._check()

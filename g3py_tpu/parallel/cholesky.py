@@ -382,7 +382,7 @@ def distributed_quad_logdet(cov_fn, mesh=None, block=None, axis="dp",
 def distributed_posterior(cov_fn, mesh=None, block=None, axis="dp",
                           noise_fn=None):
     """Multi-chip gaussian-posterior SERVING on the band layout: build
-    ``(state_fn, query_fn)`` closures over a mesh.
+    ``(state_fn, query_fn, solve_fn)`` closures over a mesh.
 
       state_fn(params, x, resid) -> (l_sharded, alpha_sharded)
         one cooperative blocked Cholesky of the (noisy) band gram plus two
@@ -446,6 +446,27 @@ def distributed_posterior(cov_fn, mesh=None, block=None, axis="dp",
                 out_specs=(P(axis, None), P(axis))))
         return _state_cache[n](params, x, resid)
 
+    _solve_cache = {}  # n -> jitted sharded (K+s^2)^{-1} B solve
+
+    def solve_fn(l_sharded, b):
+        """Exact ``(K + sigma^2 I)^{-1} B`` from the band-sharded factor:
+        forward + transpose sharded TRSMs on (n, m) right-hand sides
+        (the pathwise-sampling update; no CG, no convergence concerns)."""
+        n = l_sharded.shape[-1]
+        blk = _check_dims(n, n_dev, block)
+        b = jax.device_put(jnp.asarray(b, settings.dtype), band)
+
+        if n not in _solve_cache:
+            def body(l_local, b_local):
+                z = _band_trsm_body(l_local, b_local, n, blk, n_dev, axis)
+                return _band_trsm_t_body(l_local, z, n, blk, n_dev, axis)
+
+            _solve_cache[n] = jax.jit(shard_map(
+                body, mesh=mesh,
+                in_specs=(P(axis, None), P(axis, None)),
+                out_specs=P(axis, None)))
+        return _solve_cache[n](l_sharded, b)
+
     _query_cache = {}  # n -> jitted sharded query (jit re-use across calls)
 
     def query_fn(params, x, l_sharded, alpha_sharded, xq):
@@ -476,7 +497,7 @@ def distributed_posterior(cov_fn, mesh=None, block=None, axis="dp",
         x = jax.device_put(jnp.asarray(x, settings.dtype), repl)
         return _query_cache[n](params, x, l_sharded, alpha_sharded, xq)
 
-    return state_fn, query_fn
+    return state_fn, query_fn, solve_fn
 
 
 def distributed_gp_nll(cov_fn, mesh=None, block=None, axis="dp",

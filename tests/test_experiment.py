@@ -326,10 +326,13 @@ class TestDistributedEngine:
         params = {"var": jnp.float32(1.5), "ls": jnp.float32(1.2),
                   "nv": jnp.float32(0.1)}
         mesh = make_mesh(axis_names=("dp",))
-        state_fn, query_fn = distributed_posterior(
+        state_fn, query_fn, solve_fn = distributed_posterior(
             cov_fn, mesh=mesh, block=16, noise_fn=lambda p: p["nv"])
         L, alpha = state_fn(params, x, y)
         md, vr = query_fn(params, x, L, alpha, xq)
+        # exact sharded matrix solve (the pathwise-sampling update)
+        B = rng.standard_normal((n, 3)).astype(np.float32)
+        Z = np.asarray(solve_fn(L, B))
 
         K = np.asarray(cov_fn(params, jnp.asarray(x), jnp.asarray(x))) \
             + 0.1 * np.eye(n)
@@ -344,6 +347,9 @@ class TestDistributedEngine:
                                           Kq.astype(np.float64)), axis=0)
         np.testing.assert_allclose(np.asarray(vr), vr_ref, rtol=1e-4,
                                    atol=1e-5)
+        np.testing.assert_allclose(
+            Z, np.linalg.solve(K.astype(np.float64), B.astype(np.float64)),
+            atol=2e-3)
 
     def test_predictor_distributed_matches_dense(self, rng):
         """Multi-chip serving (DistributedPredictor): band-sharded factor
@@ -364,6 +370,23 @@ class TestDistributedEngine:
         gp.observed(gp.inputs[:128], gp.outputs[:128])
         with pytest.raises(ValueError, match="rebuild"):
             pr.mean(xq)
+
+    def test_predictor_distributed_pathwise_sampler(self, rng):
+        """Pathwise draws through the band-sharded exact solve: empirical
+        moments match the analytic posterior to MC/feature error."""
+        gp = self._make_gp(rng, 256)
+        params = gp.find_MAP(points=1, display=False)
+        pr = gp.predictor_distributed(params)
+        xq = np.linspace(0, 20, 40, dtype=np.float32).reshape(-1, 1)
+        S = 400
+        draws = pr.sampler(space=xq, samples=S, key=1, n_features=4096)
+        assert draws.shape == (40, S)
+        mu_ref = np.asarray(pr.mean(space=xq))
+        sd_ref = np.asarray(pr.std(space=xq))
+        se = sd_ref / np.sqrt(S)
+        assert np.max(np.abs(draws.mean(1) - mu_ref) / (se + 1e-9)) < 5
+        ratio = draws.std(1) / (sd_ref + 1e-9)
+        assert np.all(ratio > 0.75) and np.all(ratio < 1.25)
 
     def test_nll_distributed_rejects_bad_constructions(self, rng):
         gp = self._make_gp(rng, 64)

@@ -270,6 +270,34 @@ class TestIterativePredictor:
             assert np.max(np.abs(a - d)) / (np.max(np.abs(d)) + 1e-9) \
                 < 5e-3, k
 
+    def test_pathwise_sampler_matches_posterior_moments(self, rng):
+        """Matheron pathwise draws (RFF prior + multi-RHS PCG update): the
+        empirical mean/std over many paths must match the analytic
+        posterior moments to MC/feature error — the factorization-free
+        replacement for Cholesky-colored sampling at large N."""
+        gp, params = self._fit(rng, n=400)
+        pr = gp.predictor_iterative(params, rank=64, cg_iters=300)
+        xq = np.linspace(0, 30, 60, dtype=np.float32).reshape(-1, 1)
+        S = 600
+        draws = pr.sampler(space=xq, samples=S, key=1, n_features=4096)
+        assert draws.shape == (60, S)
+        mu_ref = np.asarray(pr.mean(space=xq))
+        sd_ref = np.asarray(pr.std(space=xq))
+        se = sd_ref / np.sqrt(S)
+        assert np.max(np.abs(draws.mean(axis=1) - mu_ref) / (se + 1e-9)) < 5
+        ratio = draws.std(axis=1) / (sd_ref + 1e-9)
+        assert np.all(ratio > 0.8) and np.all(ratio < 1.2)
+        # non-SE kernels are rejected (spectral density unknown)
+        import g3py_tpu as g3
+
+        x = gp.inputs
+        gpo = g3.GP(space=x, kernel=g3.OU(x), name="PWOU")
+        gpo.observed(x, gp.outputs)
+        pro = gpo.predictor_iterative(gpo.params_default, rank=32,
+                                      cg_iters=300)
+        with pytest.raises(ValueError, match="SE signal kernel"):
+            pro.sampler(space=xq, samples=2)
+
     def test_sketch_variance_is_quicklook_only(self, rng):
         """The rank-R Woodbury sketch (exact_var=False) is finite and
         bounded by the prior variance but NOT accurate — documented
