@@ -589,7 +589,7 @@ class IterativePredictor(_LatentStatisticsMixin):
         import jax.numpy as jnp
         from jax import random as jrandom
         from ..hypers import hval
-        from ..hypers.kernels import SE
+        from ..hypers.kernels import SE, MAT32, MAT52
         from ..hypers.metrics import ARD_L2
         from ..ops.rff import rff_prior_fn
         from ..ops.iterative import (lazy_kernel_matvec, pcg_solve,
@@ -597,11 +597,13 @@ class IterativePredictor(_LatentStatisticsMixin):
 
         self._check()
         kernel = self._kernel
-        if not (type(kernel) is SE and type(kernel.metric) is ARD_L2):
+        _nu_of = {SE: None, MAT32: 1.5, MAT52: 2.5}
+        if type(kernel) not in _nu_of or type(kernel.metric) is not ARD_L2:
             raise ValueError(
-                "pathwise sampling needs a pure SE signal kernel (its "
-                "spectral density is what the Fourier features draw from); "
-                f"got {type(kernel).__name__}")
+                "pathwise sampling needs a pure SE/MAT32/MAT52 signal "
+                "kernel on ARD_L2 (its spectral density is what the "
+                f"Fourier features draw from); got {type(kernel).__name__}")
+        nu = _nu_of[type(kernel)]
         space = _prep_matrix(self._space_or_default(space))
         pj = self.params
         x = self._x
@@ -612,7 +614,8 @@ class IterativePredictor(_LatentStatisticsMixin):
         if isinstance(key, int):
             key = jrandom.PRNGKey(key)
         k_prior, k_eps = jrandom.split(key)
-        prior = rff_prior_fn(k_prior, ndim, n_features, rates, var, samples)
+        prior = rff_prior_fn(k_prior, ndim, n_features, rates, var,
+                             samples, nu=nu)
 
         proc = self.process
         yout = jnp.asarray(proc._outputs)
@@ -723,18 +726,20 @@ class DistributedPredictor(_LatentStatisticsMixin):
         import jax.numpy as jnp
         from jax import random as jrandom
         from ..hypers import hval
-        from ..hypers.kernels import SE
+        from ..hypers.kernels import SE, MAT32, MAT52
         from ..hypers.metrics import ARD_L2
         from ..ops.rff import rff_prior_fn
 
         self._check()
         proc, pj = self.process, self.params
         kernel = proc.f_kernel
-        if not (type(kernel) is SE and type(kernel.metric) is ARD_L2):
+        _nu_of = {SE: None, MAT32: 1.5, MAT52: 2.5}
+        if type(kernel) not in _nu_of or type(kernel.metric) is not ARD_L2:
             raise ValueError(
-                "pathwise sampling needs a pure SE signal kernel (its "
-                "spectral density is what the Fourier features draw from); "
-                f"got {type(kernel).__name__}")
+                "pathwise sampling needs a pure SE/MAT32/MAT52 signal "
+                "kernel on ARD_L2 (its spectral density is what the "
+                f"Fourier features draw from); got {type(kernel).__name__}")
+        nu = _nu_of[type(kernel)]
         space = _prep_matrix(self._space_or_default(space))
         x = self._x
         var = jnp.asarray(hval(kernel.var, pj), settings.dtype)
@@ -744,7 +749,7 @@ class DistributedPredictor(_LatentStatisticsMixin):
             key = jrandom.PRNGKey(key)
         k_prior, k_eps = jrandom.split(key)
         prior = rff_prior_fn(k_prior, x.shape[1], n_features, rates, var,
-                             samples)
+                             samples, nu=nu)
         yout = jnp.asarray(proc._outputs)
         resid = proc._latent_obs(pj, yout) - proc.f_location(pj, x)
         g_x = prior(x)

@@ -15,13 +15,19 @@ feature expansion of the stationary kernel (Rahimi & Recht 2007):
     f_prior(x) = sqrt(2 var / F) cos(x W^T + b) theta,
     W ~ spectral density,  b ~ U(0, 2pi),  theta ~ N(0, I_F)
 
-For the SE kernel in this library's parametrization
-(k = var * exp(-0.5 |rate o delta|^2), hypers/metrics.py ARD_L2) the
-spectral density is exactly N(0, diag(rate^2)).  Every piece is
-matmul-shaped: features are one (m, d) @ (d, F) matmul, the update one
-multi-RHS CG against the training operator — O(n F + n^2) per draw batch,
-no factorization, exact in the F -> infinity limit with O(1/sqrt(F))
-feature error.
+Spectral densities in this library's parametrization
+(hypers/metrics.py ARD_L2 gram d = 0.5 |rate o delta|^2):
+
+* SE  (k = var exp(-d)):            omega ~ N(0, diag(rate^2))
+* Matern-nu (MAT32 nu=1.5, MAT52 nu=2.5; k evaluates the standard Matern
+  at per-dim inverse lengthscale rate/sqrt(2)): omega is multivariate t
+  with 2nu degrees of freedom at that scale —
+  omega = z sqrt(2nu/u) * rate/sqrt(2), z ~ N(0, I), u ~ chi^2_{2nu}.
+
+Every piece is matmul-shaped: features are one (m, d) @ (d, F) matmul,
+the update one multi-RHS solve against the training operator — O(n F +
+n^2) per draw batch, no factorization, exact in the F -> infinity limit
+with O(1/sqrt(F)) feature error.
 """
 
 import numpy as np
@@ -31,17 +37,30 @@ from jax import random
 
 from ..config import settings
 
-__all__ = ["se_spectral_rff", "rff_prior_fn"]
+__all__ = ["spectral_rff", "se_spectral_rff", "rff_prior_fn"]
 
 
-def se_spectral_rff(key, ndim, n_features, rates, var):
-    """Feature map ``phi(x) -> (len(x), n_features)`` for the SE kernel
-    ``var * exp(-0.5 |rates o delta|^2)``: frequencies drawn from its
-    spectral density N(0, diag(rates^2))."""
-    kw, kb = random.split(key)
+def _frequencies(key, ndim, n_features, rates, nu=None):
+    """Spectral frequency draws (see module docstring)."""
     rates = jnp.broadcast_to(jnp.asarray(rates, settings.dtype), (ndim,))
-    w = random.normal(kw, (n_features, ndim), dtype=settings.dtype) \
-        * rates[None, :]
+    kz, ku = random.split(key)
+    z = random.normal(kz, (n_features, ndim), dtype=settings.dtype)
+    if nu is None:  # SE
+        return z * rates[None, :]
+    df = jnp.asarray(2.0 * nu, settings.dtype)
+    u = 2.0 * random.gamma(ku, df / 2.0, (n_features,),
+                           dtype=settings.dtype)  # chi^2_{2nu}
+    t_scale = jnp.sqrt(df / jnp.maximum(u, 1e-12))
+    inv_len = rates[None, :] / np.asarray(np.sqrt(2.0), settings.floatx)
+    return z * t_scale[:, None] * inv_len
+
+
+def spectral_rff(key, ndim, n_features, rates, var, nu=None):
+    """Feature map ``phi(x) -> (len(x), n_features)`` with
+    ``phi(x) phi(y)^T -> k(x, y)`` as ``n_features`` grows (Rahimi &
+    Recht); ``nu=None`` for SE, 1.5/2.5 for MAT32/MAT52."""
+    kw, kb = random.split(key)
+    w = _frequencies(kw, ndim, n_features, rates, nu=nu)
     b = random.uniform(kb, (n_features,), dtype=settings.dtype,
                       maxval=2.0 * np.pi)
     scale = jnp.sqrt(jnp.asarray(2.0 * var / n_features, settings.dtype))
@@ -54,13 +73,18 @@ def se_spectral_rff(key, ndim, n_features, rates, var):
     return phi
 
 
-def rff_prior_fn(key, ndim, n_features, rates, var, n_paths):
+def se_spectral_rff(key, ndim, n_features, rates, var):
+    """SE-only alias of :func:`spectral_rff` (explicit-family call sites)."""
+    return spectral_rff(key, ndim, n_features, rates, var, nu=None)
+
+
+def rff_prior_fn(key, ndim, n_features, rates, var, n_paths, nu=None):
     """``prior(x) -> (len(x), n_paths)`` zero-mean GP prior paths from the
-    SE feature expansion (one global function per path — evaluating at the
+    feature expansion (one global function per path — evaluating at the
     training set and at query points gives CONSISTENT joint draws, which
     is what Matheron's update requires)."""
     k_feat, k_theta = random.split(key)
-    phi = se_spectral_rff(k_feat, ndim, n_features, rates, var)
+    phi = spectral_rff(k_feat, ndim, n_features, rates, var, nu=nu)
     theta = random.normal(k_theta, (n_features, n_paths),
                           dtype=settings.dtype)
 

@@ -295,8 +295,35 @@ class TestIterativePredictor:
         gpo.observed(x, gp.outputs)
         pro = gpo.predictor_iterative(gpo.params_default, rank=32,
                                       cg_iters=300)
-        with pytest.raises(ValueError, match="SE signal kernel"):
+        with pytest.raises(ValueError, match="signal"):
             pro.sampler(space=xq, samples=2)
+
+    def test_pathwise_sampler_matern(self, rng):
+        """Matern-3/2 pathwise draws: the multivariate-t spectral draws
+        (2nu dof at rate/sqrt(2) scale) reproduce the posterior moments."""
+        import g3py_tpu as g3
+
+        n = 300
+        x = np.sort(rng.uniform(0, 30, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(0.5 * x[:, 0])
+             + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.MAT32(x),
+                   name="PWM32")
+        gp.observed(x, y)
+        params = gp.find_MAP(points=1, display=False)
+        pr = gp.predictor_iterative(params, rank=64, cg_iters=400)
+        xq = np.linspace(0, 30, 50, dtype=np.float32).reshape(-1, 1)
+        S = 500
+        # heavier-tailed Matern frequency draws carry more feature noise
+        # than SE at fixed F — use more features and wider moment bounds
+        draws = pr.sampler(space=xq, samples=S, key=2, n_features=8192)
+        mu_ref = np.asarray(pr.mean(space=xq))
+        sd_ref = np.asarray(pr.std(space=xq))
+        se = sd_ref / np.sqrt(S)
+        assert np.max(np.abs(draws.mean(1) - mu_ref) / (se + 1e-9)) < 6
+        ratio = draws.std(1) / (sd_ref + 1e-9)
+        assert np.all(ratio > 0.7) and np.all(ratio < 1.4), (
+            ratio.min(), ratio.max())
 
     def test_sketch_variance_is_quicklook_only(self, rng):
         """The rank-R Woodbury sketch (exact_var=False) is finite and

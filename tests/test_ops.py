@@ -502,3 +502,34 @@ class TestPreconditionedGradient:
             assert np.all(np.abs(a - b) <= 0.25 * np.abs(b) + 0.3), (key, a, b)
         assert abs(float(g_it[1]) - float(g_ex[1])) \
             <= 0.25 * abs(float(g_ex[1])) + 0.3
+
+
+class TestSpectralRFF:
+    def test_rff_gram_matches_kernels(self, rng):
+        """The spectral derivations for this library's parametrization
+        (SE: N(0, diag(rate^2)); Matern-nu: multivariate t_{2nu} at
+        rate/sqrt(2) scale) are validated by feature-gram convergence to
+        the exact covariance (Rahimi-Recht, O(1/sqrt(F)))."""
+        import jax
+        from g3py_tpu.ops.rff import spectral_rff
+        from g3py_tpu.hypers.kernels import SE, MAT32, MAT52
+
+        x = rng.standard_normal((50, 2)).astype(np.float32)
+        rates = np.asarray([0.8, 1.4], np.float32)
+        var = 1.7
+        for cls, nu in ((SE, None), (MAT32, 1.5), (MAT52, 2.5)):
+            k = cls(x)
+            k.check_dims(x)
+            k.check_hypers("R_")
+            params = {}
+            for p in k.hypers:
+                params[p.name] = (np.float32(var) if p.name.endswith("_var")
+                                  else rates)
+            K = np.asarray(k.cov(params, jnp.asarray(x)))
+            errs = []
+            for seed in range(3):
+                phi = spectral_rff(jax.random.PRNGKey(seed), 2, 16384,
+                                   rates, var, nu=nu)
+                F = np.asarray(phi(x))
+                errs.append(np.max(np.abs(F @ F.T - K)))
+            assert np.mean(errs) < 0.08 * var, (cls.__name__, errs)
