@@ -61,6 +61,11 @@ def main(quick=True, plot=False):
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                    rtol=5e-3, atol=5e-3, err_msg=k)
 
+    # joint posterior draws WITHOUT a factorization: pathwise (Matheron)
+    # sampling over random-Fourier prior paths + one multi-RHS CG update
+    draws = pr.sampler(space=xq, samples=8, key=0, n_features=2048)
+    assert draws.shape == (len(xq), 8) and np.all(np.isfinite(draws))
+
     # ---- 2. device-sharded NLL + gradient over the mesh ---------------------
     from g3py_tpu.parallel import make_mesh, distributed_gp_nll
 

@@ -362,10 +362,14 @@ class _LatentStatisticsMixin:
 
     def predict(self, space=None, mean=True, std=True, var=False,
                 median=False, quantiles=False, quantiles_noise=False,
-                noise=False, **kw):
+                noise=False, distribution=False, **kw):
         from ..utils import DictObj
 
         values = DictObj()
+        if distribution:
+            values["logpredictive"] = (
+                lambda v, _s=space, _kw=dict(kw): self.logpredictive(
+                    v, space=_s, **_kw))
         if mean:
             values["mean"] = self.mean(space, noise=noise, **kw)
         if std:
