@@ -57,14 +57,17 @@ class Predictor:
     Changing only the plotting ``space``/``hidden`` does not invalidate.
     """
 
-    def __init__(self, process, params=None):
+    def __init__(self, process, params=None, _state=None):
         if params is None:
             params = process.params
         self.process = process
         self.params = dict(process.filter_params(params))
         self._inputs_ref = process._inputs
         self._outputs_ref = process._outputs
-        state = process.posterior_state(self.params)
+        # _state: a precomputed state dict (the incremental `updated` path)
+        # — skips the O(n^3) factorization entirely
+        state = (_state if _state is not None
+                 else process.posterior_state(self.params))
         self.state = state
 
         import jax.numpy as jnp
@@ -133,6 +136,36 @@ class Predictor:
             raise ValueError(
                 "the process's observed data changed after this Predictor's "
                 "factorization — rebuild it with process.predictor(params)")
+
+    # ------------------------------------------------------------ streaming
+    def updated(self, x_new, y_new):
+        """Absorb ``m`` NEW observations in O((n+m)^2 m) — no O(n^3)
+        refactorization: the state's Cholesky factor is extended by the
+        block identity (``EllipticalProcess._posterior_state_update_pure``)
+        and a fresh Predictor is returned around it.
+
+        Side effect (documented): the underlying process's observed data
+        advances to the concatenation — this predictor instance becomes
+        stale (its ``_check`` raises) and the returned one takes over; the
+        reference had no streaming path at all (every ``observed`` change
+        re-ran every compiled graph from scratch)."""
+        import jax
+        import jax.numpy as jnp
+
+        self._check()
+        proc = self.process
+        x_new = _prep_matrix(x_new)
+        y_new = _prep_vector(y_new)
+        pj = {k: jnp.asarray(np.asarray(v, settings.floatx))
+              for k, v in self.params.items()}
+        upd = proc._posterior_state_update_pure()
+        new_state = jax.jit(upd)(pj, self.state,
+                                 jnp.asarray(proc._inputs),
+                                 jnp.asarray(x_new), jnp.asarray(y_new))
+        x_cat = np.concatenate([np.asarray(proc._inputs), x_new])
+        y_cat = np.concatenate([np.asarray(proc._outputs), y_new])
+        proc.observed(x_cat, y_cat)
+        return Predictor(proc, self.params, _state=new_state)
 
     # ------------------------------------------------------------- statistics
     def predict(self, space=None, mean=True, std=True, var=False, cov=False,

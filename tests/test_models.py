@@ -418,6 +418,43 @@ class TestPredictor:
                         rng=np.random.default_rng(0))
         np.testing.assert_allclose(s, sb, rtol=2e-4, atol=2e-4)
 
+    def test_streaming_update_no_refactorization(self, rng):
+        """Predictor.updated absorbs new observations by the block-Cholesky
+        identity in O((n+m)^2 m): statistics match a full refactorization
+        while the posterior_state counter proves none happened; the old
+        predictor goes stale; updates chain."""
+        import g3py_tpu as g3
+
+        n, m = 160, 16
+        x_all = np.sort(rng.uniform(0, 30, n + m)
+                        ).astype(np.float32).reshape(-1, 1)
+        y_all = (np.sin(0.5 * x_all[:, 0])
+                 + 0.1 * rng.standard_normal(n + m)).astype(np.float32)
+        sel = rng.permutation(n + m)
+        old_i, new_i = np.sort(sel[:n]), np.sort(sel[n:])
+        gp = g3.GP(space=x_all, location=g3.Bias(), kernel=g3.SE(x_all),
+                   name="UPDT")
+        gp.observed(x_all[old_i], y_all[old_i])
+        params = gp.params_default
+        pr = gp.predictor(params)
+        xq = np.linspace(-1, 31, 40, dtype=np.float32).reshape(-1, 1)
+        _ = pr(xq)
+        n_state = gp.compiles["posterior_state"].executed
+
+        pr2 = pr.updated(x_all[new_i], y_all[new_i])
+        out2 = pr2(xq, quantiles=True, var=True)
+        assert gp.compiles["posterior_state"].executed == n_state
+        ref = gp.predictor(params)(xq, quantiles=True, var=True)
+        for k in ("mean", "std", "variance", "quantile_up",
+                  "quantile_down"):
+            d, a = np.asarray(ref[k]), np.asarray(out2[k])
+            scale = np.max(np.abs(d)) + 1e-9
+            assert np.max(np.abs(a - d)) / scale < 2e-3, k
+        with pytest.raises(ValueError, match="rebuild"):
+            pr.mean(space=xq)
+        pr3 = pr2.updated(x_all[new_i][:4] + 31.0, y_all[new_i][:4])
+        assert np.all(np.isfinite(pr3.mean(space=xq)))
+
     def test_positional_space_footgun_raises(self, rng):
         """ADVICE round-1: pr.mean(xq) used to silently serve the default
         space (xq swallowed by the ignored params slot) — now a TypeError.
