@@ -78,6 +78,17 @@ def main(quick=True, plot=False):
                                np.asarray(ref_avg["mean"]),
                                rtol=5e-4, atol=5e-4)
 
+    # streaming updates: absorb new observations WITHOUT refactorizing
+    # (block-Cholesky state extension, O(n^2 m) — round 4)
+    x_new = np.sort(rng.uniform(21, 24, 8)).astype(np.float32).reshape(-1, 1)
+    y_new = (np.exp(0.3 * np.sin(0.7 * x_new[:, 0])) + 1.0
+             + 0.05 * rng.standard_normal(8)).astype(np.float32)
+    n_state = gp.compiles["posterior_state"].executed
+    pr_up = pr.updated(x_new, y_new)
+    assert gp.compiles["posterior_state"].executed == n_state
+    assert np.all(np.isfinite(pr_up.mean(space=batches[0])))
+    pr = pr_up
+
     # data changes invalidate loudly
     gp.observed(x[: n // 2], y[: n // 2])
     try:

@@ -454,6 +454,18 @@ class TestPredictor:
             pr.mean(space=xq)
         pr3 = pr2.updated(x_all[new_i][:4] + 31.0, y_all[new_i][:4])
         assert np.all(np.isfinite(pr3.mean(space=xq)))
+        # the update rides the shared elliptical state, so TP works too
+        tp = g3.TP(space=x_all, location=g3.Bias(), kernel=g3.SE(x_all),
+                   name="UPDTTP")
+        tp.observed(x_all[old_i], y_all[old_i])
+        paramst = tp.params_default  # capture: defaults are data-driven
+        prt = tp.predictor(paramst)
+        prt2 = prt.updated(x_all[new_i], y_all[new_i])
+        reft = tp.predictor(paramst)(xq, quantiles=True)
+        outt = prt2(xq, quantiles=True)
+        np.testing.assert_allclose(np.asarray(outt["quantile_up"]),
+                                   np.asarray(reft["quantile_up"]),
+                                   rtol=2e-3, atol=2e-3)
 
     def test_positional_space_footgun_raises(self, rng):
         """ADVICE round-1: pr.mean(xq) used to silently serve the default
