@@ -151,9 +151,28 @@ class Predictor:
         re-ran every compiled graph from scratch)."""
         import jax
         import jax.numpy as jnp
+        from ..hypers.kernels import WN, KernelNoise
 
         self._check()
         proc = self.process
+        # the block update builds CROSS grams; delta-matching kernels (WN,
+        # KernelNoise) return var at coincident points on a two-argument
+        # call but var*I on the square call a full refactor would use — a
+        # streamed duplicate of an old input would silently diverge
+        stack = [proc.f_kernel]
+        while stack:
+            k = stack.pop()
+            if isinstance(k, (WN, KernelNoise)):
+                raise ValueError(
+                    "Predictor.updated does not support white-noise terms "
+                    "(WN/KernelNoise) inside the signal kernel: their "
+                    "cross-covariance semantics differ from the square "
+                    "gram a full refactorization uses — rebuild with "
+                    "process.predictor(params) instead")
+            for attr in ("k1", "k2", "k_inner"):
+                sub = getattr(k, attr, None)
+                if sub is not None:
+                    stack.append(sub)
         x_new = _prep_matrix(x_new)
         y_new = _prep_vector(y_new)
         pj = {k: jnp.asarray(np.asarray(v, settings.floatx))
@@ -395,10 +414,13 @@ class _LatentStatisticsMixin:
 
     def predict(self, space=None, mean=True, std=True, var=False,
                 median=False, quantiles=False, quantiles_noise=False,
-                noise=False, distribution=False, **kw):
+                noise=False, distribution=False, samples=0, **kw):
         from ..utils import DictObj
 
         values = DictObj()
+        if samples > 0:
+            values["samples"] = self.sampler(space=space, samples=samples,
+                                             noise=noise)
         if distribution:
             values["logpredictive"] = (
                 lambda v, _s=space, _kw=dict(kw): self.logpredictive(
@@ -423,6 +445,71 @@ class _LatentStatisticsMixin:
             values["noise_down"] = self.quantiler(space, q=0.025, noise=True,
                                                   **kw)
         return values
+
+    def _pathwise_draws(self, space, samples, key, n_features, noise,
+                        solve, cross_apply):
+        """Shared Matheron pathwise core (ops/rff.py; Wilson et al. 2020):
+
+            f*(s) = m(s) + g_prior(s) + K_sX (K+sigma^2 I)^{-1}
+                                        (resid - g_prior(X) - eps)
+
+        The backend supplies ``solve(rhs (n, S)) -> a (n, S)`` (multi-RHS
+        PCG or exact sharded TRSMs) and ``cross_apply(xq, a) -> (m, S)``
+        = K_qX a.  Prior features are drawn over the kernel metric's
+        ACTIVE dims only (dims-restricted kernels — e.g. SE([0]) on
+        multi-output inputs — would otherwise get frequencies on columns
+        the kernel ignores and silently wrong draws)."""
+        import jax
+        import jax.numpy as jnp
+        from jax import random as jrandom
+        from ..hypers import hval, slice_dims
+        from ..hypers.kernels import SE, MAT32, MAT52
+        from ..hypers.metrics import ARD_L2
+        from ..ops.rff import rff_prior_fn
+
+        self._check()
+        proc, pj = self.process, self.params
+        kernel = proc.f_kernel
+        _nu_of = {SE: None, MAT32: 1.5, MAT52: 2.5}
+        if type(kernel) not in _nu_of or type(kernel.metric) is not ARD_L2:
+            raise ValueError(
+                "pathwise sampling needs a pure SE/MAT32/MAT52 signal "
+                "kernel on ARD_L2 (its spectral density is what the "
+                f"Fourier features draw from); got {type(kernel).__name__}")
+        nu = _nu_of[type(kernel)]
+        dims = kernel.metric.dims
+        space = _prep_matrix(self._space_or_default(space))
+        x = jnp.asarray(proc._inputs)
+        ndim = slice_dims(x, dims).shape[1]
+        var = jnp.asarray(hval(kernel.var, pj), settings.dtype)
+        rates = jnp.asarray(hval(kernel.metric.rate, pj), settings.dtype)
+        nv = jnp.asarray(self._noise_var, settings.dtype)
+        if isinstance(key, int):
+            key = jrandom.PRNGKey(key)
+        k_prior, k_eps = jrandom.split(key)
+        prior_act = rff_prior_fn(k_prior, ndim, n_features, rates, var,
+                                 samples, nu=nu)
+        prior = lambda z: prior_act(slice_dims(z, dims))
+
+        yout = jnp.asarray(proc._outputs)
+        resid = proc._latent_obs(pj, yout) - proc.f_location(pj, x)
+        g_x = prior(x)  # (n, S)
+        eps = jnp.sqrt(nv) * jrandom.normal(k_eps, g_x.shape,
+                                            dtype=settings.dtype)
+        a = solve(resid[:, None] - g_x - eps)  # (n, S)
+
+        xq = jnp.asarray(space)
+        latent = (proc.f_location(pj, xq)[:, None] + prior(xq)
+                  + cross_apply(xq, a))
+        if noise:
+            latent = latent + jnp.sqrt(nv) * jrandom.normal(
+                jrandom.fold_in(key, 104729), latent.shape,
+                dtype=settings.dtype)
+        # one mapping call over the flattened draws (mappings are
+        # elementwise): one device round trip instead of one per sample
+        mapping = proc.f_mapping
+        flat = mapping(pj, latent.reshape(-1))
+        return np.asarray(flat).reshape(latent.shape)
 
     def __call__(self, space=None, **kwargs):
         return self.predict(space=space, **kwargs)
@@ -609,92 +696,53 @@ class IterativePredictor(_LatentStatisticsMixin):
 
     def sampler(self, space=None, samples=1, key=0, n_features=2048,
                 noise=False):
-        """Joint posterior draws WITHOUT a factorization: pathwise
-        (Matheron) sampling (ops/rff.py; Wilson et al. 2020) —
-
-            f*(s) = m(s) + g_prior(s)
-                    + K_sX (K+sigma^2 I)^{-1} (resid - g_prior(X) - eps)
-
-        with the prior paths from a random-Fourier expansion of the SE
-        kernel and ONE multi-RHS PCG for all ``samples`` paths.  Returns
+        """Joint posterior draws WITHOUT a factorization: the shared
+        Matheron pathwise core (``_pathwise_draws``) with a multi-RHS PCG
+        update solve for all ``samples`` paths at once.  Returns
         ``(len(space), samples)`` pushed through the warping, matching
         ``process.sampler``'s contract (reference gaussian.py:75-97 —
         which needs an O(m^3) posterior Cholesky per batch and cannot run
-        at this predictor's training sizes).  SE (ARD_L2) signal kernels
-        only; feature error is O(1/sqrt(n_features))."""
+        at this predictor's training sizes).  SE/MAT32/MAT52 (ARD_L2)
+        signal kernels; feature error is O(1/sqrt(n_features))."""
         import jax
         import jax.numpy as jnp
-        from jax import random as jrandom
-        from ..hypers import hval
-        from ..hypers.kernels import SE, MAT32, MAT52
-        from ..hypers.metrics import ARD_L2
-        from ..ops.rff import rff_prior_fn
         from ..ops.iterative import (lazy_kernel_matvec, pcg_solve,
                                      woodbury_preconditioner)
 
-        self._check()
-        kernel = self._kernel
-        _nu_of = {SE: None, MAT32: 1.5, MAT52: 2.5}
-        if type(kernel) not in _nu_of or type(kernel.metric) is not ARD_L2:
-            raise ValueError(
-                "pathwise sampling needs a pure SE/MAT32/MAT52 signal "
-                "kernel on ARD_L2 (its spectral density is what the "
-                f"Fourier features draw from); got {type(kernel).__name__}")
-        nu = _nu_of[type(kernel)]
-        space = _prep_matrix(self._space_or_default(space))
-        pj = self.params
-        x = self._x
-        ndim = x.shape[1]
-        var = jnp.asarray(hval(kernel.var, pj), settings.dtype)
-        rates = jnp.asarray(hval(kernel.metric.rate, pj), settings.dtype)
-        nv = self._noise_var
-        if isinstance(key, int):
-            key = jrandom.PRNGKey(key)
-        k_prior, k_eps = jrandom.split(key)
-        prior = rff_prior_fn(k_prior, ndim, n_features, rates, var,
-                             samples, nu=nu)
-
-        proc = self.process
-        yout = jnp.asarray(proc._outputs)
-        resid = proc._latent_obs(pj, yout) - proc.f_location(pj, x)
-        g_x = prior(x)  # (n, S)
-        eps = jnp.sqrt(nv) * jrandom.normal(k_eps, g_x.shape,
-                                            dtype=settings.dtype)
-        rhs = resid[:, None] - g_x - eps  # (n, S)
+        kernel, pj, x = self._kernel, self.params, self._x
+        nv = jnp.asarray(self._noise_var, settings.dtype)
 
         def mv(v):
             return lazy_kernel_matvec(kernel, pj, x, v,
                                       block=self.block) + nv * v
 
-        p_inv, _, _ = woodbury_preconditioner(self.l_factor, nv)
-        a = pcg_solve(mv, rhs.T, p_inv, maxiter=self.cg_iters)  # (S, n)
-        # hardening (same as the state build): unconverged path solves
-        # would silently return garbage draws
-        res = mv(a.T) - rhs
-        rel = float(jnp.max(jnp.linalg.norm(res, axis=0)
-                            / jnp.maximum(jnp.linalg.norm(rhs, axis=0),
-                                          1e-30)))
-        if not np.isfinite(rel) or rel > 5e-2:
-            raise ValueError(
-                "pathwise sampler: the multi-RHS PCG solve did not "
-                f"converge (worst relative residual {rel:.2e}); raise "
-                "cg_iters (path right-hand sides contain white-noise "
-                "components that need more iterations than the data "
-                "solve) or rank")
+        def solve(rhs):
+            p_inv, _, _ = woodbury_preconditioner(self.l_factor, nv)
+            a = pcg_solve(mv, rhs.T, p_inv, maxiter=self.cg_iters).T
+            # hardening (same as the state build): unconverged path solves
+            # would silently return garbage draws
+            res = mv(a) - rhs
+            rel = float(jnp.max(jnp.linalg.norm(res, axis=0)
+                                / jnp.maximum(jnp.linalg.norm(rhs, axis=0),
+                                              1e-30)))
+            if not np.isfinite(rel) or rel > 5e-2:
+                raise ValueError(
+                    "pathwise sampler: the multi-RHS PCG solve did not "
+                    f"converge (worst relative residual {rel:.2e}); raise "
+                    "cg_iters (path right-hand sides contain white-noise "
+                    "components that need more iterations than the data "
+                    "solve) or rank")
+            return a
 
-        xq = jnp.asarray(space)
-        cross = kernel.cov(pj, xq, x)  # (m, n)
-        latent = (proc.f_location(pj, xq)[:, None] + prior(xq)
-                  + jnp.matmul(cross, a.T,
-                               precision=jax.lax.Precision.HIGHEST))
-        if noise:
-            k_obs = jrandom.fold_in(key, 104729)
-            latent = latent + jnp.sqrt(nv) * jrandom.normal(
-                k_obs, latent.shape, dtype=settings.dtype)
-        mapping = proc.f_mapping
-        out = np.stack([np.asarray(mapping(pj, latent[:, s]))
-                        for s in range(samples)], axis=1)
-        return out
+        def cross_apply(xq, a):
+            # chunk query rows so the (m_chunk, n) cross gram stays bounded
+            outs = [jnp.matmul(kernel.cov(pj, xq[lo:lo + 4096], x), a,
+                               precision=jax.lax.Precision.HIGHEST)
+                    for lo in range(0, xq.shape[0], 4096)]
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+        return self._pathwise_draws(space, samples, key, n_features, noise,
+                                    solve, cross_apply)
 
 
 class DistributedPredictor(_LatentStatisticsMixin):
@@ -732,9 +780,10 @@ class DistributedPredictor(_LatentStatisticsMixin):
         self._cov_fn = cov_fn
         self._mesh = mesh
 
-        state_fn, query_fn, solve_fn = distributed_posterior(
+        state_fn, query_fn, solve_fn, apply_fn = distributed_posterior(
             cov_fn, mesh=mesh, block=block, axis=axis, noise_fn=noise_fn)
         self._solve_fn = solve_fn
+        self._apply_fn = apply_fn
         pj = self.params
         x = jnp.asarray(process._inputs)
         yout = jnp.asarray(process._outputs)
@@ -754,57 +803,16 @@ class DistributedPredictor(_LatentStatisticsMixin):
 
     def sampler(self, space=None, samples=1, key=0, n_features=2048,
                 noise=False):
-        """Joint posterior draws with the gram still band-sharded:
-        pathwise (Matheron) sampling like ``IterativePredictor.sampler``
-        (ops/rff.py), but the update solve ``(K+sigma^2 I)^{-1} rhs`` is
-        EXACT — two sharded TRSMs against the band factor, no CG.  SE
-        (ARD_L2) signal kernels only."""
-        import jax
-        import jax.numpy as jnp
-        from jax import random as jrandom
-        from ..hypers import hval
-        from ..hypers.kernels import SE, MAT32, MAT52
-        from ..hypers.metrics import ARD_L2
-        from ..ops.rff import rff_prior_fn
-
-        self._check()
-        proc, pj = self.process, self.params
-        kernel = proc.f_kernel
-        _nu_of = {SE: None, MAT32: 1.5, MAT52: 2.5}
-        if type(kernel) not in _nu_of or type(kernel.metric) is not ARD_L2:
-            raise ValueError(
-                "pathwise sampling needs a pure SE/MAT32/MAT52 signal "
-                "kernel on ARD_L2 (its spectral density is what the "
-                f"Fourier features draw from); got {type(kernel).__name__}")
-        nu = _nu_of[type(kernel)]
-        space = _prep_matrix(self._space_or_default(space))
-        x = self._x
-        var = jnp.asarray(hval(kernel.var, pj), settings.dtype)
-        rates = jnp.asarray(hval(kernel.metric.rate, pj), settings.dtype)
-        nv = jnp.asarray(self._noise_var, settings.dtype)
-        if isinstance(key, int):
-            key = jrandom.PRNGKey(key)
-        k_prior, k_eps = jrandom.split(key)
-        prior = rff_prior_fn(k_prior, x.shape[1], n_features, rates, var,
-                             samples, nu=nu)
-        yout = jnp.asarray(proc._outputs)
-        resid = proc._latent_obs(pj, yout) - proc.f_location(pj, x)
-        g_x = prior(x)
-        eps = jnp.sqrt(nv) * jrandom.normal(k_eps, g_x.shape,
-                                            dtype=settings.dtype)
-        a = self._solve_fn(self._l, resid[:, None] - g_x - eps)  # (n, S)
-        xq = jnp.asarray(space)
-        cross = self._cov_fn(pj, xq, x)
-        latent = (proc.f_location(pj, xq)[:, None] + prior(xq)
-                  + jnp.matmul(cross, a,
-                               precision=jax.lax.Precision.HIGHEST))
-        if noise:
-            latent = latent + jnp.sqrt(nv) * jrandom.normal(
-                jrandom.fold_in(key, 104729), latent.shape,
-                dtype=settings.dtype)
-        mapping = proc.f_mapping
-        return np.stack([np.asarray(mapping(pj, latent[:, s]))
-                         for s in range(samples)], axis=1)
+        """Joint posterior draws with the gram still band-sharded: the
+        shared Matheron pathwise core with an EXACT update solve (two
+        sharded TRSMs against the band factor, no CG) and a band-sharded
+        cross-apply — neither the n x n gram nor the n x m cross matrix
+        exists unsharded.  SE/MAT32/MAT52 (ARD_L2) signal kernels."""
+        return self._pathwise_draws(
+            space, samples, key, n_features, noise,
+            solve=lambda rhs: self._solve_fn(self._l, rhs),
+            cross_apply=lambda xq, a: self._apply_fn(
+                self.params, self._x, xq, a))
 
     def _moments(self, space, noise=False, chunk=4096):
         self._check()

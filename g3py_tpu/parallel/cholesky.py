@@ -382,7 +382,7 @@ def distributed_quad_logdet(cov_fn, mesh=None, block=None, axis="dp",
 def distributed_posterior(cov_fn, mesh=None, block=None, axis="dp",
                           noise_fn=None):
     """Multi-chip gaussian-posterior SERVING on the band layout: build
-    ``(state_fn, query_fn, solve_fn)`` closures over a mesh.
+    ``(state_fn, query_fn, solve_fn, apply_fn)`` closures over a mesh.
 
       state_fn(params, x, resid) -> (l_sharded, alpha_sharded)
         one cooperative blocked Cholesky of the (noisy) band gram plus two
@@ -497,7 +497,36 @@ def distributed_posterior(cov_fn, mesh=None, block=None, axis="dp",
         x = jax.device_put(jnp.asarray(x, settings.dtype), repl)
         return _query_cache[n](params, x, l_sharded, alpha_sharded, xq)
 
-    return state_fn, query_fn, solve_fn
+    _apply_cache = {}  # n -> jitted sharded K_qX @ A
+
+    def apply_fn(params, x, xq, a):
+        """Band-sharded ``K_qX A``: each device contracts its cross-gram
+        band against its rows of A and psums — the (m, n) cross matrix
+        never exists unsharded (pathwise-sampling query path)."""
+        n = a.shape[0]
+        rows_per_dev = n // n_dev
+        xq = jax.device_put(jnp.asarray(xq, settings.dtype), repl)
+        a = jax.device_put(jnp.asarray(a, settings.dtype), band)
+
+        if n not in _apply_cache:
+            def body(params_, x_, xq_, a_local):
+                me = lax.axis_index(axis)
+                row0 = me * rows_per_dev
+                x_band = lax.dynamic_slice_in_dim(x_, row0, rows_per_dev,
+                                                  axis=0)
+                cross_b = cov_fn(params_, xq_, x_band)  # (m, rows)
+                return lax.psum(
+                    jnp.matmul(cross_b, a_local,
+                               precision=lax.Precision.HIGHEST), axis)
+
+            _apply_cache[n] = jax.jit(shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(), P(), P(axis, None)),
+                out_specs=P()))
+        x = jax.device_put(jnp.asarray(x, settings.dtype), repl)
+        return _apply_cache[n](params, x, xq, a)
+
+    return state_fn, query_fn, solve_fn, apply_fn
 
 
 def distributed_gp_nll(cov_fn, mesh=None, block=None, axis="dp",

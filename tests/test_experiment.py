@@ -326,7 +326,7 @@ class TestDistributedEngine:
         params = {"var": jnp.float32(1.5), "ls": jnp.float32(1.2),
                   "nv": jnp.float32(0.1)}
         mesh = make_mesh(axis_names=("dp",))
-        state_fn, query_fn, solve_fn = distributed_posterior(
+        state_fn, query_fn, solve_fn, apply_fn = distributed_posterior(
             cov_fn, mesh=mesh, block=16, noise_fn=lambda p: p["nv"])
         L, alpha = state_fn(params, x, y)
         md, vr = query_fn(params, x, L, alpha, xq)
@@ -350,6 +350,10 @@ class TestDistributedEngine:
         np.testing.assert_allclose(
             Z, np.linalg.solve(K.astype(np.float64), B.astype(np.float64)),
             atol=2e-3)
+        # sharded K_qX @ A matches the dense product
+        W = np.asarray(apply_fn(params, x, xq, B))
+        np.testing.assert_allclose(W, Kq.T.astype(np.float64) @ B,
+                                   rtol=2e-4, atol=2e-3)
 
     def test_predictor_distributed_matches_dense(self, rng):
         """Multi-chip serving (DistributedPredictor): band-sharded factor

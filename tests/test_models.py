@@ -325,6 +325,36 @@ class TestIterativePredictor:
         assert np.all(ratio > 0.7) and np.all(ratio < 1.4), (
             ratio.min(), ratio.max())
 
+    def test_pathwise_sampler_dims_restricted_kernel(self, rng):
+        """Round-4 review fix: a dims-restricted kernel (SE([0]) on
+        2-column inputs — the multi-output idiom) must draw frequencies
+        over the ACTIVE column only; before the fix the rates silently
+        broadcast over the ignored task-index column and the draw std was
+        off by >2x."""
+        import g3py_tpu as g3
+
+        n = 300
+        t = np.sort(rng.uniform(0, 30, n)).astype(np.float32)
+        task = (np.arange(n) % 2).astype(np.float32)
+        x = np.stack([t, task], axis=1)
+        y = (np.sin(0.5 * t) + 0.1 * rng.standard_normal(n)
+             ).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE([0]),
+                   name="PWDIMS")
+        gp.observed(x, y)
+        params = gp.find_MAP(points=1, display=False)
+        pr = gp.predictor_iterative(params, rank=64, cg_iters=400)
+        xq = x[::6]
+        S = 400
+        draws = pr.sampler(space=xq, samples=S, key=1, n_features=4096)
+        mu_ref = np.asarray(pr.mean(space=xq))
+        sd_ref = np.asarray(pr.std(space=xq))
+        se = sd_ref / np.sqrt(S)
+        assert np.max(np.abs(draws.mean(1) - mu_ref) / (se + 1e-9)) < 6
+        ratio = draws.std(1) / (sd_ref + 1e-9)
+        assert np.all(ratio > 0.7) and np.all(ratio < 1.4), (
+            float(ratio.min()), float(ratio.max()))
+
     def test_sketch_variance_is_quicklook_only(self, rng):
         """The rank-R Woodbury sketch (exact_var=False) is finite and
         bounded by the prior variance but NOT accurate — documented
