@@ -680,6 +680,9 @@ class IterativePredictor(_LatentStatisticsMixin):
         space = _prep_matrix(space)
         import jax.numpy as jnp
 
+        if len(space) == 0:
+            e = np.zeros(0, settings.floatx)
+            return e, e
         fn = self._latent_fn(exact_var=exact_var)
         mus, vs = [], []
         for lo in range(0, len(space), chunk):
@@ -820,6 +823,9 @@ class DistributedPredictor(_LatentStatisticsMixin):
         import jax.numpy as jnp
 
         space = _prep_matrix(space)
+        if len(space) == 0:
+            e = np.zeros(0, settings.floatx)
+            return e, e
         proc, pj = self.process, self.params
         mus, vs = [], []
         for lo in range(0, len(space), chunk):
