@@ -19,7 +19,10 @@ __all__ = ["Density", "SymmetricDensity", "Uniform", "Normal", "StudentT",
            "MarginalProcess"]
 
 GUARD = np.float32(-1e30)
-LOG2PI = np.float32(np.log(2.0 * np.pi))
+# float64 constant: under x64 the pipeline then carries full precision
+# (the f32 constant alone cost ~3e-9 relative NLL error in the f64
+# north-star job); in float32 mode jax demotes it with no behavior change
+LOG2PI = np.log(2.0 * np.pi)
 
 
 class Density:

@@ -117,6 +117,39 @@ def main():
         check(f"{model} loglike", sp.loglike(par),
               indep_loglike(xo.ravel(), yo, par, model, tinv, logdet))
 
+    # ---- 1b. Student-t NLL at the GP oracle config (same split/hypers,
+    # default prior degree) — covers the multivariate-t scalarization ------
+    import g3py_tpu as g3l
+    from scipy.special import gammaln as sp_gammaln
+
+    row = oracle_row("GP")
+    par = {k: np.asarray(v, np.float64)
+           for k, v in transformed_to_natural(row["params"]).items()}
+    sim = sims.loc[row["n_sim"]]
+    obs_j = np.asarray(sim["obs"])
+    xo, yo = x64[obs_j], y64[obs_j]
+    tp = g3l.TP(space=x64, location=g3l.Bias(), kernel=g3l.SE(x64),
+                name="TPF")
+    tp.observed(xo, yo)
+    part = {k.replace("GP_", "TPF_"): v for k, v in par.items()}
+    part["TPF_Freedom_degree"] = np.float64(
+        np.asarray(tp.params_default["TPF_Freedom_degree"]))
+    nu = 2.0 + float(part["TPF_Freedom_degree"])
+    n_o = len(xo)
+    var = float(part["TPF_SE_var"])
+    rate = float(np.asarray(part["TPF_SE_rate"]).ravel()[0])
+    nv = float(part["TPF_Noise_var"])
+    bias = float(part["TPF_Bias_Bias"])
+    kn = se_gram(xo.ravel(), xo.ravel(), var, rate) + nv * np.eye(n_o)
+    L = scipy.linalg.cholesky(kn, lower=True)
+    z = scipy.linalg.solve_triangular(L, yo - bias, lower=True)
+    beta = z @ z
+    ll_t = (-0.5 * (nu + n_o) * np.log1p(beta / (nu - 2.0))
+            + sp_gammaln((nu + n_o) / 2.0) - sp_gammaln(nu / 2.0)
+            - 0.5 * n_o * np.log((nu - 2.0) * np.pi)
+            - np.sum(np.log(np.diag(L))))
+    check("TP loglike", tp.loglike(part), ll_t)
+
     # ---- 2. GP test-split posterior scores at 1e-6 -------------------------
     row = oracle_row("GP")
     par = {k: np.asarray(v, np.float64)
