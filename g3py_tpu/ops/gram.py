@@ -117,8 +117,13 @@ def _pairwise_reduce(x1, x2, elem_fn, combine, init, per_dim=()):
         c1, c2, *ws = cols
         return combine(carry, elem_fn(c1[:, None], c2[None, :], *ws)), None
 
-    # scan over the (static) feature axis: one fused VPU slab per feature
-    acc0 = jnp.full((n, m), init, dtype=x1.dtype)
+    # scan over the (static) feature axis: one fused VPU slab per feature.
+    # The carry init is derived FROM the inputs (zeros * columns) so it
+    # inherits their varying-manual-axes tags — a plain jnp.full carry
+    # fails lax.scan's carry-type check inside shard_map (the sharded
+    # band-gram path for Delta/L1/periodic kernels hit exactly that).
+    acc0 = (jnp.full((n, m), init, dtype=x1.dtype)
+            + 0.0 * x1[:, :1] + 0.0 * x2[:, :1].T)
     acc, _ = lax.scan(body, acc0, (x1.T, x2.T) + per_dim)
     return acc
 

@@ -285,6 +285,40 @@ class TestDistributedEngine:
         lp_ref = float(gp.logp(p_ref))
         assert lp_dist >= lp_ref - 1.0
 
+    def test_nll_distributed_multi_output_icm(self, rng):
+        """2-output intrinsic-coregionalization model (SE([0]) + SE([0]) *
+        KernelDot(Delta) — the stretch-config construction) through the
+        model-API distributed path.  Also pins the vma-tagged scan-carry
+        fix in ops/gram.py _pairwise_reduce: Delta/L1/periodic grams used
+        to fail inside the shard_map band gram."""
+        from g3py_tpu.hypers.kernels import KernelDot
+        from g3py_tpu.hypers.metrics import Delta
+
+        n_pts, outs = 64, 2
+        t = np.sort(rng.uniform(0, 20, n_pts)).astype(np.float32)
+        x = np.stack([np.tile(t, outs),
+                      np.repeat(np.arange(outs, dtype=np.float32), n_pts)],
+                     axis=1)
+        y = (np.sin(0.5 * x[:, 0]) * (1 + 0.3 * x[:, 1])
+             + 0.1 * rng.standard_normal(n_pts * outs)).astype(np.float32)
+        se = g3.SE([0])
+        coreg = KernelDot([1], metric=Delta, name="Coreg")
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=se + se * coreg,
+                   name="DICM")
+        gp.observed(x, y)
+        p0 = gp.params_default
+        np.testing.assert_allclose(float(gp.nll_distributed(p0)),
+                                   -float(gp.loglike(p0)),
+                                   rtol=1e-4, atol=5e-3)
+        pr = gp.predictor_distributed(p0)
+        xq = x[::4]
+        ref = gp.predict(params=p0, space=xq, quantiles=True)
+        out = pr(xq, quantiles=True)
+        for k in ("mean", "std", "quantile_up"):
+            d, a = np.asarray(ref[k]), np.asarray(out[k])
+            assert np.max(np.abs(a - d)) / (np.max(np.abs(d)) + 1e-9) \
+                < 2e-3, k
+
     def test_nll_distributed_studentt(self, rng):
         """The Student-t scalarization of the shared sharded primitive
         (and its warped variant) matches the single-device loglike."""
