@@ -319,6 +319,26 @@ class TestDistributedEngine:
             assert np.max(np.abs(a - d)) / (np.max(np.abs(d)) + 1e-9) \
                 < 2e-3, k
 
+    @pytest.mark.parametrize("kname", ["OU", "RQ", "COS", "SIN", "SINC",
+                                       "LIN", "POL", "NN", "SM"])
+    def test_nll_distributed_kernel_zoo(self, rng, kname):
+        """The band-sharded gram must serve the WHOLE kernel zoo, not just
+        norm-decomposition families (the vma scan-carry bug hid exactly
+        this class of failure)."""
+        n = 64
+        x = np.sort(rng.uniform(0.1, 20, n)
+                    ).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(0.5 * x[:, 0])
+             + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        cls = getattr(g3, kname)
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=cls(x),
+                   name=f"DZ{kname}")
+        gp.observed(x, y)
+        p0 = gp.params_default
+        np.testing.assert_allclose(float(gp.nll_distributed(p0)),
+                                   -float(gp.loglike(p0)),
+                                   rtol=1e-4, atol=5e-3)
+
     def test_nll_distributed_studentt(self, rng):
         """The Student-t scalarization of the shared sharded primitive
         (and its warped variant) matches the single-device loglike."""
