@@ -469,27 +469,45 @@ class _LatentStatisticsMixin:
 
         self._check()
         proc, pj = self.process, self.params
-        kernel = proc.f_kernel
+        from ..hypers.kernels import KernelSum
+
         _nu_of = {SE: None, MAT32: 1.5, MAT52: 2.5}
-        if type(kernel) not in _nu_of or type(kernel.metric) is not ARD_L2:
-            raise ValueError(
-                "pathwise sampling needs a pure SE/MAT32/MAT52 signal "
-                "kernel on ARD_L2 (its spectral density is what the "
-                f"Fourier features draw from); got {type(kernel).__name__}")
-        nu = _nu_of[type(kernel)]
-        dims = kernel.metric.dims
+
+        def flatten_sum(k):
+            # spectra ADD under kernel sums: one feature block per part
+            if isinstance(k, KernelSum):
+                return flatten_sum(k.k1) + flatten_sum(k.k2)
+            if type(k) not in _nu_of or type(k.metric) is not ARD_L2:
+                raise ValueError(
+                    "pathwise sampling needs SE/MAT32/MAT52 (ARD_L2) "
+                    "signal kernels or sums of them (their spectral "
+                    "densities are what the Fourier features draw from); "
+                    f"got {type(k).__name__}")
+            return [k]
+
+        parts = flatten_sum(proc.f_kernel)
         space = _prep_matrix(self._space_or_default(space))
         x = jnp.asarray(proc._inputs)
-        ndim = slice_dims(x, dims).shape[1]
-        var = jnp.asarray(hval(kernel.var, pj), settings.dtype)
-        rates = jnp.asarray(hval(kernel.metric.rate, pj), settings.dtype)
         nv = jnp.asarray(self._noise_var, settings.dtype)
         if isinstance(key, int):
             key = jrandom.PRNGKey(key)
         k_prior, k_eps = jrandom.split(key)
-        prior_act = rff_prior_fn(k_prior, ndim, n_features, rates, var,
-                                 samples, nu=nu)
-        prior = lambda z: prior_act(slice_dims(z, dims))
+        f_each = max(n_features // len(parts), 64)
+        priors = []
+        for i, k in enumerate(parts):
+            dims = k.metric.dims
+            ndim = slice_dims(x, dims).shape[1]
+            var = jnp.asarray(hval(k.var, pj), settings.dtype)
+            rates = jnp.asarray(hval(k.metric.rate, pj), settings.dtype)
+            p_act = rff_prior_fn(jrandom.fold_in(k_prior, i), ndim, f_each,
+                                 rates, var, samples, nu=_nu_of[type(k)])
+            priors.append((p_act, dims))
+
+        def prior(z):
+            out = priors[0][0](slice_dims(z, priors[0][1]))
+            for p_act, dims in priors[1:]:
+                out = out + p_act(slice_dims(z, dims))
+            return out
 
         yout = jnp.asarray(proc._outputs)
         resid = proc._latent_obs(pj, yout) - proc.f_location(pj, x)
