@@ -240,6 +240,9 @@ from .bayesian import (
     mcmc_ensemble,
     nuts_sampler,
     nuts_warmup,
+    fit_flow,
+    neutra_logp,
+    neutra_nuts,
     chains_to_datatrace,
     datatrace_to_chains,
     datatrace_to_kde,

@@ -1034,15 +1034,19 @@ class StochasticProcess(PlotModel):
                       clusters=None, prior=False, parallel=False, threads=1,
                       plot=False, file=None, load=True, seed=0, method="ensemble",
                       nuts_warmup=200, max_depth=8, target_accept=0.8,
-                      nuts_mass="diag"):
+                      nuts_mass="diag", neutra_warmup=500):
         """MCMC over the hyperparameter posterior (reference :676-800).
 
         ``method='ensemble'`` (default) is the reference's affine-invariant
         sampler (parallel-tempered when ``ntemps``); ``method='nuts'`` runs
         the jax-native No-U-Turn sampler (gradient-based, far higher
-        effective-sample rate per iteration for smooth posteriors).  Chains
-        run vmapped (and device-sharded when ``parallel``) inside one jitted
-        sampler instead of multiprocessing pools."""
+        effective-sample rate per iteration for smooth posteriors);
+        ``method='neutra'`` runs NUTS through a neural transport fitted to
+        ``neutra_warmup`` iterations of ensemble warmup — the cure for
+        funnel-shaped hyper posteriors where plain/dense-mass NUTS leaves
+        divergences or silently under-explores the neck (bayesian/neutra.py).
+        Chains run vmapped (and device-sharded when ``parallel``) inside one
+        jitted sampler instead of multiprocessing pools."""
         reg = self.active
         ndim = len(reg.sampling_dims)
         if chains is None:
@@ -1074,7 +1078,7 @@ class StochasticProcess(PlotModel):
         logp_tr, loglike_tr, logprior_tr = self._sampling_logps(prior=prior,
                                                                 tempered=ntemps is not None)
 
-        if method == "nuts":
+        if method in ("nuts", "neutra"):
             from ..bayesian.nuts import nuts_sampler
 
             if logp_tr is None:
@@ -1084,11 +1088,30 @@ class StochasticProcess(PlotModel):
                 start[None, :] * (1 + noise_mult
                                   * rng_jitter.standard_normal((chains, ndim))
                                   ).astype(settings.floatx))
-            echain, lnprob, _info = nuts_sampler(
-                logp_tr, z0, samples, warmup=nuts_warmup, key=seed,
-                max_depth=max_depth, chains=chains,
-                target_accept=target_accept,
-                adapt_mass="dense" if nuts_mass == "dense" else True)
+            if method == "neutra":
+                # ensemble warmup draws -> transport fit -> NUTS in latent
+                # space (the funnel-geometry cure; see bayesian/neutra.py)
+                from ..bayesian.neutra import neutra_nuts
+
+                n_walk = max(2 * ndim, 16)
+                n_walk += n_walk % 2
+                wstart = start if start.ndim == 2 else np.tile(
+                    start[None, :], (n_walk, 1))
+                _, wchain = mcmc_ensemble(
+                    ndim, samples=neutra_warmup, chains=n_walk,
+                    start=wstart, logp=logp_tr, noise_mult=noise_mult,
+                    noise_sum=noise_sum, seed=seed)
+                draws = wchain[:, neutra_warmup // 2:, :].reshape(-1, ndim)
+                echain, lnprob, _info = neutra_nuts(
+                    logp_tr, draws, samples, chains=chains,
+                    warmup=nuts_warmup, key=seed, max_depth=max_depth,
+                    target_accept=target_accept)
+            else:
+                echain, lnprob, _info = nuts_sampler(
+                    logp_tr, z0, samples, warmup=nuts_warmup, key=seed,
+                    max_depth=max_depth, chains=chains,
+                    target_accept=target_accept,
+                    adapt_mass="dense" if nuts_mass == "dense" else True)
         else:
             lnprob, echain = mcmc_ensemble(
                 ndim, samples=samples, chains=chains, ntemps=ntemps, start=start,
