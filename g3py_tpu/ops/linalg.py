@@ -31,6 +31,7 @@ __all__ = [
     "log_det_from_chol",
     "blocked_cholesky",
     "blocked_trtri",
+    "recursive_trtri",
     "blocked_lauum",
     "blocked_lauum_panel",
     "mvn_quad_logdet",
@@ -290,6 +291,68 @@ def blocked_trtri(l, block=1024):
     return out[:n, :n]
 
 
+def recursive_trtri(l, base=512):
+    """Level-batched recursive inverse of a lower-triangular matrix.
+
+    :func:`blocked_trtri` unrolls nb^3/6 dependency-chained tile matmuls —
+    at n=4096/block=512 that is ~90 sequential 512-matmuls whose per-op
+    overhead, not MXU throughput, sets the wall time (measured ~5 TF/s vs
+    the 19+ TF/s the same tiles reach at n=16384).  This form exposes the
+    independence instead: partition into 2^k diagonal base triangles,
+    invert them all in ONE batched TRSM, then combine pairs bottom-up —
+
+        [[A, 0], [C, B]]^{-1} = [[Ai, 0], [-Bi @ C @ Ai, Bi]]
+
+    where every level's pair-combines are independent, so each level is
+    exactly two batched MXU matmuls.  log2(n/base) levels ~= 7 XLA ops at
+    n=4096 instead of ~90, same n^3/3 MACs.
+
+    MEASURED-NEGATIVE on the v5e tunnel runtime (benchmarks/
+    trtri_4k_bench.py, one-process A/B): 4.15-4.75 ms at n=4096 vs 2.79 ms
+    for ``blocked_trtri(512)``.  The same-day dense-matmul rate measured
+    only ~12 T-MACs/s, and blocked_trtri's 8.2 T-MACs/s is already ~2/3 of
+    that — per-op overhead was not the bottleneck after all; the batched
+    pair-combines lose more to the top-level full-block matmuls (n^3/4
+    MACs in two serial GEMMs) than they save in op count.  Kept
+    correctness-tested for other runtimes; not dispatched by default.
+    """
+    n = l.shape[-1]
+    if n <= base:
+        return _solve_triangular(l, jnp.eye(n, dtype=l.dtype), lower=True)
+    # pad to base * 2^k with an identity triangle (inverse of the padded
+    # triangle = padded inverse)
+    m = -(-n // base)
+    m_pow2 = 1 << (m - 1).bit_length()
+    n_pad = base * m_pow2
+    lp = _pad_tril(l, n_pad)
+
+    # all diagonal base triangles in one batched TRSM
+    grid = lp.reshape(m_pow2, base, m_pow2, base)
+    idx = jnp.arange(m_pow2)
+    diags = grid[idx, :, idx, :]                       # (m_pow2, base, base)
+    x = jax.vmap(lambda d: _solve_triangular(d, jnp.eye(base, dtype=l.dtype),
+                                             lower=True))(diags)
+
+    s = base
+    while s < n_pad:
+        s2 = 2 * s
+        m2 = n_pad // s2
+        # sub-triangles of L at the next size up; C = their bottom-left block
+        sub = lp.reshape(m2, s2, m2, s2)[jnp.arange(m2), :, jnp.arange(m2), :]
+        c = sub[:, s:, :s]                             # (m2, s, s)
+        x_even = x[0::2]                               # Ai per pair
+        x_odd = x[1::2]                                # Bi per pair
+        off = -jnp.matmul(
+            jnp.matmul(x_odd, c, precision=lax.Precision.HIGHEST),
+            x_even, precision=lax.Precision.HIGHEST)   # (m2, s, s)
+        top = jnp.concatenate(
+            [x_even, jnp.zeros((m2, s, s), l.dtype)], axis=2)
+        bot = jnp.concatenate([off, x_odd], axis=2)
+        x = jnp.concatenate([top, bot], axis=1)        # (m2, s2, s2)
+        s = s2
+    return x[0][:n, :n]
+
+
 # ---------------------------------------------------------------------------
 # fused MVN quadratic + half-logdet with analytic gradient
 # ---------------------------------------------------------------------------
@@ -439,8 +502,15 @@ def _mvn_bwd(max_tries, res, cotangents):
     # docs/performance.md); block=1024 wins at n=4096 (4.58ms vs 5.49 at
     # 2048) AND n=16384 (71.6ms vs 79.0 at 2048, +90s one-time compile);
     # above that cap nb at 16 to bound the unrolled-graph compile cost.
-    kinv = blocked_lauum(linv, block=n if n <= 1024 else
-                         (1024 if n <= 16384 else 2048))
+    # per-size lauum choice, both A/B'd on v5e: PANEL (one tall matmul per
+    # block column) wins in-context at n=4096 (8.22 vs 8.57 ms full
+    # NLL+grad, benchmarks/lauum_e2e_ab.py); the TILE form wins at n=16384
+    # (71.6 ms b1024 vs panel 75.8 standalone) where per-op overhead no
+    # longer dominates.
+    if n <= 4096:
+        kinv = blocked_lauum_panel(linv, block=n if n <= 1024 else 512)
+    else:
+        kinv = blocked_lauum(linv, block=1024 if n <= 16384 else 2048)
     dk = (-g_quad) * jnp.outer(alpha, alpha) + (0.5 * g_logdet) * kinv
     dresid = (2.0 * g_quad) * alpha
     dk = jnp.where(failed, jnp.zeros_like(dk), dk)

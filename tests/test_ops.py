@@ -221,6 +221,19 @@ class TestBlockedTrtri:
         Linv = np.asarray(blocked_trtri(jnp.asarray(L), block=16))
         np.testing.assert_allclose(Linv @ L, np.eye(n), atol=1e-4)
 
+    @pytest.mark.parametrize("n", [96, 50, 100, 256, 320])
+    def test_recursive_matches_solve(self, rng, n):
+        # covers: n <= base, power-of-2 grids, and non-power-of-2 grids
+        # whose padding rounds up (320/64 = 5 -> 8 blocks)
+        from g3py_tpu.ops.linalg import recursive_trtri
+
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        A = a @ a.T + n * np.eye(n, dtype=np.float32)
+        L = np.linalg.cholesky(A)
+        Linv = np.asarray(recursive_trtri(jnp.asarray(L), base=64))
+        np.testing.assert_allclose(Linv @ L, np.eye(n), atol=1e-4)
+        assert np.all(np.triu(Linv, 1) == 0.0)
+
 
 class TestBlockedCholesky:
     def _psd(self, rng, n):
