@@ -285,6 +285,43 @@ def main():
             f"{ens_ess_s:.1f} | nuts_ess/s={nuts_ess_s:.1f} (ta=0.95, "
             f"accept={np.asarray(info['accept_rate']).mean():.2f}, div="
             f"{int(np.asarray(info['divergences']).sum())})")
+
+        # ---- NeuTra: NUTS through a transport fitted to the ensemble
+        # run's draws (the funnel cure, bayesian/neutra.py); vs_baseline is
+        # NeuTra vs plain dense-NUTS steady-state ESS/s ---------------------
+        import jax.numpy as jnp
+        from g3py_tpu.bayesian.neutra import (fit_flow, neutra_logp,
+                                              flow_inverse, flow_forward)
+
+        draws = ch_e[:, iters_w // 2:, :].reshape(-1, ndim2)
+        t_fit0 = time.perf_counter()
+        flow, _losses = fit_flow(draws, n_couplings=6, hidden=32,
+                                 steps=1500, key=0)
+        t_fit = time.perf_counter() - t_fit0
+        lt = neutra_logp(logp_tr, flow)
+        z0, _ = flow_inverse(flow, jnp.asarray(draws[:chains_n]))
+        z0 = np.asarray(z0)
+        _ = nuts_sampler(lt, z0[:1], samples=10, warmup=10, key=0, chains=1,
+                         max_depth=6)
+        t0 = time.perf_counter()
+        zch, _zlp, zinfo = nuts_sampler(lt, z0, samples=samples,
+                                        warmup=warmup, key=1,
+                                        chains=chains_n, max_depth=6,
+                                        target_accept=0.95, adapt_mass=True)
+        t_neutra = time.perf_counter() - t0
+        theta = np.asarray(jax.vmap(jax.vmap(
+            lambda z: flow_forward(flow, z)[0]))(jnp.asarray(zch)))
+        ess_nt = sum(_mESS(theta[c, samples // 2:, :])
+                     for c in range(chains_n))
+        neutra_ess_s = ess_nt / (t_neutra * frac)
+        rows.append({"metric": "neutra_ess_per_sec_wgp_n125",
+                     "value": round(neutra_ess_s, 1), "unit": "ESS/sec",
+                     "vs_baseline": round(
+                         neutra_ess_s / max(nuts_ess_s, 1e-9), 2)})
+        notes.append(
+            f"neutra_ess/s={neutra_ess_s:.1f} (fit {t_fit:.0f}s, div="
+            f"{int(np.asarray(zinfo['divergences']).sum())}, "
+            f"accept={np.asarray(zinfo['accept_rate']).mean():.2f})")
     except Exception as e:
         notes.append(f"sampler metrics skipped: {e}")
 

@@ -12,6 +12,10 @@ runs anywhere; the same calls ran the real N=50k stretch configuration
 2. Device-sharded path: ``parallel.distributed_gp_nll`` — per-device gram
    row bands, blocked panel Cholesky over the mesh, custom-VJP gradient
    (parallel/cholesky.py).
+3. Sparse variational path: ``g3.SGP`` — Titsias' collapsed bound in
+   O(n m^2) MXU matmuls with gradient-trained inducing inputs
+   (models/sparse.py); the right tool when an approximate posterior is
+   acceptable and n is far beyond factorization scale.
 """
 
 import numpy as np
@@ -84,8 +88,21 @@ def main(quick=True, plot=False):
     assert np.isfinite(float(val))
     assert all(np.isfinite(float(v)) for v in grads.values())
 
+    # ---- 3. sparse variational GP (SGPR): O(n m^2), bound on the exact
+    # loglike, inducing inputs trained by gradient with the hypers ----------
+    sgp = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                 inducing=24, name="SGP09")
+    sgp.observed(x, y)
+    elbo0 = sgp.loglike(sgp.params_default)
+    sparams = sgp.find_MAP(points=1, display=False)
+    elbo1 = sgp.loglike(sparams)
+    assert elbo1 > elbo0
+    spred = sgp.predict(params=sparams)
+    assert np.all(np.isfinite(spred.mean)) and np.all(spred.std >= 0)
+
     return {"nll_iterative": float(nll), "nll_exact": float(exact),
-            "nll_sharded": float(val), "n_devices": len(mesh.devices.ravel())}
+            "nll_sharded": float(val), "sgpr_elbo": float(elbo1),
+            "n_devices": len(mesh.devices.ravel())}
 
 
 if __name__ == "__main__":

@@ -214,6 +214,10 @@ from .models import (
     CopulaGaussianProcess,
     CopulaStudentTProcess,
     TransformedStudentTProcess,
+    InducingPoints,
+    SparseGaussianProcess,
+    SparseWarpedGaussianProcess,
+    select_inducing,
     GP,
     WGP,
     TP,
@@ -222,6 +226,8 @@ from .models import (
     TGP,
     CGP,
     CSTP,
+    SGP,
+    SWGP,
 )
 
 # bayesian layer

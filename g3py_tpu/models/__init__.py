@@ -36,6 +36,12 @@ from .copula import (
     CopulaStudentTProcess,
     TransformedStudentTProcess,
 )
+from .sparse import (
+    InducingPoints,
+    SparseGaussianProcess,
+    SparseWarpedGaussianProcess,
+    select_inducing,
+)
 
 # aliases (reference processes/__init__.py:9-16)
 GP = GaussianProcess
@@ -46,6 +52,8 @@ MP = MarginalProcess
 TGP = TransportGaussianProcess
 CGP = CopulaGaussianProcess
 CSTP = CopulaStudentTProcess
+SGP = SparseGaussianProcess
+SWGP = SparseWarpedGaussianProcess
 
 __all__ = [
     "StochasticProcess",
@@ -76,5 +84,9 @@ __all__ = [
     "CopulaGaussianProcess",
     "CopulaStudentTProcess",
     "TransformedStudentTProcess",
-    "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP",
+    "InducingPoints",
+    "SparseGaussianProcess",
+    "SparseWarpedGaussianProcess",
+    "select_inducing",
+    "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP", "SGP", "SWGP",
 ]

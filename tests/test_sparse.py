@@ -1,0 +1,251 @@
+"""Sparse (inducing-point) GP family: SGPR collapsed bound.
+
+No reference counterpart (the reference subsamples instead,
+data.py:129-190); properties pinned here are the standard SGPR contracts:
+the ELBO lower-bounds the exact loglikelihood, is tight at Z = X, the
+sparse posterior collapses to the exact one at Z = X, inducing inputs
+train by gradient, and the serving state (predictor + O(m^2) streaming
+updates) matches direct evaluation.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import g3py_tpu as g3
+
+
+@pytest.fixture
+def data(rng):
+    n = 120
+    x = np.sort(rng.uniform(0, 8, n)).astype(np.float32).reshape(-1, 1)
+    y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    return x, y
+
+
+def _strip(params, frm, to):
+    return {k.replace(frm, to): v for k, v in params.items()
+            if "Inducing" not in k}
+
+
+class TestSGPRBound:
+    def test_elbo_lower_bounds_exact(self, data):
+        x, y = data
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x), name="TEx")
+        gp.observed(x, y)
+        sgp = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=16, name="TSp")
+        sgp.observed(x, y)
+        p0 = sgp.params_default
+        elbo = sgp.loglike(p0)
+        exact = gp.loglike(_strip(p0, "TSp_", "TEx_"))
+        assert elbo <= exact + 1e-3
+        assert np.isfinite(elbo)
+
+    def test_tight_at_full_inducing(self, data):
+        x, y = data
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x), name="TEx2")
+        gp.observed(x, y)
+        sgp = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=x, name="TSp2")
+        sgp.observed(x, y)
+        p0 = sgp.params_default
+        elbo = sgp.loglike(p0)
+        exact = gp.loglike(_strip(p0, "TSp2_", "TEx2_"))
+        # gap = KL residual, pure jitter/rounding at Z=X
+        assert abs(exact - elbo) < 0.5, (elbo, exact)
+
+    def test_posterior_collapses_at_full_inducing(self, data):
+        x, y = data
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x), name="TEx3")
+        gp.observed(x, y)
+        sgp = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=x, learn_inducing=False, name="TSp3")
+        sgp.observed(x, y)
+        p0 = sgp.params_default
+        pe = _strip(p0, "TSp3_", "TEx3_")
+        xq = np.linspace(0.5, 7.5, 40, dtype=np.float32).reshape(-1, 1)
+        mu_s = np.asarray(sgp.mean(p0, xq))
+        mu_e = np.asarray(gp.mean(pe, xq))
+        sd_s = np.asarray(sgp.kernel_sd(p0, xq))
+        sd_e = np.asarray(gp.kernel_sd(pe, xq))
+        np.testing.assert_allclose(mu_s, mu_e, atol=2e-3)
+        np.testing.assert_allclose(sd_s, sd_e, atol=5e-3)
+
+    def test_gradient_trains_inducing(self, data):
+        x, y = data
+        sgp = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=12, name="TTr")
+        sgp.observed(x, y)
+        p0 = sgp.params_default
+        params = sgp.find_MAP(points=1, display=False)
+        assert sgp.logp(params) > sgp.logp(p0) + 10
+        moved = np.abs(params["TTr_Inducing_z"]
+                       - p0["TTr_Inducing_z"]).max()
+        assert moved > 1e-3  # z receives gradient
+        pred = sgp.predict(params=params)
+        rmse = float(np.sqrt(np.mean((pred.mean - np.sin(x[:, 0])) ** 2)))
+        assert rmse < 0.2
+        assert np.all(pred.std >= 0)
+
+    def test_tiny_noise_is_penalized_not_exploited(self, data):
+        """Regression: the sigma-scaled (A = V/sigma) form of the bound
+        suffered 1/sigma^2-amplified f32 cancellation — at sigma^2 -> 0 the
+        ELBO evaluated to +7e7 and find_MAP drove the noise to zero (a 2%
+        noise-band coverage).  In the V-parametrization the bound must go
+        strongly NEGATIVE as sigma^2 -> 0 for a non-interpolating model."""
+        x, y = data
+        sgp = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=8, learn_inducing=False, name="TNz")
+        sgp.observed(x, y)
+        p = dict(sgp.params_default)
+        base = sgp.loglike(p)
+        for nv in (1e-6, 1e-10, 0.0):
+            p["TNz_Noise_var"] = np.float32(nv)
+            ll = sgp.loglike(p)
+            assert ll < base - 100, (nv, ll, base)
+
+    def test_fixed_inducing_has_no_param(self, data):
+        x, y = data
+        sgp = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=10, learn_inducing=False, name="TFx")
+        sgp.observed(x, y)
+        assert not any("Inducing" in k for k in sgp.params_default)
+        assert np.isfinite(sgp.loglike(sgp.params_default))
+
+    def test_more_points_than_data_tiles(self, rng):
+        x = np.linspace(0, 1, 6, dtype=np.float32).reshape(-1, 1)
+        y = x[:, 0].astype(np.float32)
+        sgp = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=10, name="TTl")
+        sgp.observed(x, y)
+        z0 = sgp.params_default["TTl_Inducing_z"]
+        assert z0.shape == (10, 1)
+        assert np.isfinite(sgp.loglike(sgp.params_default))
+
+
+class TestSGPRMasked:
+    def test_masked_matches_subset(self, data):
+        """Masked ELBO at mask w == ELBO of the physically-subset data
+        (same inducing points)."""
+        x, y = data
+        sgp = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=14, learn_inducing=False, name="TMk")
+        sgp.observed(x, y)
+        p0 = {k: jnp.asarray(v) for k, v in sgp.params_default.items()}
+        fn = sgp.th_loglike_masked_fn()
+        w = np.zeros(len(x), np.float32)
+        keep = np.arange(0, len(x), 2)
+        w[keep] = 1.0
+        masked = float(fn(p0, jnp.asarray(x), jnp.asarray(y),
+                          jnp.asarray(w)))
+        sub = g3.SGP(space=x[keep], location=g3.Bias(),
+                     kernel=g3.SE(x[keep]),
+                     inducing=np.asarray(sgp.f_inducing.value({}, x)),
+                     learn_inducing=False, name="TMs")
+        sub.observed(x[keep], y[keep])
+        p_sub = {k.replace("TMk_", "TMs_"): v
+                 for k, v in sgp.params_default.items()}
+        direct = sub.loglike(p_sub)
+        np.testing.assert_allclose(masked, direct, rtol=2e-4, atol=2e-3)
+
+
+class TestSparseWarped:
+    def test_identity_mapping_matches_sgp(self, data):
+        x, y = data
+        y = y + 3.0
+        sgp = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=12, learn_inducing=False, name="TWi")
+        sgp.observed(x, y)
+        swgp = g3.SWGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                       mapping=g3.Identity(), inducing=12,
+                       learn_inducing=False, name="TWj")
+        # same fixed inducing set
+        swgp.f_inducing.z_fixed = np.asarray(sgp.f_inducing.value({}, x))
+        swgp.observed(x, y)
+        p = sgp.params_default
+        pw = {k.replace("TWi_", "TWj_"): v for k, v in p.items()}
+        np.testing.assert_allclose(sgp.loglike(p), swgp.loglike(pw),
+                                   rtol=1e-5)
+
+    def test_warped_trains_and_predicts(self, rng):
+        n = 100
+        x = np.sort(rng.uniform(0, 6, n)).astype(np.float32).reshape(-1, 1)
+        f = np.sin(x[:, 0]) + 1.5
+        y = np.exp(0.5 * f + 0.05 * rng.standard_normal(n)).astype(
+            np.float32)
+        swgp = g3.SWGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                       mapping=g3.LogShifted(y), inducing=16, name="TWt")
+        swgp.observed(x, y)
+        params = swgp.find_MAP(points=1, display=False)
+        assert swgp.logp(params) > swgp.logp(swgp.params_default)
+        pred = swgp.predict(params=params)
+        assert np.all(np.isfinite(pred.mean))
+        assert np.all(np.isfinite(pred.std))
+        # warped means live on the observed (positive) scale
+        assert np.all(pred.mean > 0)
+
+
+class TestSparsePredictor:
+    def test_predictor_matches_direct(self, data):
+        x, y = data
+        sgp = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=16, name="TPr")
+        sgp.observed(x, y)
+        params = sgp.find_MAP(points=1, display=False)
+        pr = sgp.predictor(params)
+        xq = np.linspace(0.2, 7.8, 33, dtype=np.float32).reshape(-1, 1)
+        np.testing.assert_allclose(np.asarray(pr.mean(space=xq)),
+                                   np.asarray(sgp.mean(params, xq)),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(pr.std(space=xq)),
+                                   np.asarray(sgp.kernel_sd(params, xq)),
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_streaming_update_matches_fresh(self, data):
+        x, y = data
+        n_base = 100
+        sgp = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=16, learn_inducing=False, name="TUp")
+        sgp.observed(x[:n_base], y[:n_base])
+        params = sgp.params_default
+        pr = sgp.predictor(params)
+        pr2 = pr.updated(x[n_base:], y[n_base:])
+        # fresh factorization over the full data, on a separate process so
+        # pr2's data-staleness guard stays valid
+        sgp_f = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                       inducing=np.asarray(sgp.f_inducing.value({}, x)),
+                       learn_inducing=False, name="TUf")
+        sgp_f.observed(x, y)
+        params_f = {k.replace("TUp_", "TUf_"): v for k, v in params.items()}
+        fresh = sgp_f.predictor(params_f)
+        xq = np.linspace(0.2, 7.8, 21, dtype=np.float32).reshape(-1, 1)
+        np.testing.assert_allclose(np.asarray(pr2.mean(space=xq)),
+                                   np.asarray(fresh.mean(space=xq)),
+                                   rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(pr2.std(space=xq)),
+                                   np.asarray(fresh.std(space=xq)),
+                                   rtol=1e-2, atol=2e-3)
+
+
+class TestSparseSampling:
+    def test_sample_hypers_smoke(self, data):
+        x, y = data
+        sgp = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=8, learn_inducing=False, name="TSh")
+        sgp.observed(x, y)
+        params = sgp.find_MAP(points=1, display=False)
+        dt = sgp.sample_hypers(start=params, samples=40, chains=8,
+                               burnin_tol=None, outlayer_percentile=None,
+                               seed=0)
+        assert len(dt) == 40 * 8
+        assert np.all(np.isfinite(dt._ll))
+
+    def test_scores_pipeline(self, data):
+        x, y = data
+        sgp = g3.SGP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=12, name="TSc")
+        sgp.observed(x, y)
+        sgp.hidden = y
+        params = sgp.find_MAP(points=1, display=False)
+        sc = sgp.scores(params, logp=True)
+        assert np.isfinite(sc["_l2"]) and np.isfinite(sc["_logp"])
