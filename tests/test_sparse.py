@@ -227,6 +227,46 @@ class TestSparsePredictor:
                                    rtol=1e-2, atol=2e-3)
 
 
+class TestSVGP:
+    def test_minibatch_training_approaches_collapsed_optimum(self, rng):
+        n = 1500
+        x = np.sort(rng.uniform(0, 10, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(
+            np.float32)
+        sgp = g3.SGP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=20, name="TVg")
+        sgp.observed(x, y)
+        params, losses = sgp.fit_svgp(batch_size=256, steps=1200, lr=5e-3,
+                                      key=0, display=False)
+        assert losses[-1] < losses[0]
+        # the collapsed bound at the SVGP-trained hypers must be close to
+        # the full-batch find_MAP optimum (both far above the default)
+        elbo_svgp = sgp.loglike(params)
+        p_map = sgp.find_MAP(points=1, display=False)
+        elbo_map = sgp.loglike(p_map)
+        elbo_def = sgp.loglike(sgp.params_default)
+        assert elbo_svgp > elbo_def + 0.8 * (elbo_map - elbo_def)
+        # serving from the collapsed state at the trained hypers
+        pred = sgp.predict(params=params, space=x)
+        rmse = float(np.sqrt(np.mean((pred.mean - np.sin(x[:, 0])) ** 2)))
+        assert rmse < 0.1
+
+    def test_warped_svgp_smoke(self, rng):
+        n = 400
+        x = np.sort(rng.uniform(0, 6, n)).astype(np.float32).reshape(-1, 1)
+        y = np.exp(np.sin(x[:, 0])
+                   + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        swgp = g3.SWGP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                       mapping=g3.LogShifted(y), inducing=12, name="TVw")
+        swgp.observed(x, y)
+        params, losses = swgp.fit_svgp(batch_size=128, steps=400, lr=5e-3,
+                                       key=0, display=False)
+        assert losses[-1] < losses[0]
+        assert np.isfinite(swgp.loglike(params))
+        pred = swgp.predict(params=params, space=x)
+        assert np.all(np.isfinite(pred.mean)) and np.all(pred.mean > 0)
+
+
 class TestSparseSampling:
     def test_sample_hypers_smoke(self, data):
         x, y = data
