@@ -38,6 +38,56 @@ __all__ = ["Predictor", "AveragedPredictor", "IterativePredictor",
            "DistributedPredictor"]
 
 
+def _rff_prior(kernel, pj, x_like, n_features, samples, key):
+    """Random-Fourier prior path builder shared by every pathwise sampler:
+    ``prior(z) -> (len(z), samples)`` draws from the kernel's spectral
+    density.  Supports SE/MAT32/MAT52 (ARD_L2) and sums of them (spectra
+    ADD under kernel sums: one feature block per part); features are drawn
+    over each part's ACTIVE dims only (dims-restricted kernels would
+    otherwise get frequencies on columns the kernel ignores and silently
+    wrong draws)."""
+    import jax.numpy as jnp
+    from jax import random as jrandom
+    from ..hypers import hval, slice_dims
+    from ..hypers.kernels import SE, MAT32, MAT52, KernelSum
+    from ..hypers.metrics import ARD_L2
+    from ..ops.rff import rff_prior_fn
+
+    _nu_of = {SE: None, MAT32: 1.5, MAT52: 2.5}
+
+    def flatten_sum(k):
+        if isinstance(k, KernelSum):
+            return flatten_sum(k.k1) + flatten_sum(k.k2)
+        if type(k) not in _nu_of or type(k.metric) is not ARD_L2:
+            raise ValueError(
+                "pathwise sampling needs SE/MAT32/MAT52 (ARD_L2) "
+                "signal kernels or sums of them (their spectral "
+                "densities are what the Fourier features draw from); "
+                f"got {type(k).__name__}")
+        return [k]
+
+    parts = flatten_sum(kernel)
+    x = jnp.asarray(x_like)
+    f_each = max(n_features // len(parts), 64)
+    priors = []
+    for i, k in enumerate(parts):
+        dims = k.metric.dims
+        ndim = slice_dims(x, dims).shape[1]
+        var = jnp.asarray(hval(k.var, pj), settings.dtype)
+        rates = jnp.asarray(hval(k.metric.rate, pj), settings.dtype)
+        p_act = rff_prior_fn(jrandom.fold_in(key, i), ndim, f_each,
+                             rates, var, samples, nu=_nu_of[type(k)])
+        priors.append((p_act, dims))
+
+    def prior(z):
+        out = priors[0][0](slice_dims(z, priors[0][1]))
+        for p_act, dims in priors[1:]:
+            out = out + p_act(slice_dims(z, dims))
+        return out
+
+    return prior
+
+
 class Predictor:
     """Bound (process, params, factorized posterior state) for streaming
     prediction.
@@ -294,6 +344,100 @@ class Predictor:
     def __call__(self, space=None, **kwargs):
         return self.predict(space=space, **kwargs)
 
+    def pathwise_sampler(self, space=None, samples=1, key=0,
+                         n_features=2048, noise=False):
+        """Joint posterior draws by Matheron pathwise sampling (Wilson et
+        al. 2020) against this predictor's baked state — batches drawn
+        with the same key/feature set are CONSISTENT across calls (one
+        continuous sample path evaluated anywhere), unlike the per-batch
+        posterior-Cholesky ``sampler`` statistic.
+
+        Dense state: f* = m + g_prior + K_sX (K+s2 I)^{-1}(r - g_X - eps),
+        the update solve an O(n^2 S) matmul pair against the baked L^{-1}.
+        Sparse (SGPR) state: u_s ~ q(u) in whitened coordinates
+        (eps_s = LBt^{-T}(cw + sigma xi), cov sigma^2 Bt^{-1}) and
+        f* = g_prior + V_s'(eps_s - Luu^{-1} g_prior(Z)) — O(m^2 S), no
+        n-sized work at all.  SE/MAT32/MAT52 (ARD_L2) signal kernels.
+        Returns (len(space), samples) pushed through the warping."""
+        import jax.numpy as jnp
+        from jax import random as jrandom
+        from ..hypers import hval
+        from ..hypers.kernels import KernelSum, KernelNoise
+        from ..ops.linalg import (solve_lower_triangular,
+                                  solve_upper_triangular)
+        from ..ops.guards import to_num
+        from .studentt import StudentTProcess
+
+        self._check()
+        proc, pj = self.process, self.params
+        if isinstance(proc, StudentTProcess):
+            raise ValueError(
+                "pathwise sampling draws gaussian paths; the Student-t "
+                "posterior needs the scale-mixture sampler statistic "
+                "(pr.sampler / process.sampler) instead")
+        space = _prep_matrix(space if space is not None
+                             else self.process._space)
+        kn = proc.f_kernel_noise
+        nv = (hval(kn.k2.var, pj)
+              if isinstance(kn, KernelSum) and isinstance(kn.k2, KernelNoise)
+              else jnp.zeros((), settings.dtype))
+        nv = jnp.asarray(nv, settings.dtype)
+        if isinstance(key, int):
+            key = jrandom.PRNGKey(key)
+        k_prior, k_eps = jrandom.split(key)
+        xq = jnp.asarray(space)
+
+        from .sparse import (STATE_SGP_LBT, STATE_SGP_LUU, STATE_SGP_CW,
+                             STATE_SGP_Z, STATE_SGP_S2)
+
+        if STATE_SGP_LBT in self.state:
+            z = self.state[STATE_SGP_Z]
+            luu = self.state[STATE_SGP_LUU]
+            lbt = self.state[STATE_SGP_LBT]
+            cw = self.state[STATE_SGP_CW]
+            s2 = self.state[STATE_SGP_S2]
+            prior = _rff_prior(proc.f_kernel, pj, z, n_features, samples,
+                               k_prior)
+            xi = jrandom.normal(k_eps, (cw.shape[0], samples),
+                                dtype=settings.dtype)
+            # q(eps) = N(LBt^{-T} cw, s2 Bt^{-1}) in whitened coordinates
+            eps_s = solve_upper_triangular(
+                lbt.T, cw[:, None] + jnp.sqrt(s2) * xi)
+            g_z = prior(z)
+            h = eps_s - solve_lower_triangular(luu, g_z)
+            v_s = solve_lower_triangular(
+                luu, to_num(proc.f_kernel.cov(pj, z, xq)))
+            latent = (proc.f_location(pj, xq)[:, None] + prior(xq)
+                      + jnp.matmul(v_s.T, h,
+                                   precision=settings.matmul_precision))
+        else:
+            from .elliptical import STATE_OBS_LINV
+
+            x = jnp.asarray(proc._inputs)
+            linv = self.state[STATE_OBS_LINV]
+            prior = _rff_prior(proc.f_kernel, pj, x, n_features, samples,
+                               k_prior)
+            resid = (proc._latent_obs(pj, jnp.asarray(proc._outputs))
+                     - proc.f_location(pj, x))
+            g_x = prior(x)
+            eps = jnp.sqrt(nv) * jrandom.normal(k_eps, g_x.shape,
+                                                dtype=settings.dtype)
+            a = jnp.matmul(
+                linv.T,
+                jnp.matmul(linv, resid[:, None] - g_x - eps,
+                           precision=settings.matmul_precision),
+                precision=settings.matmul_precision)
+            cross = to_num(proc.f_kernel.cov(pj, xq, x))
+            latent = (proc.f_location(pj, xq)[:, None] + prior(xq)
+                      + jnp.matmul(cross, a,
+                                   precision=settings.matmul_precision))
+        if noise:
+            latent = latent + jnp.sqrt(nv) * jrandom.normal(
+                jrandom.fold_in(key, 104729), latent.shape,
+                dtype=settings.dtype)
+        flat = proc.f_mapping(pj, latent.reshape(-1))
+        return np.asarray(flat).reshape(latent.shape)
+
     @property
     def executed(self):
         return self._clone.executed
@@ -462,52 +606,17 @@ class _LatentStatisticsMixin:
         import jax
         import jax.numpy as jnp
         from jax import random as jrandom
-        from ..hypers import hval, slice_dims
-        from ..hypers.kernels import SE, MAT32, MAT52
-        from ..hypers.metrics import ARD_L2
-        from ..ops.rff import rff_prior_fn
 
         self._check()
         proc, pj = self.process, self.params
-        from ..hypers.kernels import KernelSum
-
-        _nu_of = {SE: None, MAT32: 1.5, MAT52: 2.5}
-
-        def flatten_sum(k):
-            # spectra ADD under kernel sums: one feature block per part
-            if isinstance(k, KernelSum):
-                return flatten_sum(k.k1) + flatten_sum(k.k2)
-            if type(k) not in _nu_of or type(k.metric) is not ARD_L2:
-                raise ValueError(
-                    "pathwise sampling needs SE/MAT32/MAT52 (ARD_L2) "
-                    "signal kernels or sums of them (their spectral "
-                    "densities are what the Fourier features draw from); "
-                    f"got {type(k).__name__}")
-            return [k]
-
-        parts = flatten_sum(proc.f_kernel)
         space = _prep_matrix(self._space_or_default(space))
         x = jnp.asarray(proc._inputs)
         nv = jnp.asarray(self._noise_var, settings.dtype)
         if isinstance(key, int):
             key = jrandom.PRNGKey(key)
         k_prior, k_eps = jrandom.split(key)
-        f_each = max(n_features // len(parts), 64)
-        priors = []
-        for i, k in enumerate(parts):
-            dims = k.metric.dims
-            ndim = slice_dims(x, dims).shape[1]
-            var = jnp.asarray(hval(k.var, pj), settings.dtype)
-            rates = jnp.asarray(hval(k.metric.rate, pj), settings.dtype)
-            p_act = rff_prior_fn(jrandom.fold_in(k_prior, i), ndim, f_each,
-                                 rates, var, samples, nu=_nu_of[type(k)])
-            priors.append((p_act, dims))
-
-        def prior(z):
-            out = priors[0][0](slice_dims(z, priors[0][1]))
-            for p_act, dims in priors[1:]:
-                out = out + p_act(slice_dims(z, dims))
-            return out
+        prior = _rff_prior(proc.f_kernel, pj, x, n_features, samples,
+                           k_prior)
 
         yout = jnp.asarray(proc._outputs)
         resid = proc._latent_obs(pj, yout) - proc.f_location(pj, x)

@@ -227,6 +227,59 @@ class TestSparsePredictor:
                                    rtol=1e-2, atol=2e-3)
 
 
+class TestPathwisePredictor:
+    """Predictor.pathwise_sampler — Matheron draws against the baked
+    state, for both the dense (L^{-1}) and sparse (q(u)) states."""
+
+    def _fit(self, rng, cls, **kw):
+        n = 250
+        x = np.sort(rng.uniform(0, 10, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(
+            np.float32)
+        proc = cls(space=x[:4], location=g3.Bias(), kernel=g3.SE(x), **kw)
+        proc.observed(x, y)
+        params = proc.find_MAP(points=1, display=False)
+        return proc, params
+
+    @pytest.mark.parametrize("kind", ["dense", "sparse"])
+    def test_moments_match_posterior(self, rng, kind):
+        if kind == "dense":
+            proc, params = self._fit(rng, g3.GP, name="PWd")
+        else:
+            proc, params = self._fit(rng, g3.SGP, inducing=24, name="PWs")
+        pr = proc.predictor(params)
+        xq = np.linspace(0.5, 9.5, 40, dtype=np.float32).reshape(-1, 1)
+        draws = pr.pathwise_sampler(space=xq, samples=512, key=1,
+                                    n_features=4096)
+        assert draws.shape == (40, 512)
+        mu = np.asarray(proc.mean(params, xq))
+        sd = np.asarray(proc.kernel_sd(params, xq))
+        # feature/MC error ~ O(1/sqrt(F)) + O(1/sqrt(S))
+        np.testing.assert_allclose(draws.mean(1), mu, atol=6e-3)
+        np.testing.assert_allclose(draws.std(1), sd, atol=8e-3)
+
+    def test_paths_consistent_across_batches(self, rng):
+        proc, params = self._fit(rng, g3.SGP, inducing=16, name="PWc")
+        pr = proc.predictor(params)
+        xq = np.linspace(0, 10, 50, dtype=np.float32).reshape(-1, 1)
+        d1 = pr.pathwise_sampler(space=xq[:30], samples=3, key=5)
+        d2 = pr.pathwise_sampler(space=xq[10:40], samples=3, key=5)
+        # same key => same continuous path, wherever it is evaluated
+        np.testing.assert_allclose(d1[10:30], d2[:20], atol=2e-3)
+
+    def test_studentt_rejected(self, rng):
+        n = 60
+        x = np.sort(rng.uniform(0, 5, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(
+            np.float32)
+        tp = g3.TP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                   name="PWt")
+        tp.observed(x, y)
+        pr = tp.predictor(tp.params_default)
+        with pytest.raises(ValueError, match="scale-mixture"):
+            pr.pathwise_sampler(space=x[:5], samples=2)
+
+
 class TestSVGP:
     def test_minibatch_training_approaches_collapsed_optimum(self, rng):
         n = 1500
