@@ -190,6 +190,45 @@ def main():
     except Exception as e:
         notes.append(f"n16384 points skipped: {e}")
 
+    # ---- sparse family at production scale: SGPR ELBO+grad at N=100k -------
+    # The reference's only big-N strategy was subsampling (data.py:129-190
+    # p-fractions); the sparse family trains on ALL rows in O(n m^2).
+    # vs_baseline = how many of these 100k-row sparse steps fit in ONE
+    # exact 16k NLL+grad eval measured above (same chip, same run).
+    try:
+        nsp, msp = 100_000, 512
+        xsp = rng.standard_normal((nsp, d)).astype(np.float32)
+        ysp = (np.sin(xsp[:, 0])
+               + 0.1 * rng.standard_normal(nsp)).astype(np.float32)
+        sgp = g3.SGP(space=xsp[:4], location=g3.Bias(), kernel=g3.SE(xsp),
+                     inducing=msp, name="BSGP")
+        sgp.observed(xsp, ysp)
+        regs = sgp.active
+        pures = sgp._logp_pure(prior=False)
+        usp = jnp.asarray(regs.dict_to_array(sgp.params_default))
+        xspj, yspj = jnp.asarray(xsp), jnp.asarray(ysp)
+
+        @jax.jit
+        def elbo_grad(u):
+            def nll(uu):
+                return -pures(regs.array_to_dict_jax(uu), xspj, xspj, yspj,
+                              jnp.zeros(0, dtype=uu.dtype))
+
+            return jax.value_and_grad(nll)(u)
+
+        t_sp = _timeit(elbo_grad, usp, repeat=10, warmup=3)
+        try:
+            vsb = t16 / t_sp
+        except NameError:      # 16k section skipped
+            vsb = float("nan")
+        rows.append({"metric": "sgpr_elbo_grad_evals_per_sec_n100k_m512",
+                     "value": round(1.0 / t_sp, 2), "unit": "evals/sec",
+                     "vs_baseline": round(vsb, 1)})
+        notes.append(f"t_sgpr_elbo_grad_n100k_m512={t_sp*1e3:.1f}ms "
+                     f"(exact16k/sparse100k={vsb:.0f}x)")
+    except Exception as e:
+        notes.append(f"sparse bench skipped: {e}")
+
     # ---- serving fast path: factored vs unfactored posterior mean ----------
     try:
         ns, m = 2048, 256

@@ -353,6 +353,23 @@ class EllipticalProcess(StochasticProcess):
         from .predictor import AveragedPredictor
         return AveragedPredictor(self, datatrace, max_rows=max_rows)
 
+    def clustered_predictors(self, datatrace, max_rows=64):
+        """One :class:`AveragedPredictor` per posterior cluster: serve each
+        mode of a multimodal hyper posterior separately (the fast-path
+        counterpart of ``plot_clusters``, bayesian/average.py).  Requires
+        the ``_cluster`` column that :func:`cluster_datatrace` adds;
+        returns ``{cluster_label: AveragedPredictor}`` ordered by label."""
+        from .predictor import AveragedPredictor
+        if "_cluster" not in datatrace:
+            raise ValueError(
+                "datatrace has no _cluster column — run "
+                "cluster_datatrace(process, dt) first")
+        out = {}
+        for c in sorted(datatrace._cluster.unique()):
+            sel = datatrace[datatrace._cluster == c]
+            out[int(c)] = AveragedPredictor(self, sel, max_rows=max_rows)
+        return out
+
     def _whitened_cross(self, params, inputs, cross):
         """v = L^{-1} K_is — by matmul against the precomputed inverse when
         a posterior state rides in ``params``, by TRSM otherwise."""

@@ -23,6 +23,9 @@ Spectral densities in this library's parametrization
   at per-dim inverse lengthscale rate/sqrt(2)): omega is multivariate t
   with 2nu degrees of freedom at that scale —
   omega = z sqrt(2nu/u) * rate/sqrt(2), z ~ N(0, I), u ~ chi^2_{2nu}.
+* RQ  (k = var (1 + d/alpha)^-alpha): a gamma scale mixture of SE —
+  E_{g~Gamma(alpha, alpha)}[exp(-g d)] = (1 + d/alpha)^-alpha, so
+  omega = z sqrt(g) * rate with g ~ Gamma(alpha, rate=alpha) per feature.
 
 Every piece is matmul-shaped: features are one (m, d) @ (d, F) matmul,
 the update one multi-RHS solve against the training operator — O(n F +
@@ -40,11 +43,16 @@ from ..config import settings
 __all__ = ["spectral_rff", "se_spectral_rff", "rff_prior_fn"]
 
 
-def _frequencies(key, ndim, n_features, rates, nu=None):
+def _frequencies(key, ndim, n_features, rates, nu=None, rq_alpha=None):
     """Spectral frequency draws (see module docstring)."""
     rates = jnp.broadcast_to(jnp.asarray(rates, settings.dtype), (ndim,))
     kz, ku = random.split(key)
     z = random.normal(kz, (n_features, ndim), dtype=settings.dtype)
+    if rq_alpha is not None:  # RQ: gamma scale mixture of SE
+        alpha = jnp.asarray(rq_alpha, settings.dtype)
+        g = random.gamma(ku, alpha, (n_features,),
+                         dtype=settings.dtype) / jnp.maximum(alpha, 1e-12)
+        return z * jnp.sqrt(jnp.maximum(g, 1e-12))[:, None] * rates[None, :]
     if nu is None:  # SE
         return z * rates[None, :]
     df = jnp.asarray(2.0 * nu, settings.dtype)
@@ -55,12 +63,13 @@ def _frequencies(key, ndim, n_features, rates, nu=None):
     return z * t_scale[:, None] * inv_len
 
 
-def spectral_rff(key, ndim, n_features, rates, var, nu=None):
+def spectral_rff(key, ndim, n_features, rates, var, nu=None, rq_alpha=None):
     """Feature map ``phi(x) -> (len(x), n_features)`` with
     ``phi(x) phi(y)^T -> k(x, y)`` as ``n_features`` grows (Rahimi &
-    Recht); ``nu=None`` for SE, 1.5/2.5 for MAT32/MAT52."""
+    Recht); ``nu=None`` for SE, 1.5/2.5 for MAT32/MAT52, ``rq_alpha``
+    for the rational quadratic."""
     kw, kb = random.split(key)
-    w = _frequencies(kw, ndim, n_features, rates, nu=nu)
+    w = _frequencies(kw, ndim, n_features, rates, nu=nu, rq_alpha=rq_alpha)
     b = random.uniform(kb, (n_features,), dtype=settings.dtype,
                       maxval=2.0 * np.pi)
     scale = jnp.sqrt(jnp.asarray(2.0 * var / n_features, settings.dtype))
@@ -78,13 +87,15 @@ def se_spectral_rff(key, ndim, n_features, rates, var):
     return spectral_rff(key, ndim, n_features, rates, var, nu=None)
 
 
-def rff_prior_fn(key, ndim, n_features, rates, var, n_paths, nu=None):
+def rff_prior_fn(key, ndim, n_features, rates, var, n_paths, nu=None,
+                 rq_alpha=None):
     """``prior(x) -> (len(x), n_paths)`` zero-mean GP prior paths from the
     feature expansion (one global function per path — evaluating at the
     training set and at query points gives CONSISTENT joint draws, which
     is what Matheron's update requires)."""
     k_feat, k_theta = random.split(key)
-    phi = spectral_rff(k_feat, ndim, n_features, rates, var, nu=nu)
+    phi = spectral_rff(k_feat, ndim, n_features, rates, var, nu=nu,
+                       rq_alpha=rq_alpha)
     theta = random.normal(k_theta, (n_features, n_paths),
                           dtype=settings.dtype)
 

@@ -635,3 +635,25 @@ class TestPredictor:
         sp.observed(x[:20], y[:20])
         with pytest.raises(ValueError, match="rebuild"):
             ap(None)
+
+    def test_clustered_predictors(self, rng):
+        """One AveragedPredictor per posterior cluster; each serves the
+        average of exactly its cluster's rows."""
+        import g3py_tpu as g3
+        from g3py_tpu.bayesian.average import cluster_datatrace
+
+        sp, x, y = self._build(g3.GP, rng, name="CLPRED")
+        params = sp.find_MAP(points=1, display=False)
+        dt = sp.sample_hypers(start=params, samples=30, chains=4, seed=0)
+        cluster_datatrace(sp, dt, n_components=2, bayesian=False)
+        prs = sp.clustered_predictors(dt, max_rows=200)
+        assert set(prs) == set(int(c) for c in dt._cluster.unique())
+        for c, ap in prs.items():
+            sel = dt[dt._cluster == c]
+            base = sp.average(sel, quantiles=False)
+            fast = ap(None, quantiles=False)
+            np.testing.assert_allclose(np.asarray(fast["mean"]),
+                                       np.asarray(base["mean"]),
+                                       rtol=5e-4, atol=5e-4)
+        with pytest.raises(ValueError, match="_cluster"):
+            sp.clustered_predictors(dt.drop(columns=["_cluster"]))

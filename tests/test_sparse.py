@@ -8,6 +8,7 @@ train by gradient, and the serving state (predictor + O(m^2) streaming
 updates) matches direct evaluation.
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -303,6 +304,79 @@ class TestSVGP:
         pred = sgp.predict(params=params, space=x)
         rmse = float(np.sqrt(np.mean((pred.mean - np.sin(x[:, 0])) ** 2)))
         assert rmse < 0.1
+
+    def test_natgrad_one_step_is_collapsed_optimum(self, rng):
+        """rho=1 + full batch + lr=0: ONE natural-gradient step lands q
+        exactly on the SGPR stationary point, so the uncollapsed ELBO
+        equals the collapsed bound (+ logprior) — the conjugate-likelihood
+        identity the NGD update is built on."""
+        n = 400
+        x = np.sort(rng.uniform(0, 10, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(
+            np.float32)
+        sgp = g3.SGP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=16, name="TVn1")
+        sgp.observed(x, y)
+        _params, losses = sgp.fit_svgp(batch_size=n, steps=2, lr=0.0,
+                                       key=0, display=False, natgrad=1.0)
+        target = -sgp.logp(sgp.params_default)
+        assert abs(losses[1] - target) / abs(target) < 2e-5
+        # step 2 recomputes the same stationary point: deterministic
+        assert losses[0] == losses[1]
+
+    def test_natgrad_training(self, rng):
+        n = 1500
+        x = np.sort(rng.uniform(0, 10, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(
+            np.float32)
+        sgp = g3.SGP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=20, name="TVng")
+        sgp.observed(x, y)
+        params, losses = sgp.fit_svgp(batch_size=256, steps=1200, lr=5e-3,
+                                      key=0, display=False, natgrad=0.2)
+        assert losses[-1] < losses[0]
+        elbo_ng = sgp.loglike(params)
+        p_map = sgp.find_MAP(points=1, display=False)
+        elbo_map = sgp.loglike(p_map)
+        elbo_def = sgp.loglike(sgp.params_default)
+        assert elbo_ng > elbo_def + 0.8 * (elbo_map - elbo_def)
+
+    def test_sharded_matches_single_device(self, rng):
+        """Full-batch (deterministic) sharded training on the 8-device
+        mesh reproduces the single-device loss trace step by step, and the
+        sharded NGD step hits the collapsed optimum — the psum-composed
+        estimator IS the single-device estimator."""
+        n = 1000
+        x = np.sort(rng.uniform(0, 10, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(
+            np.float32)
+        sgp = g3.SGP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=16, name="TVsh")
+        sgp.observed(x, y)
+        ndev = min(len(jax.devices()), 8)
+        _p, l_ng = sgp.fit_svgp(batch_size=n, steps=2, lr=0.0, key=0,
+                                display=False, natgrad=1.0, mesh=ndev)
+        target = -sgp.logp(sgp.params_default)
+        assert abs(l_ng[1] - target) / abs(target) < 5e-5
+        _p1, l1 = sgp.fit_svgp(batch_size=n, steps=5, lr=1e-2, key=0,
+                               display=False)
+        _p2, l2 = sgp.fit_svgp(batch_size=n, steps=5, lr=1e-2, key=0,
+                               display=False, mesh=ndev)
+        np.testing.assert_allclose(l1, l2, rtol=2e-5)
+
+    def test_sharded_minibatch_trains(self, rng):
+        n = 1000
+        x = np.sort(rng.uniform(0, 10, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(
+            np.float32)
+        sgp = g3.SGP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=16, name="TVsm")
+        sgp.observed(x, y)
+        params, losses = sgp.fit_svgp(batch_size=256, steps=400, lr=5e-3,
+                                      key=0, display=False, natgrad=0.2,
+                                      mesh=min(len(jax.devices()), 8))
+        assert losses[-1] < losses[0]
+        assert sgp.loglike(params) > sgp.loglike(sgp.params_default) + 100
 
     def test_warped_svgp_smoke(self, rng):
         n = 400
