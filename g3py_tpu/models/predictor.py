@@ -49,18 +49,18 @@ def _rff_prior(kernel, pj, x_like, n_features, samples, key):
     import jax.numpy as jnp
     from jax import random as jrandom
     from ..hypers import hval, slice_dims
-    from ..hypers.kernels import SE, MAT32, MAT52, KernelSum
+    from ..hypers.kernels import SE, MAT32, MAT52, RQ, KernelSum
     from ..hypers.metrics import ARD_L2
     from ..ops.rff import rff_prior_fn
 
-    _nu_of = {SE: None, MAT32: 1.5, MAT52: 2.5}
+    _nu_of = {SE: None, MAT32: 1.5, MAT52: 2.5, RQ: None}
 
     def flatten_sum(k):
         if isinstance(k, KernelSum):
             return flatten_sum(k.k1) + flatten_sum(k.k2)
         if type(k) not in _nu_of or type(k.metric) is not ARD_L2:
             raise ValueError(
-                "pathwise sampling needs SE/MAT32/MAT52 (ARD_L2) "
+                "pathwise sampling needs SE/MAT32/MAT52/RQ (ARD_L2) "
                 "signal kernels or sums of them (their spectral "
                 "densities are what the Fourier features draw from); "
                 f"got {type(k).__name__}")
@@ -75,8 +75,11 @@ def _rff_prior(kernel, pj, x_like, n_features, samples, key):
         ndim = slice_dims(x, dims).shape[1]
         var = jnp.asarray(hval(k.var, pj), settings.dtype)
         rates = jnp.asarray(hval(k.metric.rate, pj), settings.dtype)
+        rq_alpha = (jnp.asarray(hval(k.alpha, pj), settings.dtype)
+                    if type(k) is RQ else None)
         p_act = rff_prior_fn(jrandom.fold_in(key, i), ndim, f_each,
-                             rates, var, samples, nu=_nu_of[type(k)])
+                             rates, var, samples, nu=_nu_of[type(k)],
+                             rq_alpha=rq_alpha)
         priors.append((p_act, dims))
 
     def prior(z):

@@ -325,6 +325,32 @@ class TestIterativePredictor:
         assert np.all(ratio > 0.7) and np.all(ratio < 1.4), (
             ratio.min(), ratio.max())
 
+    def test_pathwise_sampler_rq(self, rng):
+        """RQ pathwise draws: gamma scale-mixture spectral draws
+        (g ~ Gamma(alpha, alpha) per feature over the SE spectrum)
+        reproduce the posterior moments."""
+        import g3py_tpu as g3
+
+        n = 300
+        x = np.sort(rng.uniform(0, 30, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(0.5 * x[:, 0])
+             + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.RQ(x),
+                   name="PWRQ")
+        gp.observed(x, y)
+        params = gp.find_MAP(points=1, display=False)
+        pr = gp.predictor_iterative(params, rank=64, cg_iters=400)
+        xq = np.linspace(0, 30, 50, dtype=np.float32).reshape(-1, 1)
+        S = 500
+        draws = pr.sampler(space=xq, samples=S, key=2, n_features=8192)
+        mu_ref = np.asarray(pr.mean(space=xq))
+        sd_ref = np.asarray(pr.std(space=xq))
+        se = sd_ref / np.sqrt(S)
+        assert np.max(np.abs(draws.mean(1) - mu_ref) / (se + 1e-9)) < 6
+        ratio = draws.std(1) / (sd_ref + 1e-9)
+        assert np.all(ratio > 0.7) and np.all(ratio < 1.4), (
+            ratio.min(), ratio.max())
+
     def test_pathwise_sampler_sum_kernel(self, rng):
         """Sums of stationary kernels: spectra add, so the prior path is
         one feature block per part (SE + MAT32 here); moments recovered.

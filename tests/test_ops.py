@@ -525,24 +525,30 @@ class TestSpectralRFF:
         the exact covariance (Rahimi-Recht, O(1/sqrt(F)))."""
         import jax
         from g3py_tpu.ops.rff import spectral_rff
-        from g3py_tpu.hypers.kernels import SE, MAT32, MAT52
+        from g3py_tpu.hypers.kernels import SE, MAT32, MAT52, RQ
 
         x = rng.standard_normal((50, 2)).astype(np.float32)
         rates = np.asarray([0.8, 1.4], np.float32)
         var = 1.7
-        for cls, nu in ((SE, None), (MAT32, 1.5), (MAT52, 2.5)):
+        alpha = 1.3
+        for cls, nu in ((SE, None), (MAT32, 1.5), (MAT52, 2.5), (RQ, None)):
             k = cls(x)
             k.check_dims(x)
             k.check_hypers("R_")
             params = {}
             for p in k.hypers:
-                params[p.name] = (np.float32(var) if p.name.endswith("_var")
-                                  else rates)
+                if p.name.endswith("_var"):
+                    params[p.name] = np.float32(var)
+                elif p.name.endswith("_alpha"):
+                    params[p.name] = np.float32(alpha)
+                else:
+                    params[p.name] = rates
             K = np.asarray(k.cov(params, jnp.asarray(x)))
             errs = []
             for seed in range(3):
-                phi = spectral_rff(jax.random.PRNGKey(seed), 2, 16384,
-                                   rates, var, nu=nu)
+                phi = spectral_rff(
+                    jax.random.PRNGKey(seed), 2, 16384, rates, var, nu=nu,
+                    rq_alpha=(alpha if cls is RQ else None))
                 F = np.asarray(phi(x))
                 errs.append(np.max(np.abs(F @ F.T - K)))
             assert np.mean(errs) < 0.08 * var, (cls.__name__, errs)
