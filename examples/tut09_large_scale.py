@@ -100,8 +100,38 @@ def main(quick=True, plot=False):
     spred = sgp.predict(params=sparams)
     assert np.all(np.isfinite(spred.mean)) and np.all(spred.std >= 0)
 
+    # ---- 4. minibatch SVGP with natural gradients, sharded over the mesh:
+    # the n-independent trainer — per-device batch shards, one psum/step --
+    vparams, losses = sgp.fit_svgp(batch_size=128, steps=300, lr=5e-3,
+                                   natgrad=0.3, mesh=mesh, display=False)
+    assert losses[-1] < losses[0]
+
+    # ---- 5. non-conjugate sparse family: Student-t ROBUST regression
+    # (outliers get polynomial penalty) and probit classification — the
+    # uncollapsed ELBO is the ordinary loglike, q(u) lives in the params --
+    y_out = y.copy()
+    y_out[:: len(y) // 8] += 6.0          # gross outliers
+    svp = g3.SVP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                 likelihood=g3.StudentTLik(), inducing=16, name="SVP09")
+    svp.observed(x, y_out)
+    rparams, rloss = svp.fit_svgp(batch_size=len(x), steps=800, lr=1e-2,
+                                  display=False)
+    assert rloss[-1] < rloss[0]
+    assert np.all(np.isfinite(svp.mean(rparams, x)))
+
+    yc = (y > np.median(y)).astype(np.float32)
+    svc = g3.SVP(space=x, kernel=g3.SE(x), likelihood=g3.BernoulliLik(),
+                 inducing=16, name="SVC09")
+    svc.observed(x, yc)
+    cparams, _ = svc.fit_svgp(batch_size=len(x), steps=600, lr=1e-2,
+                              display=False)
+    probs = np.asarray(svc.mean(cparams, x))
+    assert np.all((probs >= 0) & (probs <= 1))
+
     return {"nll_iterative": float(nll), "nll_exact": float(exact),
             "nll_sharded": float(val), "sgpr_elbo": float(elbo1),
+            "svgp_elbo": float(-losses[-1]),
+            "classifier_acc": float(np.mean((probs > .5) == (yc > .5))),
             "n_devices": len(mesh.devices.ravel())}
 
 

@@ -218,6 +218,12 @@ from .models import (
     SparseGaussianProcess,
     SparseWarpedGaussianProcess,
     select_inducing,
+    Likelihood,
+    GaussianLik,
+    StudentTLik,
+    BernoulliLik,
+    VariationalQ,
+    SparseVariationalProcess,
     GP,
     WGP,
     TP,
@@ -228,6 +234,7 @@ from .models import (
     CSTP,
     SGP,
     SWGP,
+    SVP,
 )
 
 # bayesian layer

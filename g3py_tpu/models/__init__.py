@@ -42,6 +42,16 @@ from .sparse import (
     SparseWarpedGaussianProcess,
     select_inducing,
 )
+from .likelihoods import (
+    Likelihood,
+    GaussianLik,
+    StudentTLik,
+    BernoulliLik,
+)
+from .svgp import (
+    VariationalQ,
+    SparseVariationalProcess,
+)
 
 # aliases (reference processes/__init__.py:9-16)
 GP = GaussianProcess
@@ -54,6 +64,7 @@ CGP = CopulaGaussianProcess
 CSTP = CopulaStudentTProcess
 SGP = SparseGaussianProcess
 SWGP = SparseWarpedGaussianProcess
+SVP = SparseVariationalProcess
 
 __all__ = [
     "StochasticProcess",
@@ -88,5 +99,12 @@ __all__ = [
     "SparseGaussianProcess",
     "SparseWarpedGaussianProcess",
     "select_inducing",
+    "Likelihood",
+    "GaussianLik",
+    "StudentTLik",
+    "BernoulliLik",
+    "VariationalQ",
+    "SparseVariationalProcess",
     "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP", "SGP", "SWGP",
+    "SVP",
 ]

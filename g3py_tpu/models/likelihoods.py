@@ -1,0 +1,206 @@
+"""Observation likelihoods for the non-conjugate sparse variational family.
+
+No reference counterpart — the reference's only non-Gaussian observation
+story is deterministic warping (reference gaussian.py:115-174 WGP), which
+cannot express heavy-tailed NOISE (outliers) or discrete observations.
+This module supplies the elementwise likelihoods p(y_i | f_i) that
+:class:`~g3py_tpu.models.svgp.SparseVariationalProcess` integrates over
+its Gaussian q(f) with Gauss-Hermite quadrature (ops/quadrature.py):
+
+* :class:`GaussianLik` — conjugate baseline (analytic expected log-lik);
+  an SVP with this likelihood is exactly SVGP regression and converges to
+  the SGPR collapsed optimum (tested).
+* :class:`StudentTLik` — robust regression: Student-t noise with
+  trainable scale and dof.
+* :class:`BernoulliLik` — probit classification; the predictive class
+  probability E[Phi(f)] is ANALYTIC under a Gaussian q(f):
+  Phi(mu / sqrt(1 + var)).
+
+Each likelihood is a :class:`~g3py_tpu.hypers.Hypers` component: its
+parameters (noise scale, dof) are ordinary model hypers — trained by
+``find_MAP``/``fit_svgp`` and sampled by ``sample_hypers`` like any
+kernel hyper.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+from jax.scipy.special import gammaln, log_ndtr, ndtr
+
+from ..config import settings
+from ..hypers import Hypers, FlatExp, hval, is_param
+from ..ops.quadrature import hermgauss
+
+__all__ = ["Likelihood", "GaussianLik", "StudentTLik", "BernoulliLik"]
+
+LOG2PI = np.log(2.0 * np.pi).astype(np.float32)
+_SQRT2 = np.sqrt(2.0).astype(np.float32)
+_SQRTPI = np.sqrt(np.pi).astype(np.float32)
+
+
+class Likelihood(Hypers):
+    """Elementwise observation model p(y | f) over the latent GP value f.
+
+    Subclasses implement :meth:`logp_elem` (vectorized over broadcastable
+    ``y``/``f``), :meth:`cond_mean` and :meth:`cond_var` (conditional
+    moments of y given f).  The base class provides the two Gaussian
+    integrals every variational objective and prediction needs, both as
+    ``degree``-point Gauss-Hermite sums (subclasses override when the
+    integral is analytic):
+
+    * :meth:`expected_logp` — E_{f~N(mu, var)}[log p(y | f)] (the ELBO's
+      data term),
+    * :meth:`predictive_moments` — mean/variance of y under f~N(mu, var)
+      (law of total variance through the quadrature grid).
+    """
+
+    degree = 20
+
+    def logp_elem(self, params, y, f):
+        raise NotImplementedError
+
+    def cond_mean(self, params, f):
+        raise NotImplementedError
+
+    def cond_var(self, params, f):
+        raise NotImplementedError
+
+    def _grid(self, mu, var):
+        a, w = hermgauss(self.degree, settings.dtype)
+        sd = jnp.sqrt(jnp.maximum(jnp.asarray(var, settings.dtype), 1e-12))
+        f = jnp.asarray(mu, settings.dtype)[None, :] \
+            + _SQRT2 * sd[None, :] * a[:, None]
+        return f, w / _SQRTPI
+
+    def expected_logp(self, params, y, mu, var):
+        f, w = self._grid(mu, var)
+        lp = self.logp_elem(params, jnp.asarray(y)[None, :], f)
+        return jnp.dot(w, lp)
+
+    def predictive_moments(self, params, mu, var):
+        f, w = self._grid(mu, var)
+        cm = self.cond_mean(params, f)
+        m = jnp.dot(w, cm)
+        e2 = jnp.dot(w, self.cond_var(params, f) + cm * cm)
+        return m, jnp.maximum(e2 - m * m, 0.0)
+
+
+class GaussianLik(Likelihood):
+    """y = f + eps, eps ~ N(0, var): the conjugate baseline.  Expected
+    log-lik is analytic: -(log 2 pi var)/2 - ((y-mu)^2 + var_f)/(2 var)."""
+
+    def __init__(self, x=None, var=None, name=None):
+        self.var = var
+        super().__init__(x=x, name=name if name is not None else "GaussLik")
+
+    def check_hypers(self, parent=""):
+        self.var = self._param(self.var, parent + self.name + "_var",
+                               FlatExp())
+
+    def default_hypers(self, x=None, y=None):
+        if is_param(self.var) and y is not None:
+            return {self.var: np.asarray(np.var(y) / 10.0 + 1e-6,
+                                         settings.floatx)}
+        return {}
+
+    def _var(self, params):
+        return jnp.maximum(hval(self.var, params),
+                           jnp.asarray(1e-10, settings.dtype))
+
+    def logp_elem(self, params, y, f):
+        s2 = self._var(params)
+        return -0.5 * (LOG2PI + jnp.log(s2)) - (y - f) ** 2 / (2.0 * s2)
+
+    def cond_mean(self, params, f):
+        return f
+
+    def cond_var(self, params, f):
+        return jnp.broadcast_to(self._var(params), jnp.shape(f))
+
+    def expected_logp(self, params, y, mu, var):
+        s2 = self._var(params)
+        return (-0.5 * (LOG2PI + jnp.log(s2))
+                - ((jnp.asarray(y) - mu) ** 2 + var) / (2.0 * s2))
+
+    def predictive_moments(self, params, mu, var):
+        return mu, var + self._var(params)
+
+
+class StudentTLik(Likelihood):
+    """y = f + eps, eps ~ t_nu(0, scale): robust regression.  Outliers get
+    polynomial (not exponential) penalty, so a few bad rows cannot drag
+    the posterior mean — the standard fix the reference had no answer for
+    beyond manual data cleaning.  ``var`` is the squared scale; ``nu`` is
+    trainable (FlatExp, default 4)."""
+
+    def __init__(self, x=None, var=None, nu=None, name=None):
+        self.var = var
+        self.nu = nu
+        super().__init__(x=x, name=name if name is not None else "StudentTLik")
+
+    def check_hypers(self, parent=""):
+        self.var = self._param(self.var, parent + self.name + "_var",
+                               FlatExp())
+        self.nu = self._param(self.nu, parent + self.name + "_nu", FlatExp())
+
+    def default_hypers(self, x=None, y=None):
+        out = {}
+        if is_param(self.var) and y is not None:
+            out[self.var] = np.asarray(np.var(y) / 10.0 + 1e-6,
+                                       settings.floatx)
+        if is_param(self.nu):
+            out[self.nu] = np.asarray(4.0, settings.floatx)
+        return out
+
+    def _var_nu(self, params):
+        s2 = jnp.maximum(hval(self.var, params),
+                         jnp.asarray(1e-10, settings.dtype))
+        nu = jnp.maximum(hval(self.nu, params),
+                         jnp.asarray(1.0, settings.dtype))
+        return s2, nu
+
+    def logp_elem(self, params, y, f):
+        s2, nu = self._var_nu(params)
+        r2 = (y - f) ** 2 / s2
+        return (gammaln((nu + 1.0) / 2.0) - gammaln(nu / 2.0)
+                - 0.5 * jnp.log(nu * np.pi * s2)
+                - (nu + 1.0) / 2.0 * jnp.log1p(r2 / nu))
+
+    def cond_mean(self, params, f):
+        return f
+
+    def cond_var(self, params, f):
+        s2, nu = self._var_nu(params)
+        v = jnp.where(nu > 2.0, s2 * nu / jnp.maximum(nu - 2.0, 1e-6),
+                      jnp.asarray(np.inf, settings.dtype))
+        return jnp.broadcast_to(v, jnp.shape(f))
+
+
+class BernoulliLik(Likelihood):
+    """Probit classification: p(y=1 | f) = Phi(f), y in {0, 1}.  No
+    hypers.  Predictive probability is analytic under Gaussian q(f):
+    E[Phi(f)] = Phi(mu / sqrt(1 + var))."""
+
+    def __init__(self, x=None, name=None):
+        super().__init__(x=x, name=name if name is not None else "BernLik")
+
+    def check_hypers(self, parent=""):
+        pass
+
+    def default_hypers(self, x=None, y=None):
+        return {}
+
+    def logp_elem(self, params, y, f):
+        sign = 2.0 * jnp.asarray(y, settings.dtype) - 1.0
+        return log_ndtr(sign * f)
+
+    def cond_mean(self, params, f):
+        return ndtr(f)
+
+    def cond_var(self, params, f):
+        p = ndtr(f)
+        return p * (1.0 - p)
+
+    def predictive_moments(self, params, mu, var):
+        p = ndtr(jnp.asarray(mu, settings.dtype)
+                 / jnp.sqrt(1.0 + jnp.asarray(var, settings.dtype)))
+        return p, jnp.maximum(p * (1.0 - p), 0.0)

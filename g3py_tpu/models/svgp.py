@@ -1,0 +1,451 @@
+"""Non-conjugate sparse variational GP: q(u) as first-class parameters.
+
+No reference counterpart — the reference handles non-Gaussian data only
+through deterministic warping (reference gaussian.py:115-174), which can
+reshape marginals but cannot express heavy-tailed observation NOISE or
+discrete targets.  :class:`SparseVariationalProcess` is the standard
+modern answer (Hensman, Matthews & Ghahramani, "Scalable Variational
+Gaussian Process Classification", AISTATS 2015), built to this
+framework's pure-function design:
+
+The whitened variational posterior q(w) = N(qm, Lq Lq') over the inducing
+values u = loc(z) + Luu w is carried in ORDINARY MODEL PARAMETERS (a
+:class:`VariationalQ` component registers ``qm`` and ``ql``), and
+``loglike`` IS the uncollapsed evidence lower bound
+
+    sum_i E_{q(f_i)}[log p(y_i | f_i)] - KL(q(w) || N(0, I)),
+
+a deterministic function of (hypers, q) — so the ENTIRE existing machinery
+works unchanged: ``find_MAP`` maximizes the ELBO jointly over hypers and
+q (the variational E and M steps fused into one L-BFGS), ``sample_hypers``
+targets the bound-augmented posterior, ``scores``/``Experiment`` compare
+ELBOs, and ``predict`` reads q straight out of the params dict.
+
+The likelihood is a :class:`~g3py_tpu.models.likelihoods.Likelihood`
+component; its parameters (noise scale, Student-t dof) are hypers too.
+With :class:`~g3py_tpu.models.likelihoods.GaussianLik` the trained SVP
+reproduces the SGPR collapsed optimum (tested); with
+:class:`StudentTLik`/:class:`BernoulliLik` it delivers robust regression
+and probit classification at O(n m^2) — capabilities the reference had
+no path to at any cost.
+
+Semantics of the moment statistics (``noise`` flag):
+
+* ``location`` / ``kernel_diag``: latent f moments (prior or posterior).
+* ``mean``: predictive E[y] (for Bernoulli this is the class
+  probability; for symmetric noise it equals the latent mean).
+* ``variance``/``std``: latent Var[f] with ``noise=False``, full
+  predictive Var[y] with ``noise=True``.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from ..config import settings
+from ..hypers import Hypers, Flat, hval
+from ..hypers.kernels import KernelNoise
+from ..hypers.means import Zero
+from ..ops.guards import to_num, to_cov, to_bounded
+from ..ops.linalg import safe_cholesky, solve_lower_triangular
+from .elliptical import _contains_kernel_noise
+from .gaussian import GUARD
+from .likelihoods import GaussianLik, Likelihood, StudentTLik, BernoulliLik
+from .sparse import InducingPoints
+from .stochastic import StochasticProcess, zero32
+
+__all__ = ["VariationalQ", "SparseVariationalProcess", "SVP"]
+
+
+class VariationalQ(Hypers):
+    """The whitened variational posterior q(w) = N(qm, Lq Lq') as a
+    hyper-bearing component: ``qm`` is the (m,) mean, ``ql`` an (m, m)
+    matrix whose strict lower triangle is Lq's and whose diagonal is
+    log diag Lq (so the default all-zeros gives q = N(0, I) = the prior
+    and KL = 0).  Flat priors: the ELBO's KL term is their regularizer."""
+
+    def __init__(self, m, name=None):
+        self.m = int(m)
+        self.qm = None
+        self.ql = None
+        super().__init__(name=name if name is not None else "Q")
+
+    def check_hypers(self, parent=""):
+        if self.qm is None:
+            self.qm = self._param(None, parent + self.name + "_qm",
+                                  prior=Flat(), shape=(self.m,))
+        if self.ql is None:
+            self.ql = self._param(None, parent + self.name + "_ql",
+                                  prior=Flat(), shape=(self.m, self.m))
+
+    def default_hypers(self, x=None, y=None):
+        return {self.qm: np.zeros((self.m,), settings.floatx),
+                self.ql: np.zeros((self.m, self.m), settings.floatx)}
+
+    def factors(self, params):
+        """(qm, Lq) with Lq = tril(ql, -1) + diag(exp(diag(ql)))."""
+        qm = jnp.asarray(hval(self.qm, params), settings.dtype)
+        ql = jnp.asarray(hval(self.ql, params), settings.dtype)
+        lq = jnp.tril(ql, -1) + jnp.diag(jnp.exp(jnp.diagonal(ql)))
+        return qm, lq
+
+    def kl(self, params):
+        """KL(q(w) || N(0, I)) = (|qm|^2 + |Lq|_F^2 - 2 sum log diag - m)/2."""
+        qm, lq = self.factors(params)
+        ld = jnp.diagonal(jnp.asarray(hval(self.ql, params), settings.dtype))
+        return 0.5 * (jnp.dot(qm, qm) + jnp.sum(lq * lq)
+                      - 2.0 * jnp.sum(ld) - self.m)
+
+
+class SparseVariationalProcess(StochasticProcess):
+    """Sparse variational GP with an arbitrary elementwise likelihood.
+
+    >>> svp = g3.SVP(space=x, kernel=g3.SE(x),
+    ...              likelihood=g3.StudentTLik(), inducing=32)
+    >>> svp.observed(x, y)
+    >>> params, losses = svp.fit_svgp(batch_size=1024, steps=2000)
+    >>> pred = svp.predict(params)     # E[y], latent bands
+
+    Training guidance: ``fit_svgp`` (Adam over hypers AND q — q already
+    lives in the param vector) is the recommended trainer; the
+    (hypers, q) coupling is badly conditioned for L-BFGS from a cold
+    start, so use ``find_MAP`` only to polish an Adam solution (measured:
+    Adam 3000 full-batch steps reaches the collapsed optimum to ~3 nats
+    in seconds where cold L-BFGS stalls tens of nats short).
+
+    The signal kernel must be noise-free (observation noise lives in the
+    likelihood); ``inducing`` follows the sparse family's conventions
+    (int -> k-means default, array -> explicit, trainable by default).
+    """
+
+    def __init__(self, space=None, location=None, kernel=None,
+                 likelihood: Likelihood = None, inducing=32,
+                 learn_inducing=True, *args, **kwargs):
+        self.f_location = location if location is not None else Zero()
+        self.f_kernel = kernel
+        self.f_likelihood = (likelihood if likelihood is not None
+                             else GaussianLik())
+        if isinstance(inducing, InducingPoints):
+            self.f_inducing = inducing
+        elif np.ndim(inducing) >= 1:
+            self.f_inducing = InducingPoints(z=inducing,
+                                             trainable=learn_inducing)
+        else:
+            self.f_inducing = InducingPoints(m=int(inducing),
+                                             trainable=learn_inducing)
+        self.f_q = VariationalQ(self.f_inducing.m)
+        if kernel is not None and (_contains_kernel_noise(kernel)
+                                   or isinstance(kernel, KernelNoise)):
+            raise ValueError(
+                "SparseVariationalProcess takes a noise-free signal kernel "
+                "— observation noise belongs to the likelihood component")
+        kwargs["space"] = space
+        if "name" not in kwargs:
+            kwargs["name"] = "SVP"
+        super().__init__(*args, **kwargs)
+
+    # -- registration ---------------------------------------------------------
+    def _components(self):
+        return [self.f_location, self.f_kernel, self.f_inducing, self.f_q,
+                self.f_likelihood]
+
+    def _check_hypers(self):
+        for comp in (self.f_location, self.f_kernel, self.f_inducing):
+            comp.check_dims(self.inputs)
+        for comp in self._components():
+            comp.check_hypers(self.name + "_")
+
+    def default_hypers(self):
+        out = {}
+        for comp in self._components():
+            out.update(comp.default_hypers(self.inputs, self.outputs))
+        return out
+
+    def observed(self, inputs=None, outputs=None, order=None, index=None,
+                 hidden=None):
+        out = super().observed(inputs=inputs, outputs=outputs, order=order,
+                               index=index, hidden=hidden)
+        self.f_inducing.resolve(self._inputs)
+        return out
+
+    # -- core math ------------------------------------------------------------
+    def _kernel_diag_only(self, params, x):
+        """O(n) signal-kernel diagonal (models/sparse.py _kernel_diag)."""
+        kernel = self.f_kernel
+        d = x.shape[1] if x.ndim > 1 else 1
+        x2 = x if x.ndim > 1 else x[:, None]
+
+        def one(i):
+            xi = jax.lax.dynamic_slice(x2, (i, 0), (1, d))
+            return kernel.cov(params, xi)[0, 0]
+
+        return jax.vmap(one)(jnp.arange(x2.shape[0]))
+
+    def _latent(self, params, xq, want_cov=False):
+        """Latent q(f) moments at xq: (mf, varf[, covf]) from the whitened
+        q through v = Luu^{-1} K(z, xq)."""
+        z = self.f_inducing.value(params)
+        kuu = to_cov(self.f_kernel.cov(params, z))
+        luu = safe_cholesky(kuu)
+        v = solve_lower_triangular(luu, to_num(self.f_kernel.cov(params, z,
+                                                                 xq)))
+        qm, lq = self.f_q.factors(params)
+        mf = self.f_location(params, xq) + jnp.matmul(
+            v.T, qm, precision=settings.matmul_precision)
+        lv = jnp.matmul(lq.T, v, precision=settings.matmul_precision)
+        if want_cov:
+            kss = to_cov(self.f_kernel.cov(params, xq))
+            covf = (kss
+                    - jnp.matmul(v.T, v,
+                                 precision=settings.matmul_precision)
+                    + jnp.matmul(lv.T, lv,
+                                 precision=settings.matmul_precision))
+            return mf, jnp.diagonal(covf), covf
+        kdiag = self._kernel_diag_only(params, xq)
+        varf = to_bounded(kdiag - jnp.sum(v * v, axis=0), zero32) \
+            + jnp.sum(lv * lv, axis=0)
+        return mf, varf
+
+    # -- the bound ------------------------------------------------------------
+    def th_loglike_fn(self):
+        """The uncollapsed ELBO (this process's ``loglike``): a true lower
+        bound on log p(y | hypers), tight as q approaches the exact
+        posterior.  Guarded like every logp in the library (non-finite ->
+        -1e30 with zero gradient)."""
+        lik = self.f_likelihood
+
+        def fn(params, space, inputs, outputs):
+            mf, varf = self._latent(params, inputs)
+            ell = jnp.sum(lik.expected_logp(params, outputs, mf, varf))
+            elbo = ell - self.f_q.kl(params)
+            bad = ~jnp.isfinite(elbo)
+            return jnp.where(bad, GUARD, to_num(elbo, nan=GUARD,
+                                                neginf=GUARD))
+
+        return fn
+
+    # -- moment statistics ----------------------------------------------------
+    def th_location(self, prior=False, noise=False):
+        if prior:
+            def fn(params, space, inputs, outputs, vector):
+                return self.f_location(params, space)
+        else:
+            def fn(params, space, inputs, outputs, vector):
+                return self._latent(params, space)[0]
+        return fn
+
+    def th_kernel_diag(self, prior=False, noise=False):
+        if prior:
+            def fn(params, space, inputs, outputs, vector):
+                return to_bounded(self._kernel_diag_only(params, space),
+                                  zero32)
+        else:
+            def fn(params, space, inputs, outputs, vector):
+                return self._latent(params, space)[1]
+        return fn
+
+    def th_mean(self, prior=False, noise=False, simulations=None):
+        lik = self.f_likelihood
+
+        def fn(params, space, inputs, outputs, vector):
+            if prior:
+                mf = self.f_location(params, space)
+                varf = to_bounded(self._kernel_diag_only(params, space),
+                                  zero32)
+            else:
+                mf, varf = self._latent(params, space)
+            return lik.predictive_moments(params, mf, varf)[0]
+
+        return fn
+
+    def th_median(self, prior=False, noise=False, simulations=None):
+        if isinstance(self.f_likelihood, BernoulliLik):
+            return None
+        return self.th_mean(prior=prior, noise=noise)
+
+    def th_variance(self, prior=False, noise=False, simulations=None):
+        lik = self.f_likelihood
+
+        def fn(params, space, inputs, outputs, vector):
+            if prior:
+                mf = self.f_location(params, space)
+                varf = to_bounded(self._kernel_diag_only(params, space),
+                                  zero32)
+            else:
+                mf, varf = self._latent(params, space)
+            if noise:
+                return lik.predictive_moments(params, mf, varf)[1]
+            return varf
+
+        return fn
+
+    def th_covariance(self, prior=False, noise=False):
+        lik = self.f_likelihood
+
+        def fn(params, space, inputs, outputs, vector):
+            if prior:
+                covf = to_cov(self.f_kernel.cov(params, space))
+            else:
+                covf = self._latent(params, space, want_cov=True)[2]
+            if noise and isinstance(lik, GaussianLik):
+                covf = covf + lik._var(params) * jnp.eye(
+                    jnp.shape(covf)[0], dtype=settings.dtype)
+            return covf
+
+        return fn
+
+    def th_logpredictive(self, prior=False, noise=False):
+        """log E_{q(f*)}[p(y* | f*)] per query point (Gauss-Hermite
+        log-sum-exp), summed — the NLPD numerator the scores use."""
+        lik = self.f_likelihood
+
+        def fn(params, space, inputs, outputs, vector):
+            if prior:
+                mf = self.f_location(params, space)
+                varf = to_bounded(self._kernel_diag_only(params, space),
+                                  zero32)
+            else:
+                mf, varf = self._latent(params, space)
+            f, w = lik._grid(mf, varf)
+            lp = lik.logp_elem(params, jnp.asarray(vector)[None, :], f)
+            per = logsumexp(lp, axis=0, b=jnp.maximum(w, 1e-30)[:, None])
+            return jnp.sum(per)
+
+        return fn
+
+    _dispatch_methods = dict(
+        StochasticProcess._dispatch_methods,
+        location="th_location",
+        kernel_diag="th_kernel_diag",
+    )
+
+    # -- host-side sampling / quantiles ---------------------------------------
+    def sampler(self, params=None, space=None, inputs=None, outputs=None,
+                samples=1, prior=False, noise=False, rng=None):
+        """Draw y samples: f ~ q(f) elementwise, then y | f through the
+        likelihood (numpy host-side, like the dense samplers)."""
+        from scipy import stats
+
+        if params is None:
+            params = self.params
+        if space is None:
+            space = self.space
+        mf = np.asarray(self.location(params, space, inputs, outputs,
+                                      prior=prior))
+        sdf = np.sqrt(np.maximum(np.asarray(
+            self.kernel_diag(params, space, inputs, outputs, prior=prior)),
+            0.0))
+        if rng is None:
+            rng = np.random.default_rng(0)
+        f = mf[:, None] + sdf[:, None] * rng.standard_normal(
+            (len(mf), samples)).astype(settings.floatx)
+        if not noise:
+            return f
+        lik = self.f_likelihood
+        pj = {k: np.asarray(v) for k, v in params.items()}
+        if isinstance(lik, BernoulliLik):
+            p = stats.norm.cdf(f)
+            return (rng.uniform(size=f.shape) < p).astype(settings.floatx)
+        if isinstance(lik, StudentTLik):
+            s2 = float(np.maximum(hval(lik.var, pj), 1e-10))
+            nu = float(np.maximum(hval(lik.nu, pj), 1.0))
+            return f + np.sqrt(s2) * stats.t.rvs(
+                nu, size=f.shape, random_state=rng).astype(settings.floatx)
+        s2 = float(np.maximum(hval(lik.var, pj), 1e-10))
+        return f + np.sqrt(s2) * rng.standard_normal(f.shape).astype(
+            settings.floatx)
+
+    def quantiler(self, params=None, space=None, inputs=None, outputs=None,
+                  q=0.975, prior=False, noise=False, simulations=None):
+        """Predictive quantiles: analytic normal for the Gaussian
+        likelihood, Monte-Carlo through the likelihood otherwise."""
+        from scipy import stats
+
+        if params is None:
+            params = self.params
+        if space is None:
+            space = self.space
+        if isinstance(self.f_likelihood, GaussianLik) or not noise:
+            mu = np.asarray(self.location(params, space, inputs, outputs,
+                                          prior=prior))
+            var = np.asarray(self.kernel_diag(params, space, inputs,
+                                              outputs, prior=prior))
+            if noise:
+                pj = {k: np.asarray(v) for k, v in params.items()}
+                var = var + float(np.maximum(
+                    hval(self.f_likelihood.var, pj), 1e-10))
+            return stats.norm.ppf(q, loc=mu, scale=np.sqrt(
+                np.maximum(var, 1e-12)))
+        draws = self.sampler(params, space, inputs, outputs, samples=500,
+                             prior=prior, noise=True,
+                             rng=np.random.default_rng(7))
+        return np.quantile(draws, q, axis=1)
+
+    # -- minibatch training ---------------------------------------------------
+    def fit_svgp(self, batch_size=1024, steps=2000, lr=1e-2, start=None,
+                 key=0, display=True):
+        """Minibatch Adam on the bound over ALL parameters (hypers AND q —
+        q already lives in the param vector).  Step cost O(|B| m^2),
+        independent of n; same scan-under-jit shape as the conjugate
+        family's trainer (models/sparse.py fit_svgp)."""
+        import optax
+
+        reg = self.active
+        if start is None:
+            start = self.params_default
+        u0 = jnp.asarray(reg.dict_to_array(start))
+        x_all = jnp.asarray(self._inputs)
+        y_all = jnp.asarray(self._outputs)
+        n = x_all.shape[0]
+        bs = int(min(batch_size, n))
+        lik = self.f_likelihood
+        prior_pure = self._logp_pure(prior=True)
+        vec0 = jnp.zeros(0, dtype=settings.dtype)
+        scale = n / bs
+
+        def neg_elbo(u, idx):
+            p = reg.array_to_dict_jax(u)
+            xb = x_all[idx]
+            yb = y_all[idx]
+            mf, varf = self._latent(p, xb)
+            ell = jnp.sum(lik.expected_logp(p, yb, mf, varf))
+            elbo = (scale * ell - self.f_q.kl(p)
+                    + prior_pure(p, xb, xb, yb, vec0))
+            return -to_num(elbo, nan=GUARD, posinf=GUARD, neginf=GUARD)
+
+        if bs >= n:
+            def draw(kk):
+                return jnp.arange(n)
+        else:
+            def draw(kk):
+                return jax.random.randint(kk, (bs,), 0, n)
+
+        opt = optax.adam(lr)
+
+        @jax.jit
+        def run(u, opt_state, k):
+            def step(carry, kk):
+                uu, st = carry
+                loss, g = jax.value_and_grad(neg_elbo)(uu, draw(kk))
+                updates, st = opt.update(g, st, uu)
+                uu = optax.apply_updates(uu, updates)
+                return (uu, st), loss
+
+            keys = jax.random.split(k, steps)
+            (u, opt_state), losses = jax.lax.scan(step, (u, opt_state),
+                                                  keys)
+            return u, losses
+
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+        u, losses = run(u0, opt.init(u0), key)
+        losses = np.asarray(losses)
+        if display:
+            print(f"SVP fit_svgp: {steps} steps, -elbo {losses[0]:.1f} -> "
+                  f"{losses[-1]:.1f} (batch {bs}, n {n})")
+        params = reg.array_to_dict(np.asarray(u, settings.floatx))
+        return params, losses
+
+
+SVP = SparseVariationalProcess

@@ -1,0 +1,217 @@
+"""Non-conjugate sparse variational family (models/svgp.py +
+models/likelihoods.py): bound correctness against the collapsed SGPR
+optimum, robust regression under outliers, probit classification."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import g3py_tpu as g3
+from g3py_tpu.ops.linalg import safe_cholesky, solve_lower_triangular
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _sine_data(rng, n=400, noise=0.1):
+    x = np.sort(rng.uniform(0, 10, n)).astype(np.float32).reshape(-1, 1)
+    y = (np.sin(x[:, 0]) + noise * rng.standard_normal(n)).astype(np.float32)
+    return x, y
+
+
+class TestGaussianSVP:
+    def test_elbo_at_optimal_q_equals_collapsed_bound(self, rng):
+        """The conjugate identity that pins the bound arithmetic: at any
+        hypers, plugging the ANALYTIC optimal whitened q into the SVP
+        ELBO reproduces the SGPR collapsed bound exactly."""
+        x, y = _sine_data(rng)
+        m = 16
+        sgp = g3.SGP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=m, learn_inducing=False, name="TQg")
+        sgp.observed(x, y)
+        pm = sgp.find_MAP(points=1, display=False)
+        target = float(sgp.loglike(pm))
+
+        z = np.asarray(sgp.f_inducing.z_fixed)
+        svp = g3.SVP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     likelihood=g3.GaussianLik(), inducing=z,
+                     learn_inducing=False, name="TQv")
+        svp.observed(x, y)
+        p = dict(svp.params_default)
+        for k, v in pm.items():
+            nk = k.replace("TQg_", "TQv_")
+            if nk in p:
+                p[nk] = v
+        noise_key = [k for k in pm if "Noise" in k][0]
+        lik_key = [k for k in p if "GaussLik" in k][0]
+        p[lik_key] = pm[noise_key]
+
+        pj = {k: jnp.asarray(v) for k, v in p.items()}
+        luu = np.asarray(safe_cholesky(jnp.asarray(
+            np.asarray(svp.f_kernel.cov(pj, jnp.asarray(z))))))
+        kuf = np.asarray(svp.f_kernel.cov(pj, jnp.asarray(z),
+                                          jnp.asarray(x)))
+        V = np.asarray(solve_lower_triangular(jnp.asarray(luu),
+                                              jnp.asarray(kuf)))
+        s2 = float(p[lik_key])
+        r = y - np.asarray(svp.f_location(pj, jnp.asarray(x)))
+        S = np.linalg.inv(np.eye(m) + V @ V.T / s2)
+        qm = S @ (V @ r) / s2
+        Lq = np.linalg.cholesky(S)
+        ql = np.tril(Lq, -1) + np.diag(np.log(np.diag(Lq)))
+        p[[k for k in p if k.endswith("_Q_qm")][0]] = qm.astype(np.float32)
+        p[[k for k in p if k.endswith("_Q_ql")][0]] = ql.astype(np.float32)
+        got = float(svp.loglike(p))
+        assert abs(got - target) / abs(target) < 1e-4
+
+    def test_default_q_gives_zero_kl(self, rng):
+        x, y = _sine_data(rng, n=60)
+        svp = g3.SVP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=8, name="TK0")
+        svp.observed(x, y)
+        pj = {k: jnp.asarray(v) for k, v in svp.params_default.items()}
+        assert abs(float(svp.f_q.kl(pj))) < 1e-6
+
+    def test_fit_svgp_approaches_collapsed_optimum(self, rng):
+        x, y = _sine_data(rng)
+        svp = g3.SVP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     likelihood=g3.GaussianLik(), inducing=16, name="TFg")
+        svp.observed(x, y)
+        params, losses = svp.fit_svgp(batch_size=len(x), steps=3000,
+                                      lr=1e-2, display=False)
+        assert losses[-1] < losses[0]
+        sgp = g3.SGP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=16, name="TFc")
+        sgp.observed(x, y)
+        pm = sgp.find_MAP(points=1, display=False)
+        # the uncollapsed bound can only sit below the collapsed optimum;
+        # Adam should close to within a few nats
+        assert float(svp.logp(params)) > float(sgp.logp(pm)) - 15.0
+        pred = svp.predict(params=params, space=x, quantiles=True)
+        rmse = float(np.sqrt(np.mean((pred.mean - np.sin(x[:, 0])) ** 2)))
+        assert rmse < 0.1
+        assert np.all(pred.quantile_up >= pred.quantile_down)
+
+    def test_minibatch_trains(self, rng):
+        x, y = _sine_data(rng, n=1000)
+        svp = g3.SVP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=16, name="TMb")
+        svp.observed(x, y)
+        params, losses = svp.fit_svgp(batch_size=200, steps=1500, lr=5e-3,
+                                      display=False)
+        assert losses[-1] < losses[0]
+        assert np.isfinite(svp.loglike(params))
+
+
+class TestStudentTSVP:
+    def test_robust_to_outliers(self, rng):
+        """10% gross outliers: the Student-t SVP's predictive mean must
+        track the true function where the Gaussian sparse fit is dragged."""
+        n = 500
+        x = np.sort(rng.uniform(0, 10, n)).astype(np.float32).reshape(-1, 1)
+        f = np.sin(x[:, 0])
+        y = (f + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        out_idx = rng.choice(n, n // 10, replace=False)
+        y[out_idx] += (8.0 * rng.standard_normal(len(out_idx))).astype(
+            np.float32)
+
+        svp = g3.SVP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     likelihood=g3.StudentTLik(), inducing=20, name="TRt")
+        svp.observed(x, y)
+        pt, _ = svp.fit_svgp(batch_size=n, steps=3000, lr=1e-2,
+                             display=False)
+        rmse_t = float(np.sqrt(np.mean(
+            (np.asarray(svp.mean(pt, x)) - f) ** 2)))
+
+        sgp = g3.SGP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=20, name="TRg")
+        sgp.observed(x, y)
+        pg = sgp.find_MAP(points=2, display=False)
+        rmse_g = float(np.sqrt(np.mean(
+            (np.asarray(sgp.mean(pg, x)) - f) ** 2)))
+        assert rmse_t < 0.2
+        assert rmse_t < 0.7 * rmse_g, (rmse_t, rmse_g)
+
+    def test_predictive_variance_finite_and_wider_with_noise(self, rng):
+        x, y = _sine_data(rng, n=200)
+        svp = g3.SVP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     likelihood=g3.StudentTLik(), inducing=12, name="TVt")
+        svp.observed(x, y)
+        p, _ = svp.fit_svgp(batch_size=len(x), steps=800, lr=1e-2,
+                            display=False)
+        v_lat = np.asarray(svp.variance(p, x, noise=False))
+        v_pred = np.asarray(svp.variance(p, x, noise=True))
+        assert np.all(np.isfinite(v_pred))
+        assert np.all(v_pred >= v_lat - 1e-6)
+
+
+class TestBernoulliSVP:
+    def _class_data(self, rng, n=400):
+        x = np.sort(rng.uniform(-4, 4, n)).astype(np.float32).reshape(-1, 1)
+        p_true = 1.0 / (1.0 + np.exp(-3.0 * x[:, 0]))
+        y = (rng.uniform(size=n) < p_true).astype(np.float32)
+        return x, y, p_true
+
+    def test_classification_learns(self, rng):
+        x, y, p_true = self._class_data(rng)
+        svp = g3.SVP(space=x[:4], kernel=g3.SE(x),
+                     likelihood=g3.BernoulliLik(), inducing=16, name="TCb")
+        svp.observed(x, y)
+        params, losses = svp.fit_svgp(batch_size=len(x), steps=2000,
+                                      lr=1e-2, display=False)
+        assert losses[-1] < losses[0]
+        probs = np.asarray(svp.mean(params, x))
+        assert np.all(probs >= 0.0) and np.all(probs <= 1.0)
+        acc = np.mean((probs > 0.5) == (y > 0.5))
+        assert acc > 0.85, acc
+        # calibration against the generating probabilities
+        assert np.mean(np.abs(probs - p_true)) < 0.15
+
+    def test_probit_predictive_is_analytic(self, rng):
+        """E[Phi(f)] under Gaussian f: the analytic formula matches
+        quadrature through the base class."""
+        lik = g3.BernoulliLik()
+        mu = np.linspace(-3, 3, 11).astype(np.float32)
+        var = np.full(11, 0.7, np.float32)
+        m_analytic, _ = lik.predictive_moments({}, jnp.asarray(mu),
+                                               jnp.asarray(var))
+        m_quad, _ = g3.Likelihood.predictive_moments(lik, {},
+                                                     jnp.asarray(mu),
+                                                     jnp.asarray(var))
+        np.testing.assert_allclose(np.asarray(m_analytic),
+                                   np.asarray(m_quad), atol=2e-3)
+
+    def test_logpredictive_and_sampler(self, rng):
+        x, y, _ = self._class_data(rng, n=120)
+        svp = g3.SVP(space=x[:4], kernel=g3.SE(x),
+                     likelihood=g3.BernoulliLik(), inducing=10, name="TLb")
+        svp.observed(x, y)
+        p, _ = svp.fit_svgp(batch_size=len(x), steps=500, lr=1e-2,
+                            display=False)
+        lp = svp.logpredictive(p, x, vector=y)
+        assert np.isfinite(float(lp)) and float(lp) < 0.0
+        draws = svp.sampler(p, x, samples=8, noise=True)
+        assert set(np.unique(draws)).issubset({0.0, 1.0})
+        qs = svp.quantiler(p, x, q=0.9, noise=True)
+        assert np.all(np.isin(qs, [0.0, 1.0]))
+
+
+class TestSVPGuards:
+    def test_noisy_kernel_rejected(self, rng):
+        x, y = _sine_data(rng, n=40)
+        from g3py_tpu.hypers.kernels import KernelSum, KernelNoise
+        k = KernelSum(g3.SE(x), KernelNoise(name="N0"))
+        with pytest.raises(ValueError, match="noise-free"):
+            g3.SVP(space=x[:4], kernel=k, inducing=8, name="TNg")
+
+    def test_elbo_guarded_nonfinite(self, rng):
+        x, y = _sine_data(rng, n=40)
+        svp = g3.SVP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=8, name="TGd")
+        svp.observed(x, y)
+        p = dict(svp.params_default)
+        qm_key = [k for k in p if k.endswith("_Q_qm")][0]
+        p[qm_key] = np.full_like(p[qm_key], np.nan)
+        assert float(svp.loglike(p)) <= -1e29
