@@ -198,6 +198,33 @@ class TestBernoulliSVP:
         assert np.all(np.isin(qs, [0.0, 1.0]))
 
 
+class TestSVPIntegration:
+    def test_sample_hypers_smoke(self, rng):
+        x, y = _sine_data(rng, n=80)
+        svp = g3.SVP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=4, learn_inducing=False, name="TIs")
+        svp.observed(x, y)
+        p, _ = svp.fit_svgp(batch_size=len(x), steps=400, lr=1e-2,
+                            display=False)
+        dt = svp.sample_hypers(start=p, samples=30, chains=8,
+                               burnin_tol=None, outlayer_percentile=None,
+                               seed=0)
+        assert len(dt) == 30 * 8
+        assert np.all(np.isfinite(dt._ll))
+
+    def test_scores_pipeline(self, rng):
+        x, y = _sine_data(rng, n=100)
+        svp = g3.SVP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     inducing=8, name="TIc")
+        svp.observed(x, y)
+        p, _ = svp.fit_svgp(batch_size=len(x), steps=400, lr=1e-2,
+                            display=False)
+        svp.set_space(x, hidden=y)
+        sc = svp.scores(p, logp=True, logpred=True)
+        for k in ("_l1", "_l2", "_nlpd", "_loglike"):
+            assert np.isfinite(sc[k]), k
+
+
 class TestSVPGuards:
     def test_noisy_kernel_rejected(self, rng):
         x, y = _sine_data(rng, n=40)
