@@ -384,12 +384,23 @@ class SparseVariationalProcess(StochasticProcess):
 
     # -- minibatch training ---------------------------------------------------
     def fit_svgp(self, batch_size=1024, steps=2000, lr=1e-2, start=None,
-                 key=0, display=True):
+                 key=0, display=True, mesh=None):
         """Minibatch Adam on the bound over ALL parameters (hypers AND q —
         q already lives in the param vector).  Step cost O(|B| m^2),
         independent of n; same scan-under-jit shape as the conjugate
-        family's trainer (models/sparse.py fit_svgp)."""
+        family's trainer (models/sparse.py fit_svgp).
+
+        ``mesh=`` (int device count or a ``jax.sharding.Mesh``) shards the
+        rows data-parallel like the conjugate family: per-device batch
+        shards, one psum per step for the loss and gradients (the
+        non-conjugate bound has no closed-form natural-gradient step, so
+        the sharded mode is Adam-only)."""
         import optax
+
+        if mesh is not None:
+            return self._fit_svgp_sharded(mesh, batch_size=batch_size,
+                                          steps=steps, lr=lr, start=start,
+                                          key=key, display=display)
 
         reg = self.active
         if start is None:
@@ -444,6 +455,109 @@ class SparseVariationalProcess(StochasticProcess):
         if display:
             print(f"SVP fit_svgp: {steps} steps, -elbo {losses[0]:.1f} -> "
                   f"{losses[-1]:.1f} (batch {bs}, n {n})")
+        params = reg.array_to_dict(np.asarray(u, settings.floatx))
+        return params, losses
+
+    def _fit_svgp_sharded(self, mesh, batch_size=1024, steps=2000, lr=1e-2,
+                          start=None, key=0, display=True):
+        """Data-parallel SVP training: the non-conjugate analogue of
+        models/sparse.py ``_fit_svgp_sharded`` — rows sharded over the
+        mesh, per-device minibatch shards (row-masked full batch when
+        ``batch_size >= n``), loss/gradients psum-combined so the update
+        is exactly the single-device estimator on the concatenated
+        batch."""
+        import optax
+        from jax import lax
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import make_mesh
+
+        if isinstance(mesh, int):
+            mesh = make_mesh(mesh, axis_names=("dp",))
+        axis = mesh.axis_names[0]
+        ndev = int(np.prod(mesh.devices.shape))
+
+        reg = self.active
+        if start is None:
+            start = self.params_default
+        u0 = jnp.asarray(reg.dict_to_array(start))
+        x_np = np.asarray(self._inputs)
+        y_np = np.asarray(self._outputs)
+        n = x_np.shape[0]
+        nloc = -(-n // ndev)
+        n_pad = nloc * ndev
+        if x_np.ndim == 1:
+            x_np = x_np[:, None]
+        xp = np.concatenate([x_np, np.tile(x_np[:1], (n_pad - n, 1))],
+                            axis=0)
+        yp = np.concatenate([y_np, np.tile(y_np[:1], n_pad - n)], axis=0)
+
+        bs = int(min(batch_size, n))
+        bs_local = max(bs // ndev, 1)
+        full_batch = bs >= n
+        lik = self.f_likelihood
+        prior_pure = self._logp_pure(prior=True)
+        vec0 = jnp.zeros(0, dtype=settings.dtype)
+
+        def local_neg_elbo(u, x_loc, y_loc, idx, w, scale_l):
+            p = reg.array_to_dict_jax(u)
+            xb = x_loc[idx]
+            yb = y_loc[idx]
+            mf, varf = self._latent(p, xb)
+            ell = jnp.sum(lik.expected_logp(p, yb, mf, varf) * w)
+            share = (scale_l * ell
+                     + (prior_pure(p, xb, xb, yb, vec0)
+                        - self.f_q.kl(p)) / ndev)
+            return -to_num(share, nan=GUARD, posinf=GUARD, neginf=GUARD)
+
+        opt = optax.adam(lr)
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
+
+        def body(x_loc, y_loc, u, k):
+            i = lax.axis_index(axis)
+            n_valid = jnp.clip(n - i * nloc, 0, nloc)
+
+            def draw(kk):
+                if full_batch:
+                    idx = jnp.arange(nloc)
+                    w = (idx < n_valid).astype(settings.dtype)
+                    scale_l = jnp.asarray(1.0, settings.dtype)
+                else:
+                    idx = jax.random.randint(
+                        jax.random.fold_in(kk, i), (bs_local,), 0,
+                        jnp.maximum(n_valid, 1))
+                    w = jnp.full((bs_local,),
+                                 jnp.where(n_valid > 0, 1.0, 0.0),
+                                 settings.dtype)
+                    scale_l = n_valid / bs_local
+                return idx, w, scale_l
+
+            def step(carry, kk):
+                uu, st = carry
+                idx, w, scale_l = draw(kk)
+                loss_l, g_l = jax.value_and_grad(local_neg_elbo)(
+                    uu, x_loc, y_loc, idx, w, scale_l)
+                loss = lax.psum(loss_l, axis)
+                g = lax.psum(g_l, axis)
+                updates, st = opt.update(g, st, uu)
+                uu = optax.apply_updates(uu, updates)
+                return (uu, st), loss
+
+            keys = jax.random.split(k, steps)
+            (uu, _st), losses = lax.scan(step, (u, opt.init(u)), keys)
+            return uu, losses
+
+        run = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P()),
+            out_specs=(P(), P()), check_vma=False))
+        u, losses = run(jnp.asarray(xp, settings.dtype),
+                        jnp.asarray(yp, settings.dtype), u0, key)
+        losses = np.asarray(losses)
+        if display:
+            print(f"SVP fit_svgp[{ndev}-dev {axis}]: {steps} steps, -elbo "
+                  f"{losses[0]:.1f} -> {losses[-1]:.1f} "
+                  f"(global batch {bs}, n {n})")
         params = reg.array_to_dict(np.asarray(u, settings.floatx))
         return params, losses
 

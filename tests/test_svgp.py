@@ -104,6 +104,20 @@ class TestGaussianSVP:
         assert losses[-1] < losses[0]
         assert np.isfinite(svp.loglike(params))
 
+    def test_sharded_matches_single_device(self, rng):
+        import jax
+
+        x, y = _sine_data(rng, n=1000)
+        svp = g3.SVP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     likelihood=g3.StudentTLik(), inducing=12, name="TSh")
+        svp.observed(x, y)
+        _p1, l1 = svp.fit_svgp(batch_size=len(x), steps=5, lr=1e-2,
+                               display=False)
+        _p2, l2 = svp.fit_svgp(batch_size=len(x), steps=5, lr=1e-2,
+                               display=False,
+                               mesh=min(len(jax.devices()), 8))
+        np.testing.assert_allclose(l1, l2, rtol=2e-5)
+
 
 class TestStudentTSVP:
     def test_robust_to_outliers(self, rng):
