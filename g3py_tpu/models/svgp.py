@@ -375,8 +375,13 @@ class SparseVariationalProcess(StochasticProcess):
                 pj = {k: np.asarray(v) for k, v in params.items()}
                 var = var + float(np.maximum(
                     hval(self.f_likelihood.var, pj), 1e-10))
-            return stats.norm.ppf(q, loc=mu, scale=np.sqrt(
+            out = stats.norm.ppf(q, loc=mu, scale=np.sqrt(
                 np.maximum(var, 1e-12)))
+            if isinstance(self.f_likelihood, BernoulliLik):
+                # monotone probit: quantiles of the class probability
+                # Phi(f) are Phi(latent quantiles) exactly
+                out = stats.norm.cdf(out)
+            return out
         draws = self.sampler(params, space, inputs, outputs, samples=500,
                              prior=prior, noise=True,
                              rng=np.random.default_rng(7))

@@ -210,6 +210,12 @@ class TestBernoulliSVP:
         assert set(np.unique(draws)).issubset({0.0, 1.0})
         qs = svp.quantiler(p, x, q=0.9, noise=True)
         assert np.all(np.isin(qs, [0.0, 1.0]))
+        # noise=False: quantiles of the class PROBABILITY (probit-pushed
+        # latent quantiles), bounded in [0, 1] and ordered
+        q_up = svp.quantiler(p, x, q=0.975)
+        q_dn = svp.quantiler(p, x, q=0.025)
+        assert np.all(q_up >= q_dn)
+        assert q_dn.min() >= 0.0 and q_up.max() <= 1.0
 
 
 class TestSVPIntegration:
