@@ -394,6 +394,47 @@ class TestSVGP:
         assert np.all(np.isfinite(pred.mean)) and np.all(pred.mean > 0)
 
 
+class TestSparseMultiOutput:
+    def test_icm_matches_exact(self, rng):
+        """2-task ICM (shared SE x KernelEquals + task-1 own kernel)
+        through SGPR: the index-kernel algebra needs no sparse-specific
+        handling (KernelEquals is piecewise-constant in the index column,
+        so trained inducing inputs keep task indices intact) and the fit
+        matches the exact GP."""
+        n_per = 80
+        x1 = np.sort(rng.uniform(0, 10, n_per)).astype(np.float32)
+        x = np.concatenate([
+            np.stack([np.zeros(n_per), x1], 1),
+            np.stack([np.ones(n_per), x1], 1)]).astype(np.float32)
+        y = (np.concatenate([np.sin(x1), 0.5 * np.sin(x1) + 0.2])
+             + 0.05 * rng.standard_normal(2 * n_per)).astype(np.float32)
+
+        def icm(suf):
+            return (g3.SE([1], name="Sh" + suf)
+                    * g3.KernelEquals([0], name="Eq" + suf)
+                    + g3.SE([1], name="Ow" + suf)
+                    * g3.KernelEquals([0], eq=1, name="Eo" + suf))
+
+        sgp = g3.SGP(space=x[:4], location=g3.Bias(), kernel=icm("s"),
+                     inducing=24, name="TMOs")
+        sgp.observed(x, y)
+        p = sgp.find_MAP(points=4, display=False)
+        zkey = [k for k in p if k.endswith("_z")][0]
+        idx_col = np.asarray(p[zkey])[:, 0]
+        assert set(np.round(idx_col).tolist()) <= {0.0, 1.0}
+        np.testing.assert_allclose(idx_col, np.round(idx_col), atol=1e-6)
+        rmse_s = float(np.sqrt(np.mean(
+            (np.asarray(sgp.mean(p, x)) - y) ** 2)))
+
+        gp = g3.GP(space=x[:4], location=g3.Bias(), kernel=icm("x"),
+                   name="TMOg")
+        gp.observed(x, y)
+        pg = gp.find_MAP(points=4, display=False)
+        rmse_e = float(np.sqrt(np.mean(
+            (np.asarray(gp.mean(pg, x)) - y) ** 2)))
+        assert rmse_s < rmse_e * 1.25 + 0.01, (rmse_s, rmse_e)
+
+
 class TestSparseSampling:
     def test_sample_hypers_smoke(self, data):
         x, y = data
