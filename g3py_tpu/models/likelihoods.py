@@ -83,6 +83,17 @@ class Likelihood(Hypers):
         e2 = jnp.dot(w, self.cond_var(params, f) + cm * cm)
         return m, jnp.maximum(e2 - m * m, 0.0)
 
+    def noise_var(self, params):
+        """Marginal observation-noise variance (f-independent), or None
+        when no additive-noise decomposition exists (e.g. Bernoulli).
+        Used by covariance statistics: Cov[y_i, y_j] = Cov[f_i, f_j] +
+        delta_ij * noise_var for conditionally independent noise."""
+        return None
+
+    def check_targets(self, y):
+        """Host-side validation of observed targets (subclass hook)."""
+        return None
+
 
 class GaussianLik(Likelihood):
     """y = f + eps, eps ~ N(0, var): the conjugate baseline.  Expected
@@ -123,6 +134,9 @@ class GaussianLik(Likelihood):
 
     def predictive_moments(self, params, mu, var):
         return mu, var + self._var(params)
+
+    def noise_var(self, params):
+        return self._var(params)
 
 
 class StudentTLik(Likelihood):
@@ -169,10 +183,18 @@ class StudentTLik(Likelihood):
         return f
 
     def cond_var(self, params, f):
+        # The Student-t variance is infinite for nu <= 2; clamping the
+        # REPORTED variance at nu_eff = max(nu, 2.05) keeps predictive
+        # bands finite when training drives nu into the very-heavy-tail
+        # regime (the logp itself stays exact — only moment REPORTING is
+        # clamped; quantiles via ``sampler`` remain faithful).
         s2, nu = self._var_nu(params)
-        v = jnp.where(nu > 2.0, s2 * nu / jnp.maximum(nu - 2.0, 1e-6),
-                      jnp.asarray(np.inf, settings.dtype))
+        nu_eff = jnp.maximum(nu, 2.05)
+        v = s2 * nu_eff / (nu_eff - 2.0)
         return jnp.broadcast_to(v, jnp.shape(f))
+
+    def noise_var(self, params):
+        return self.cond_var(params, jnp.zeros(()))
 
 
 class BernoulliLik(Likelihood):
@@ -192,6 +214,13 @@ class BernoulliLik(Likelihood):
     def logp_elem(self, params, y, f):
         sign = 2.0 * jnp.asarray(y, settings.dtype) - 1.0
         return log_ndtr(sign * f)
+
+    def check_targets(self, y):
+        vals = np.unique(np.asarray(y))
+        if not np.all(np.isin(vals, [0.0, 1.0])):
+            raise ValueError(
+                "BernoulliLik targets must be in {0, 1} (got values "
+                f"{vals[:6]}...); map {{-1,+1}} labels with (y+1)/2")
 
     def cond_mean(self, params, f):
         return ndtr(f)

@@ -65,6 +65,78 @@ STATE_SGP_S2 = "_state_sgp_s2"     # noise variance snapshot         ()
 STATE_SGP_Z = "_state_sgp_z"       # inducing inputs snapshot        (m, d)
 
 
+def signal_kernel_diag(kernel, params, x):
+    """O(n) signal-kernel diagonal without the n x n gram (the lazy
+    pattern of ops/iterative.py:298-300) — shared by the conjugate and
+    non-conjugate sparse families."""
+    d = x.shape[1] if x.ndim > 1 else 1
+    x2 = x if x.ndim > 1 else x[:, None]
+
+    def one(i):
+        xi = jax.lax.dynamic_slice(x2, (i, 0), (1, d))
+        return kernel.cov(params, xi)[0, 0]
+
+    return jax.vmap(one)(jnp.arange(x2.shape[0]))
+
+
+def make_inducing(inducing, learn_inducing=True):
+    """Normalize the ``inducing=`` constructor argument (int -> k-means
+    default of that size, array -> explicit set, InducingPoints -> pass
+    through) — shared by both sparse families."""
+    if isinstance(inducing, InducingPoints):
+        return inducing
+    if np.ndim(inducing) >= 1:
+        return InducingPoints(z=inducing, trainable=learn_inducing)
+    return InducingPoints(m=int(inducing), trainable=learn_inducing)
+
+
+def _sharded_data_layout(mesh, x_np, y_np):
+    """Normalize the ``mesh=`` trainer argument and pad the data rows to
+    a device multiple (row 0 clones fill the pad slots; padded rows are
+    masked out by the draw weights).  Returns
+    ``(mesh, axis, ndev, nloc, xp, yp)`` — shared by the conjugate and
+    non-conjugate sharded trainers."""
+    from ..parallel.mesh import make_mesh
+
+    if isinstance(mesh, int):
+        mesh = make_mesh(mesh, axis_names=("dp",))
+    axis = mesh.axis_names[0]
+    ndev = int(np.prod(mesh.devices.shape))
+    n = x_np.shape[0]
+    nloc = -(-n // ndev)
+    n_pad = nloc * ndev
+    if x_np.ndim == 1:
+        x_np = x_np[:, None]
+    xp = np.concatenate([x_np, np.tile(x_np[:1], (n_pad - n, 1))], axis=0)
+    yp = np.concatenate([y_np, np.tile(y_np[:1], n_pad - n)], axis=0)
+    return mesh, axis, ndev, nloc, xp, yp
+
+
+def _sharded_draw_factory(nloc, bs_local, full_batch):
+    """Per-device minibatch draw (runs INSIDE shard_map):
+    ``draw(kk, i, n_valid) -> (idx, w, scale_l)`` — uniform local indices
+    with an unbiased ``n_valid/bs_local`` scale, or the row-masked
+    deterministic full batch.  Devices whose shard is all padding
+    (``n_valid == 0``) get weight 0."""
+
+    def draw(kk, i, n_valid):
+        if full_batch:
+            idx = jnp.arange(nloc)
+            w = (idx < n_valid).astype(settings.dtype)
+            scale_l = jnp.asarray(1.0, settings.dtype)
+        else:
+            idx = jax.random.randint(
+                jax.random.fold_in(kk, i), (bs_local,), 0,
+                jnp.maximum(n_valid, 1))
+            w = jnp.full((bs_local,),
+                         jnp.where(n_valid > 0, 1.0, 0.0),
+                         settings.dtype)
+            scale_l = n_valid / bs_local
+        return idx, w, scale_l
+
+    return draw
+
+
 def select_inducing(x, m, seed=0):
     """Data-driven inducing-input initialization: k-means centers of the
     observed inputs (the standard default), falling back to a random
@@ -152,14 +224,7 @@ class _SparseMixin:
     the sparse posterior moments, and the (Luu, LB, c) serving state."""
 
     def __init__(self, *args, inducing=32, learn_inducing=True, **kwargs):
-        if isinstance(inducing, InducingPoints):
-            self.f_inducing = inducing
-        elif np.ndim(inducing) >= 1:
-            self.f_inducing = InducingPoints(z=inducing,
-                                             trainable=learn_inducing)
-        else:
-            self.f_inducing = InducingPoints(m=int(inducing),
-                                             trainable=learn_inducing)
+        self.f_inducing = make_inducing(inducing, learn_inducing)
         super().__init__(*args, **kwargs)
         kn = self.f_kernel_noise
         if not (isinstance(kn, KernelSum) and isinstance(kn.k2, KernelNoise)):
@@ -207,17 +272,7 @@ class _SparseMixin:
         return self.f_inducing.value(params, inputs)
 
     def _kernel_diag(self, params, x):
-        """O(n) signal-kernel diagonal (no n x n gram), same lazy pattern
-        as the iterative path (ops/iterative.py:298-300)."""
-        kernel = self.f_kernel
-        d = x.shape[1] if x.ndim > 1 else 1
-        x2 = x if x.ndim > 1 else x[:, None]
-
-        def one(i):
-            xi = jax.lax.dynamic_slice(x2, (i, 0), (1, d))
-            return kernel.cov(params, xi)[0, 0]
-
-        return jax.vmap(one)(jnp.arange(x2.shape[0]))
+        return signal_kernel_diag(self.f_kernel, params, x)
 
     def _sparse_factors(self, params, inputs, w=None):
         """(z, sigma2, luu, v, bt, lbt) with V = Luu^{-1} Kuf (unscaled)
@@ -674,28 +729,14 @@ class _SparseMixin:
         import optax
         from jax import lax
         from jax.sharding import PartitionSpec as P
-        from ..parallel.mesh import make_mesh
-
-        if isinstance(mesh, int):
-            mesh = make_mesh(mesh, axis_names=("dp",))
-        axis = mesh.axis_names[0]
-        ndev = int(np.prod(mesh.devices.shape))
 
         reg = self.active
         if start is None:
             start = self.params_default
         u0 = jnp.asarray(reg.dict_to_array(start))
-        x_np = np.asarray(self._inputs)
-        y_np = np.asarray(self._outputs)
-        n = x_np.shape[0]
-        nloc = -(-n // ndev)                      # rows per device (padded)
-        n_pad = nloc * ndev
-        if x_np.ndim == 1:
-            x_np = x_np[:, None]
-        xp = np.concatenate(
-            [x_np, np.tile(x_np[:1], (n_pad - n, 1))], axis=0)
-        yp = np.concatenate(
-            [y_np, np.tile(y_np[:1], n_pad - n)], axis=0)
+        mesh, axis, ndev, nloc, xp, yp = _sharded_data_layout(
+            mesh, np.asarray(self._inputs), np.asarray(self._outputs))
+        n = self._inputs.shape[0]
 
         bs = int(min(batch_size, n))
         bs_local = max(bs // ndev, 1)
@@ -758,28 +799,15 @@ class _SparseMixin:
         else:
             theta0 = {"u": u0}
 
+        draw = _sharded_draw_factory(nloc, bs_local, full_batch)
+
         def body(x_loc, y_loc, theta, k):
             i = lax.axis_index(axis)
             n_valid = jnp.clip(n - i * nloc, 0, nloc)
 
-            def draw(kk):
-                if full_batch:
-                    idx = jnp.arange(nloc)
-                    w = (idx < n_valid).astype(settings.dtype)
-                    scale_l = jnp.asarray(1.0, settings.dtype)
-                else:
-                    idx = jax.random.randint(
-                        jax.random.fold_in(kk, i), (bs_local,), 0,
-                        jnp.maximum(n_valid, 1))
-                    w = jnp.full((bs_local,),
-                                 jnp.where(n_valid > 0, 1.0, 0.0),
-                                 settings.dtype)
-                    scale_l = n_valid / bs_local
-                return idx, w, scale_l
-
             def step(carry, kk):
                 th, nat1, nat2, st = carry
-                idx, w, scale_l = draw(kk)
+                idx, w, scale_l = draw(kk, i, n_valid)
                 if rho is not None:
                     p = reg.array_to_dict_jax(th["u"])
                     vb, tb, locb, _le, _kd, sigma2 = pieces(

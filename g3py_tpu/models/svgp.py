@@ -52,7 +52,8 @@ from ..ops.linalg import safe_cholesky, solve_lower_triangular
 from .elliptical import _contains_kernel_noise
 from .gaussian import GUARD
 from .likelihoods import GaussianLik, Likelihood, StudentTLik, BernoulliLik
-from .sparse import InducingPoints
+from .sparse import (make_inducing, signal_kernel_diag,
+                     _sharded_data_layout, _sharded_draw_factory)
 from .stochastic import StochasticProcess, zero32
 
 __all__ = ["VariationalQ", "SparseVariationalProcess", "SVP"]
@@ -126,14 +127,7 @@ class SparseVariationalProcess(StochasticProcess):
         self.f_kernel = kernel
         self.f_likelihood = (likelihood if likelihood is not None
                              else GaussianLik())
-        if isinstance(inducing, InducingPoints):
-            self.f_inducing = inducing
-        elif np.ndim(inducing) >= 1:
-            self.f_inducing = InducingPoints(z=inducing,
-                                             trainable=learn_inducing)
-        else:
-            self.f_inducing = InducingPoints(m=int(inducing),
-                                             trainable=learn_inducing)
+        self.f_inducing = make_inducing(inducing, learn_inducing)
         self.f_q = VariationalQ(self.f_inducing.m)
         if kernel is not None and (_contains_kernel_noise(kernel)
                                    or isinstance(kernel, KernelNoise)):
@@ -167,20 +161,12 @@ class SparseVariationalProcess(StochasticProcess):
         out = super().observed(inputs=inputs, outputs=outputs, order=order,
                                index=index, hidden=hidden)
         self.f_inducing.resolve(self._inputs)
+        self.f_likelihood.check_targets(self._outputs)
         return out
 
     # -- core math ------------------------------------------------------------
     def _kernel_diag_only(self, params, x):
-        """O(n) signal-kernel diagonal (models/sparse.py _kernel_diag)."""
-        kernel = self.f_kernel
-        d = x.shape[1] if x.ndim > 1 else 1
-        x2 = x if x.ndim > 1 else x[:, None]
-
-        def one(i):
-            xi = jax.lax.dynamic_slice(x2, (i, 0), (1, d))
-            return kernel.cov(params, xi)[0, 0]
-
-        return jax.vmap(one)(jnp.arange(x2.shape[0]))
+        return signal_kernel_diag(self.f_kernel, params, x)
 
     def _latent(self, params, xq, want_cov=False):
         """Latent q(f) moments at xq: (mf, varf[, covf]) from the whitened
@@ -282,15 +268,22 @@ class SparseVariationalProcess(StochasticProcess):
 
     def th_covariance(self, prior=False, noise=False):
         lik = self.f_likelihood
+        if noise and type(lik).noise_var is Likelihood.noise_var:
+            raise ValueError(
+                f"{type(lik).__name__} has no additive-noise "
+                "decomposition, so a noisy predictive COVARIANCE has no "
+                "closed form (the diagonal is available via "
+                "variance(noise=True); joint draws via sampler)")
 
         def fn(params, space, inputs, outputs, vector):
             if prior:
                 covf = to_cov(self.f_kernel.cov(params, space))
             else:
                 covf = self._latent(params, space, want_cov=True)[2]
-            if noise and isinstance(lik, GaussianLik):
-                covf = covf + lik._var(params) * jnp.eye(
-                    jnp.shape(covf)[0], dtype=settings.dtype)
+            if noise:
+                nv = lik.noise_var(params)
+                covf = covf + nv * jnp.eye(jnp.shape(covf)[0],
+                                           dtype=settings.dtype)
             return covf
 
         return fn
@@ -474,27 +467,14 @@ class SparseVariationalProcess(StochasticProcess):
         import optax
         from jax import lax
         from jax.sharding import PartitionSpec as P
-        from ..parallel.mesh import make_mesh
-
-        if isinstance(mesh, int):
-            mesh = make_mesh(mesh, axis_names=("dp",))
-        axis = mesh.axis_names[0]
-        ndev = int(np.prod(mesh.devices.shape))
 
         reg = self.active
         if start is None:
             start = self.params_default
         u0 = jnp.asarray(reg.dict_to_array(start))
-        x_np = np.asarray(self._inputs)
-        y_np = np.asarray(self._outputs)
-        n = x_np.shape[0]
-        nloc = -(-n // ndev)
-        n_pad = nloc * ndev
-        if x_np.ndim == 1:
-            x_np = x_np[:, None]
-        xp = np.concatenate([x_np, np.tile(x_np[:1], (n_pad - n, 1))],
-                            axis=0)
-        yp = np.concatenate([y_np, np.tile(y_np[:1], n_pad - n)], axis=0)
+        mesh, axis, ndev, nloc, xp, yp = _sharded_data_layout(
+            mesh, np.asarray(self._inputs), np.asarray(self._outputs))
+        n = self._inputs.shape[0]
 
         bs = int(min(batch_size, n))
         bs_local = max(bs // ndev, 1)
@@ -518,28 +498,15 @@ class SparseVariationalProcess(StochasticProcess):
         if isinstance(key, int):
             key = jax.random.PRNGKey(key)
 
+        draw = _sharded_draw_factory(nloc, bs_local, full_batch)
+
         def body(x_loc, y_loc, u, k):
             i = lax.axis_index(axis)
             n_valid = jnp.clip(n - i * nloc, 0, nloc)
 
-            def draw(kk):
-                if full_batch:
-                    idx = jnp.arange(nloc)
-                    w = (idx < n_valid).astype(settings.dtype)
-                    scale_l = jnp.asarray(1.0, settings.dtype)
-                else:
-                    idx = jax.random.randint(
-                        jax.random.fold_in(kk, i), (bs_local,), 0,
-                        jnp.maximum(n_valid, 1))
-                    w = jnp.full((bs_local,),
-                                 jnp.where(n_valid > 0, 1.0, 0.0),
-                                 settings.dtype)
-                    scale_l = n_valid / bs_local
-                return idx, w, scale_l
-
             def step(carry, kk):
                 uu, st = carry
-                idx, w, scale_l = draw(kk)
+                idx, w, scale_l = draw(kk, i, n_valid)
                 loss_l, g_l = jax.value_and_grad(local_neg_elbo)(
                     uu, x_loc, y_loc, idx, w, scale_l)
                 loss = lax.psum(loss_l, axis)

@@ -159,6 +159,26 @@ class TestStudentTSVP:
         v_pred = np.asarray(svp.variance(p, x, noise=True))
         assert np.all(np.isfinite(v_pred))
         assert np.all(v_pred >= v_lat - 1e-6)
+        # covariance(noise=True) diagonal == variance(noise=True)
+        # (conditionally independent t noise adds on the diagonal)
+        cov_n = np.asarray(svp.covariance(p, x[:20], noise=True))
+        v20 = np.asarray(svp.variance(p, x[:20], noise=True))
+        np.testing.assert_allclose(np.diagonal(cov_n), v20, rtol=2e-3,
+                                   atol=2e-4)
+
+    def test_reported_variance_finite_even_at_tiny_nu(self, rng):
+        """nu <= 2 has infinite t variance mathematically; the REPORTED
+        moments clamp at nu_eff=2.05 so bands stay finite (logp exact)."""
+        x, y = _sine_data(rng, n=60)
+        svp = g3.SVP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     likelihood=g3.StudentTLik(), inducing=8, name="TVn")
+        svp.observed(x, y)
+        p = dict(svp.params_default)
+        nu_key = [k for k in p if k.endswith("_nu")][0]
+        p[nu_key] = np.float32(1.2)
+        v = np.asarray(svp.variance(p, x, noise=True))
+        assert np.all(np.isfinite(v))
+        assert np.isfinite(float(svp.loglike(p)))
 
 
 class TestBernoulliSVP:
@@ -246,6 +266,26 @@ class TestSVPIntegration:
 
 
 class TestSVPGuards:
+    def test_bernoulli_rejects_pm1_labels(self, rng):
+        x, _ = _sine_data(rng, n=40)
+        y = np.sign(rng.standard_normal(40)).astype(np.float32)  # {-1,+1}
+        svp = g3.SVP(space=x[:4], kernel=g3.SE(x),
+                     likelihood=g3.BernoulliLik(), inducing=8, name="TPm")
+        with pytest.raises(ValueError, match=r"\{0, 1\}"):
+            svp.observed(x, y)
+
+    def test_bernoulli_noisy_covariance_unavailable(self, rng):
+        x, _ = _sine_data(rng, n=40)
+        y = (rng.uniform(size=40) > 0.5).astype(np.float32)
+        svp = g3.SVP(space=x[:4], kernel=g3.SE(x),
+                     likelihood=g3.BernoulliLik(), inducing=8, name="TPc")
+        svp.observed(x, y)
+        with pytest.raises(ValueError, match="additive-noise"):
+            svp.th_covariance(noise=True)
+        # latent covariance still served
+        c = np.asarray(svp.covariance(svp.params_default, x[:10]))
+        assert np.all(np.isfinite(c))
+
     def test_noisy_kernel_rejected(self, rng):
         x, y = _sine_data(rng, n=40)
         from g3py_tpu.hypers.kernels import KernelSum, KernelNoise
