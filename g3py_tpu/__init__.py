@@ -222,6 +222,7 @@ from .models import (
     GaussianLik,
     StudentTLik,
     BernoulliLik,
+    PoissonLik,
     VariationalQ,
     SparseVariationalProcess,
     GP,

@@ -47,6 +47,7 @@ from .likelihoods import (
     GaussianLik,
     StudentTLik,
     BernoulliLik,
+    PoissonLik,
 )
 from .svgp import (
     VariationalQ,
@@ -103,6 +104,7 @@ __all__ = [
     "GaussianLik",
     "StudentTLik",
     "BernoulliLik",
+    "PoissonLik",
     "VariationalQ",
     "SparseVariationalProcess",
     "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP", "SGP", "SWGP",

@@ -15,6 +15,9 @@ its Gaussian q(f) with Gauss-Hermite quadrature (ops/quadrature.py):
 * :class:`BernoulliLik` — probit classification; the predictive class
   probability E[Phi(f)] is ANALYTIC under a Gaussian q(f):
   Phi(mu / sqrt(1 + var)).
+* :class:`PoissonLik` — count regression with a log link; expected
+  log-likelihood AND predictive moments are analytic (lognormal
+  moments), no quadrature at all.
 
 Each likelihood is a :class:`~g3py_tpu.hypers.Hypers` component: its
 parameters (noise scale, dof) are ordinary model hypers — trained by
@@ -30,7 +33,8 @@ from ..config import settings
 from ..hypers import Hypers, FlatExp, hval, is_param
 from ..ops.quadrature import hermgauss
 
-__all__ = ["Likelihood", "GaussianLik", "StudentTLik", "BernoulliLik"]
+__all__ = ["Likelihood", "GaussianLik", "StudentTLik", "BernoulliLik",
+           "PoissonLik"]
 
 LOG2PI = np.log(2.0 * np.pi).astype(np.float32)
 _SQRT2 = np.sqrt(2.0).astype(np.float32)
@@ -195,6 +199,60 @@ class StudentTLik(Likelihood):
 
     def noise_var(self, params):
         return self.cond_var(params, jnp.zeros(()))
+
+
+class PoissonLik(Likelihood):
+    """Count data with a log link: y ~ Poisson(exp(f)).  Everything the
+    variational objective and prediction need is ANALYTIC under Gaussian
+    q(f) (lognormal moments):
+
+      E[log p(y|f)] = y mu - exp(mu + var/2) - log y!     (exact)
+      E[y*] = exp(mu + var/2)
+      Var[y*] = E[y*] + E[y*]^2 (exp(var) - 1)            (total variance)
+
+    No hypers."""
+
+    def __init__(self, x=None, name=None):
+        super().__init__(x=x, name=name if name is not None else "PoisLik")
+
+    def check_hypers(self, parent=""):
+        pass
+
+    def default_hypers(self, x=None, y=None):
+        return {}
+
+    def logp_elem(self, params, y, f):
+        y = jnp.asarray(y, settings.dtype)
+        return y * f - jnp.exp(f) - gammaln(y + 1.0)
+
+    def cond_mean(self, params, f):
+        return jnp.exp(f)
+
+    def cond_var(self, params, f):
+        return jnp.exp(f)
+
+    def expected_logp(self, params, y, mu, var):
+        y = jnp.asarray(y, settings.dtype)
+        rate = jnp.exp(jnp.asarray(mu, settings.dtype)
+                       + 0.5 * jnp.asarray(var, settings.dtype))
+        return y * mu - rate - gammaln(y + 1.0)
+
+    def predictive_moments(self, params, mu, var):
+        mu = jnp.asarray(mu, settings.dtype)
+        var = jnp.asarray(var, settings.dtype)
+        m = jnp.exp(mu + 0.5 * var)
+        v = m + m * m * jnp.expm1(var)
+        return m, jnp.maximum(v, 0.0)
+
+    # noise_var deliberately NOT overridden: Poisson noise is
+    # rate-dependent, not additive — the base-class None routes
+    # covariance(noise=True) to the clear unavailable error.
+
+    def check_targets(self, y):
+        ya = np.asarray(y)
+        if np.any(ya < 0) or not np.allclose(ya, np.round(ya), atol=1e-6):
+            raise ValueError(
+                "PoissonLik targets must be non-negative integer counts")
 
 
 class BernoulliLik(Likelihood):

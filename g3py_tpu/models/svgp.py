@@ -51,7 +51,8 @@ from ..ops.guards import to_num, to_cov, to_bounded
 from ..ops.linalg import safe_cholesky, solve_lower_triangular
 from .elliptical import _contains_kernel_noise
 from .gaussian import GUARD
-from .likelihoods import GaussianLik, Likelihood, StudentTLik, BernoulliLik
+from .likelihoods import (GaussianLik, Likelihood, StudentTLik,
+                          BernoulliLik, PoissonLik)
 from .sparse import (make_inducing, signal_kernel_diag,
                      _sharded_data_layout, _sharded_draw_factory)
 from .stochastic import StochasticProcess, zero32
@@ -246,7 +247,8 @@ class SparseVariationalProcess(StochasticProcess):
         return fn
 
     def th_median(self, prior=False, noise=False, simulations=None):
-        if isinstance(self.f_likelihood, BernoulliLik):
+        # mean == median only for symmetric conditionals
+        if isinstance(self.f_likelihood, (BernoulliLik, PoissonLik)):
             return None
         return self.th_mean(prior=prior, noise=noise)
 
@@ -340,11 +342,18 @@ class SparseVariationalProcess(StochasticProcess):
         if isinstance(lik, BernoulliLik):
             p = stats.norm.cdf(f)
             return (rng.uniform(size=f.shape) < p).astype(settings.floatx)
+        if isinstance(lik, PoissonLik):
+            return rng.poisson(np.exp(np.clip(f, -30, 30))).astype(
+                settings.floatx)
         if isinstance(lik, StudentTLik):
             s2 = float(np.maximum(hval(lik.var, pj), 1e-10))
             nu = float(np.maximum(hval(lik.nu, pj), 1.0))
             return f + np.sqrt(s2) * stats.t.rvs(
                 nu, size=f.shape, random_state=rng).astype(settings.floatx)
+        if not isinstance(lik, GaussianLik):
+            raise ValueError(
+                f"no noise sampler for {type(lik).__name__}; draw latent "
+                "paths with noise=False and push through the likelihood")
         s2 = float(np.maximum(hval(lik.var, pj), 1e-10))
         return f + np.sqrt(s2) * rng.standard_normal(f.shape).astype(
             settings.floatx)
@@ -374,6 +383,9 @@ class SparseVariationalProcess(StochasticProcess):
                 # monotone probit: quantiles of the class probability
                 # Phi(f) are Phi(latent quantiles) exactly
                 out = stats.norm.cdf(out)
+            elif isinstance(self.f_likelihood, PoissonLik):
+                # monotone log link: quantiles of the rate exp(f)
+                out = np.exp(np.clip(out, -30, 30))
             return out
         draws = self.sampler(params, space, inputs, outputs, samples=500,
                              prior=prior, noise=True,

@@ -238,6 +238,51 @@ class TestBernoulliSVP:
         assert q_dn.min() >= 0.0 and q_up.max() <= 1.0
 
 
+class TestPoissonSVP:
+    def test_count_regression_learns(self, rng):
+        n = 400
+        x = np.sort(rng.uniform(0, 10, n)).astype(np.float32).reshape(-1, 1)
+        rate_true = np.exp(1.0 + np.sin(x[:, 0]))
+        y = rng.poisson(rate_true).astype(np.float32)
+        svp = g3.SVP(space=x[:4], kernel=g3.SE(x),
+                     likelihood=g3.PoissonLik(), inducing=16, name="TPo")
+        svp.observed(x, y)
+        params, losses = svp.fit_svgp(batch_size=n, steps=2000, lr=1e-2,
+                                      display=False)
+        assert losses[-1] < losses[0]
+        m = np.asarray(svp.mean(params, x))
+        assert np.all(m > 0)
+        # relative rate error modest across the curve
+        rel = np.abs(m - rate_true) / rate_true
+        assert np.mean(rel) < 0.25, np.mean(rel)
+        v = np.asarray(svp.variance(params, x, noise=True))
+        assert np.all(v >= m - 1e-3)          # overdispersed vs Poisson
+        draws = svp.sampler(params, x, samples=16, noise=True)
+        assert np.all(draws >= 0) and np.allclose(draws, np.round(draws))
+        q_up = svp.quantiler(params, x, q=0.975)
+        assert np.all(q_up > 0)               # rate quantiles, positive
+
+    def test_analytic_expected_logp_matches_quadrature(self, rng):
+        lik = g3.PoissonLik()
+        y = rng.poisson(3.0, 15).astype(np.float32)
+        mu = rng.normal(1.0, 0.5, 15).astype(np.float32)
+        var = np.full(15, 0.3, np.float32)
+        a = np.asarray(lik.expected_logp({}, jnp.asarray(y),
+                                         jnp.asarray(mu), jnp.asarray(var)))
+        b = np.asarray(g3.Likelihood.expected_logp(
+            lik, {}, jnp.asarray(y), jnp.asarray(mu), jnp.asarray(var)))
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+    def test_rejects_non_counts(self, rng):
+        n = 40
+        x = np.sort(rng.uniform(0, 5, n)).astype(np.float32).reshape(-1, 1)
+        y = rng.standard_normal(n).astype(np.float32)
+        svp = g3.SVP(space=x[:4], kernel=g3.SE(x),
+                     likelihood=g3.PoissonLik(), inducing=8, name="TPr")
+        with pytest.raises(ValueError, match="integer counts"):
+            svp.observed(x, y)
+
+
 class TestSVPIntegration:
     def test_sample_hypers_smoke(self, rng):
         x, y = _sine_data(rng, n=80)
