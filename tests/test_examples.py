@@ -35,6 +35,7 @@ MODULES = [
     "tut09_large_scale",
     "tut10_serving",
     "tut11_distributed_training",
+    "tut12_likelihoods",
 ]
 
 
