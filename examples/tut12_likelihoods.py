@@ -14,6 +14,9 @@ carried in the parameter vector and an elementwise likelihood component:
   probability is analytic.
 * ``g3.PoissonLik()`` — count regression (log link); ELBO and predictive
   moments fully analytic.
+* ``g3.MulticlassSVP`` (``CategoricalLik``) — softmax multi-class
+  classification: C latent GPs sharing one kernel/inducing set, analytic
+  Jensen bound ELBO, predictive class-probability matrix.
 
 Train with ``fit_svgp`` (Adam over hypers AND q; minibatch or full
 batch, optionally ``mesh=`` data-parallel).  ``find_MAP`` is polish-only
@@ -83,6 +86,23 @@ def main(quick=True, plot=False):
     out["poisson_rel_err"] = float(np.mean(np.abs(m - rate_true)
                                            / rate_true))
     assert out["poisson_rel_err"] < 0.35
+
+    # ---- 4. multi-class softmax classification ------------------------------
+    # Three angular-sector classes in 2-D: one latent GP per class sharing
+    # the kernel and inducing set (g3.MulticlassSVP), analytic Jensen
+    # softmax bound as the ELBO data term.
+    xm = rng.standard_normal((n, 2)).astype(np.float32)
+    angm = np.arctan2(xm[:, 1], xm[:, 0])
+    ym = ((angm + np.pi) // (2 * np.pi / 3)).clip(0, 2).astype(np.float32)
+    svc = g3.MulticlassSVP(space=xm, kernel=g3.SE(xm), classes=3,
+                           inducing=24, name="T12m")
+    svc.observed(xm, ym)
+    pm, _ = svc.fit_svgp(batch_size=n, steps=steps, lr=5e-2, display=False)
+    probs3 = svc.predict_proba(pm)            # (n, 3), rows sum to 1
+    out["multiclass_acc"] = float(
+        np.mean(svc.predict_class(pm) == ym))
+    assert out["multiclass_acc"] > 0.85
+    assert np.allclose(probs3.sum(-1), 1.0, atol=1e-4)
 
     if plot:
         import matplotlib.pyplot as plt

@@ -223,8 +223,11 @@ from .models import (
     StudentTLik,
     BernoulliLik,
     PoissonLik,
+    CategoricalLik,
     VariationalQ,
+    VariationalQHeads,
     SparseVariationalProcess,
+    MulticlassSVP,
     GP,
     WGP,
     TP,

@@ -48,10 +48,13 @@ from .likelihoods import (
     StudentTLik,
     BernoulliLik,
     PoissonLik,
+    CategoricalLik,
 )
 from .svgp import (
     VariationalQ,
+    VariationalQHeads,
     SparseVariationalProcess,
+    MulticlassSVP,
 )
 
 # aliases (reference processes/__init__.py:9-16)
@@ -105,8 +108,11 @@ __all__ = [
     "StudentTLik",
     "BernoulliLik",
     "PoissonLik",
+    "CategoricalLik",
     "VariationalQ",
+    "VariationalQHeads",
     "SparseVariationalProcess",
+    "MulticlassSVP",
     "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP", "SGP", "SWGP",
     "SVP",
 ]

@@ -27,14 +27,15 @@ kernel hyper.
 
 import numpy as np
 import jax.numpy as jnp
-from jax.scipy.special import gammaln, log_ndtr, ndtr
+from jax.nn import softmax
+from jax.scipy.special import gammaln, log_ndtr, logsumexp, ndtr
 
 from ..config import settings
 from ..hypers import Hypers, FlatExp, hval, is_param
 from ..ops.quadrature import hermgauss
 
 __all__ = ["Likelihood", "GaussianLik", "StudentTLik", "BernoulliLik",
-           "PoissonLik"]
+           "PoissonLik", "CategoricalLik"]
 
 LOG2PI = np.log(2.0 * np.pi).astype(np.float32)
 _SQRT2 = np.sqrt(2.0).astype(np.float32)
@@ -291,3 +292,100 @@ class BernoulliLik(Likelihood):
         p = ndtr(jnp.asarray(mu, settings.dtype)
                  / jnp.sqrt(1.0 + jnp.asarray(var, settings.dtype)))
         return p, jnp.maximum(p * (1.0 - p), 0.0)
+
+
+class CategoricalLik(Likelihood):
+    """Softmax multi-class classification: p(y=c | f) = softmax(f)_c with
+    f in R^C (one latent GP value per class), y in {0, ..., C-1}.
+
+    No reference counterpart (the reference has no classification at all).
+    Unlike the scalar likelihoods, the latent here is a VECTOR per input —
+    so the moment arguments ``mu``/``var`` carry a trailing class axis
+    (n, C) (mean-field across classes, as produced by
+    :class:`~g3py_tpu.models.svgp.MulticlassSVP`'s per-class whitened q).
+
+    The ELBO data term uses the ANALYTIC Jensen softmax bound
+
+        E[log softmax(f)_y] = mu_y - E[logsumexp(f)]
+                           >= mu_y - logsumexp(mu + var / 2),
+
+    (log E[exp] of independent Gaussians), a true deterministic lower
+    bound — so ``loglike`` stays a genuine evidence lower bound, exactly
+    like the rest of the SVP family, with no Monte-Carlo noise inside the
+    optimizer.  Predictive class probabilities E[softmax(f)] have no
+    closed form; they use a fixed common-random-number Gaussian sample
+    (``mc`` draws, deterministic across calls).  No hypers."""
+
+    mc = 128
+
+    def __init__(self, classes, x=None, name=None):
+        self.classes = int(classes)
+        if self.classes < 2:
+            raise ValueError("CategoricalLik needs classes >= 2")
+        super().__init__(x=x, name=name if name is not None else "CatLik")
+
+    def check_hypers(self, parent=""):
+        pass
+
+    def default_hypers(self, x=None, y=None):
+        return {}
+
+    def _eps(self):
+        """Fixed (mc, 1, C) standard-normal draws (deterministic seed) for
+        the predictive-probability estimator."""
+        rng = np.random.default_rng(20260817)
+        return jnp.asarray(rng.standard_normal((self.mc, 1, self.classes)),
+                           settings.dtype)
+
+    def _take_y(self, arr, y):
+        yi = jnp.asarray(y, jnp.int32)
+        return jnp.take_along_axis(arr, yi[..., None], axis=-1)[..., 0]
+
+    def logp_elem(self, params, y, f):
+        """log softmax(f)_y; ``f`` has a trailing class axis."""
+        return self._take_y(f, y) - logsumexp(f, axis=-1)
+
+    def expected_logp(self, params, y, mu, var):
+        """Per-row Jensen lower bound on E_{q}[log p(y | f)]."""
+        mu = jnp.asarray(mu, settings.dtype)
+        var = jnp.asarray(var, settings.dtype)
+        return self._take_y(mu, y) - logsumexp(mu + 0.5 * var, axis=-1)
+
+    def probs(self, params, mu, var):
+        """E[softmax(f)] under the mean-field q — fixed-CRN MC, (n, C)."""
+        mu = jnp.asarray(mu, settings.dtype)
+        var = jnp.asarray(var, settings.dtype)
+        sd = jnp.sqrt(jnp.maximum(var, 0.0))
+        f = mu[None, :, :] + sd[None, :, :] * self._eps()
+        return jnp.mean(softmax(f, axis=-1), axis=0)
+
+    def log_predictive(self, params, y, mu, var):
+        """Per-row log E_q[softmax(f)_y] (NLPD numerator), fixed-CRN MC."""
+        mu = jnp.asarray(mu, settings.dtype)
+        sd = jnp.sqrt(jnp.maximum(jnp.asarray(var, settings.dtype), 0.0))
+        f = mu[None, :, :] + sd[None, :, :] * self._eps()
+        lp = self.logp_elem(params, jnp.asarray(y, jnp.int32)[None, :], f)
+        return logsumexp(lp, axis=0) - jnp.log(
+            jnp.asarray(self.mc, settings.dtype))
+
+    def cond_mean(self, params, f):
+        return softmax(f, axis=-1)
+
+    def cond_var(self, params, f):
+        p = softmax(f, axis=-1)
+        return p * (1.0 - p)
+
+    def predictive_moments(self, params, mu, var):
+        p = self.probs(params, mu, var)
+        return p, jnp.maximum(p * (1.0 - p), 0.0)
+
+    def check_targets(self, y):
+        ya = np.asarray(y)
+        if not np.allclose(ya, np.round(ya), atol=1e-6):
+            raise ValueError("CategoricalLik targets must be integer class "
+                             "labels")
+        if np.any(ya < 0) or np.any(ya > self.classes - 1):
+            raise ValueError(
+                f"CategoricalLik targets must lie in [0, {self.classes - 1}]"
+                f" (got range [{ya.min()}, {ya.max()}]); pass classes="
+                f"{int(ya.max()) + 1} if you have more classes")

@@ -52,12 +52,13 @@ from ..ops.linalg import safe_cholesky, solve_lower_triangular
 from .elliptical import _contains_kernel_noise
 from .gaussian import GUARD
 from .likelihoods import (GaussianLik, Likelihood, StudentTLik,
-                          BernoulliLik, PoissonLik)
+                          BernoulliLik, PoissonLik, CategoricalLik)
 from .sparse import (make_inducing, signal_kernel_diag,
                      _sharded_data_layout, _sharded_draw_factory)
 from .stochastic import StochasticProcess, zero32
 
-__all__ = ["VariationalQ", "SparseVariationalProcess", "SVP"]
+__all__ = ["VariationalQ", "VariationalQHeads", "SparseVariationalProcess",
+           "SVP", "MulticlassSVP"]
 
 
 class VariationalQ(Hypers):
@@ -100,6 +101,49 @@ class VariationalQ(Hypers):
                       - 2.0 * jnp.sum(ld) - self.m)
 
 
+class VariationalQHeads(VariationalQ):
+    """``heads`` independent whitened variational posteriors sharing one
+    inducing set: ``qm`` is (heads, m), ``ql`` (heads, m, m), each head's
+    Lq built exactly like :class:`VariationalQ` (strict lower triangle +
+    exp diagonal; all-zeros default = prior, KL = 0).  Used by
+    :class:`MulticlassSVP` for the C per-class latent GPs."""
+
+    def __init__(self, m, heads, name=None):
+        self.heads = int(heads)
+        super().__init__(m, name=name)
+
+    def check_hypers(self, parent=""):
+        if self.qm is None:
+            self.qm = self._param(None, parent + self.name + "_qm",
+                                  prior=Flat(), shape=(self.heads, self.m))
+        if self.ql is None:
+            self.ql = self._param(None, parent + self.name + "_ql",
+                                  prior=Flat(),
+                                  shape=(self.heads, self.m, self.m))
+
+    def default_hypers(self, x=None, y=None):
+        return {self.qm: np.zeros((self.heads, self.m), settings.floatx),
+                self.ql: np.zeros((self.heads, self.m, self.m),
+                                  settings.floatx)}
+
+    def factors(self, params):
+        """(qm (heads, m), Lq (heads, m, m))."""
+        qm = jnp.asarray(hval(self.qm, params), settings.dtype)
+        ql = jnp.asarray(hval(self.ql, params), settings.dtype)
+        dg = jnp.diagonal(ql, axis1=-2, axis2=-1)
+        lq = jnp.tril(ql, -1) + (jnp.eye(self.m, dtype=settings.dtype)
+                                 * jnp.exp(dg)[..., None, :])
+        return qm, lq
+
+    def kl(self, params):
+        """Sum over heads of KL(q_c(w) || N(0, I))."""
+        qm, lq = self.factors(params)
+        dg = jnp.diagonal(jnp.asarray(hval(self.ql, params), settings.dtype),
+                          axis1=-2, axis2=-1)
+        return 0.5 * (jnp.sum(qm * qm) + jnp.sum(lq * lq)
+                      - 2.0 * jnp.sum(dg) - self.m * self.heads)
+
+
 class SparseVariationalProcess(StochasticProcess):
     """Sparse variational GP with an arbitrary elementwise likelihood.
 
@@ -129,7 +173,7 @@ class SparseVariationalProcess(StochasticProcess):
         self.f_likelihood = (likelihood if likelihood is not None
                              else GaussianLik())
         self.f_inducing = make_inducing(inducing, learn_inducing)
-        self.f_q = VariationalQ(self.f_inducing.m)
+        self.f_q = self._make_q(self.f_inducing.m)
         if kernel is not None and (_contains_kernel_noise(kernel)
                                    or isinstance(kernel, KernelNoise)):
             raise ValueError(
@@ -139,6 +183,10 @@ class SparseVariationalProcess(StochasticProcess):
         if "name" not in kwargs:
             kwargs["name"] = "SVP"
         super().__init__(*args, **kwargs)
+
+    def _make_q(self, m):
+        """Variational-posterior component factory (subclass hook)."""
+        return VariationalQ(m)
 
     # -- registration ---------------------------------------------------------
     def _components(self):
@@ -544,6 +592,242 @@ class SparseVariationalProcess(StochasticProcess):
                   f"(global batch {bs}, n {n})")
         params = reg.array_to_dict(np.asarray(u, settings.floatx))
         return params, losses
+
+
+class MulticlassSVP(SparseVariationalProcess):
+    """Sparse variational softmax classification over C classes.
+
+    >>> svc = g3.MulticlassSVP(space=x, kernel=g3.SE(x), classes=3,
+    ...                        inducing=32)
+    >>> svc.observed(x, y)                       # y in {0, 1, 2}
+    >>> params, losses = svc.fit_svgp(batch_size=512, steps=2000)
+    >>> probs = svc.predict_proba(params)        # (n, 3), rows sum to 1
+    >>> labels = svc.predict_class(params)
+
+    One latent GP per class sharing the kernel hypers and inducing set
+    (the standard shared-hyper softmax GP classifier); the variational
+    posterior is C independent whitened heads (:class:`VariationalQHeads`),
+    so the per-minibatch latent cost is ONE shared Kuu Cholesky + ONE
+    shared whitened cross-solve, with the per-class work pure batched
+    matmuls — MXU-shaped, no per-class loop.  The ELBO data term is the
+    analytic Jensen softmax bound (see
+    :class:`~g3py_tpu.models.likelihoods.CategoricalLik`), deterministic
+    like every other loglike in the library, so ``fit_svgp``,
+    ``find_MAP`` polish, ``sample_hypers`` and the sharded data-parallel
+    trainer all work unchanged.
+
+    Statistics carry a trailing class axis: ``location``/``kernel_diag``
+    are latent per-class moments (n, C); ``mean`` is the predictive class
+    probability matrix (n, C); ``variance(noise=True)`` its Bernoulli
+    variances.  No reference counterpart at any cost (the reference has
+    no classification)."""
+
+    def __init__(self, space=None, location=None, kernel=None, classes=3,
+                 inducing=32, learn_inducing=True, *args, **kwargs):
+        self.n_classes = int(classes)
+        if "name" not in kwargs:
+            kwargs["name"] = "SVC"
+        super().__init__(space=space, location=location, kernel=kernel,
+                         likelihood=CategoricalLik(classes),
+                         inducing=inducing, learn_inducing=learn_inducing,
+                         *args, **kwargs)
+
+    def _make_q(self, m):
+        return VariationalQHeads(m, self.n_classes)
+
+    # -- core math ------------------------------------------------------------
+    def _latent(self, params, xq, want_cov=False):
+        """Per-class latent q(f) moments at xq: mf (n, C), varf (n, C)
+        [, covf (C, n, n)].  The Kuu Cholesky and the whitened cross-solve
+        v = Luu^{-1} K(z, xq) are shared across classes; per-class terms
+        are batched matmuls over the heads axis."""
+        z = self.f_inducing.value(params)
+        kuu = to_cov(self.f_kernel.cov(params, z))
+        luu = safe_cholesky(kuu)
+        v = solve_lower_triangular(luu, to_num(self.f_kernel.cov(params, z,
+                                                                 xq)))
+        qm, lq = self.f_q.factors(params)          # (C, m), (C, m, m)
+        loc = self.f_location(params, xq)
+        mf = loc[:, None] + jnp.einsum(
+            "mn,cm->nc", v, qm, precision=settings.matmul_precision)
+        lv = jnp.einsum("cji,jn->cin", lq, v,
+                        precision=settings.matmul_precision)
+        if want_cov:
+            kss = to_cov(self.f_kernel.cov(params, xq))
+            base = kss - jnp.matmul(v.T, v,
+                                    precision=settings.matmul_precision)
+            covf = base[None, :, :] + jnp.einsum(
+                "cin,cip->cnp", lv, lv, precision=settings.matmul_precision)
+            return mf, jnp.diagonal(covf, axis1=-2, axis2=-1).T, covf
+        kdiag = self._kernel_diag_only(params, xq)
+        base = to_bounded(kdiag - jnp.sum(v * v, axis=0), zero32)
+        varf = base[:, None] + jnp.sum(lv * lv, axis=1).T
+        return mf, varf
+
+    def _moments(self, params, space, prior):
+        """(mf, varf) both (n, C); the prior is the same scalar GP prior
+        broadcast per class (shared kernel, independent heads)."""
+        if prior:
+            mf0 = self.f_location(params, space)
+            var0 = to_bounded(self._kernel_diag_only(params, space), zero32)
+            shp = (jnp.shape(mf0)[0], self.n_classes)
+            return (jnp.broadcast_to(mf0[:, None], shp),
+                    jnp.broadcast_to(var0[:, None], shp))
+        return self._latent(params, space)
+
+    # -- moment statistics (trailing class axis) ------------------------------
+    def th_location(self, prior=False, noise=False):
+        def fn(params, space, inputs, outputs, vector):
+            return self._moments(params, space, prior)[0]
+        return fn
+
+    def th_kernel_diag(self, prior=False, noise=False):
+        def fn(params, space, inputs, outputs, vector):
+            return self._moments(params, space, prior)[1]
+        return fn
+
+    def th_mean(self, prior=False, noise=False, simulations=None):
+        lik = self.f_likelihood
+
+        def fn(params, space, inputs, outputs, vector):
+            mf, varf = self._moments(params, space, prior)
+            return lik.probs(params, mf, varf)
+
+        return fn
+
+    def th_median(self, prior=False, noise=False, simulations=None):
+        return None
+
+    def th_variance(self, prior=False, noise=False, simulations=None):
+        lik = self.f_likelihood
+
+        def fn(params, space, inputs, outputs, vector):
+            mf, varf = self._moments(params, space, prior)
+            if noise:
+                return lik.predictive_moments(params, mf, varf)[1]
+            return varf
+
+        return fn
+
+    def th_covariance(self, prior=False, noise=False):
+        if noise:
+            raise ValueError(
+                "categorical observations have no additive-noise covariance"
+                "; the class-probability variances are available via "
+                "variance(noise=True)")
+
+        def fn(params, space, inputs, outputs, vector):
+            if prior:
+                covf = to_cov(self.f_kernel.cov(params, space))
+                return jnp.broadcast_to(
+                    covf[None, :, :],
+                    (self.n_classes,) + tuple(jnp.shape(covf)))
+            return self._latent(params, space, want_cov=True)[2]
+
+        return fn
+
+    def th_logpredictive(self, prior=False, noise=False):
+        """sum_i log E_q[softmax(f_i)_{y_i}] — fixed-CRN MC through the
+        softmax (the scalar family's Gauss-Hermite grid is 1-D only)."""
+        lik = self.f_likelihood
+
+        def fn(params, space, inputs, outputs, vector):
+            mf, varf = self._moments(params, space, prior)
+            return jnp.sum(lik.log_predictive(params, vector, mf, varf))
+
+        return fn
+
+    # -- prediction conveniences ----------------------------------------------
+    def predict_proba(self, params=None, space=None, prior=False):
+        """Predictive class probabilities (n, C); rows sum to 1."""
+        if params is None:
+            params = self.params
+        if space is None:
+            space = self.space
+        return np.asarray(self.mean(params, space, prior=prior))
+
+    def predict_class(self, params=None, space=None, prior=False):
+        """argmax-probability class labels (n,)."""
+        return np.argmax(self.predict_proba(params, space, prior=prior),
+                         axis=-1)
+
+    # -- host-side sampling ----------------------------------------------------
+    def sampler(self, params=None, space=None, inputs=None, outputs=None,
+                samples=1, prior=False, noise=False, rng=None):
+        """``noise=False``: latent f draws (n, C, samples) from the
+        mean-field q.  ``noise=True``: sampled class labels (n, samples)
+        through the softmax."""
+        if params is None:
+            params = self.params
+        if space is None:
+            space = self.space
+        if rng is None:
+            rng = np.random.default_rng(0)
+        mf = np.asarray(self.location(params, space, inputs, outputs,
+                                      prior=prior))
+        sd = np.sqrt(np.maximum(np.asarray(
+            self.kernel_diag(params, space, inputs, outputs, prior=prior)),
+            0.0))
+        f = (mf[:, :, None] + sd[:, :, None]
+             * rng.standard_normal(mf.shape + (samples,)).astype(
+                 settings.floatx))
+        if not noise:
+            return f
+        e = np.exp(f - f.max(axis=1, keepdims=True))
+        cum = np.cumsum(e / e.sum(axis=1, keepdims=True), axis=1)
+        u = rng.uniform(size=(f.shape[0], 1, samples))
+        return (u > cum).sum(axis=1).astype(settings.floatx)
+
+    def quantiler(self, params=None, space=None, inputs=None, outputs=None,
+                  q=0.975, prior=False, noise=False, simulations=None):
+        """Per-class probability quantiles (n, C): MC through the softmax
+        (no monotone scalar push-through exists — each class probability
+        depends on ALL latent heads)."""
+        f = self.sampler(params, space, inputs, outputs, samples=400,
+                         prior=prior, noise=False,
+                         rng=np.random.default_rng(7))
+        e = np.exp(f - f.max(axis=1, keepdims=True))
+        p = e / e.sum(axis=1, keepdims=True)
+        return np.quantile(p, q, axis=-1)
+
+    # -- classification scores -------------------------------------------------
+    def scores(self, params=None, space=None, hidden=None, inputs=None,
+               outputs=None, logp=False, logpred=False, bias=True,
+               variance=False, median=False, *args, **kwargs):
+        """Classification metric set replacing the regression one:
+        ``_accuracy`` / ``_brier`` (bias), ``_nlpd`` (logpred), and the
+        usual ``_logp``/``_loglike``/``_logprior`` (logp).  ``variance``
+        adds the mean predictive class-probability variance."""
+        from ..utils import DictObj
+
+        if hidden is None:
+            hidden = self.hidden
+        if hidden is None:
+            hidden = self.outputs
+        if space is None:
+            space = self.space
+        y = np.asarray(hidden).astype(np.int64)
+        probs = self.predict_proba(params, space)
+        out = DictObj()
+        if bias:
+            out["_accuracy"] = float(np.mean(np.argmax(probs, -1) == y))
+            onehot = np.eye(probs.shape[1], dtype=np.float64)[y]
+            out["_brier"] = float(np.mean(np.sum((probs - onehot) ** 2, -1)))
+        if variance:
+            out["_mean_prob_var"] = float(np.mean(
+                np.asarray(self.variance(params, space, inputs, outputs,
+                                         noise=True))))
+        if logp:
+            out["_logp"] = self.logp(params)
+            out["_loglike"] = self.loglike(params)
+            out["_logprior"] = self.logp(params, prior=True)
+        if logpred:
+            out["_nlpd"] = -float(
+                self.logpredictive(params, space, inputs, outputs,
+                                   vector=np.asarray(y,
+                                                     settings.floatx))) \
+                / len(y)
+        return out
 
 
 SVP = SparseVariationalProcess
