@@ -89,6 +89,24 @@ def main(quick=True, plot=False):
     assert np.all(np.isfinite(pr_up.mean(space=batches[0])))
     pr = pr_up
 
+    # ---- AOT export: ship the predictor WITHOUT the model ----------------
+    # One shape-polymorphic StableHLO bundle + the factorized state; the
+    # artifact reloads with jax alone (no model code, no refactorization)
+    # and was lowered for BOTH cpu and tpu — export on a CPU dev box,
+    # serve on the TPU fleet.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pr.export(d, quantiles=True)
+        ep = g3.load_predictor(d)
+        out_art = ep(batches[0])
+        ref_art = pr.predict(space=batches[0], quantiles=True)
+        for k in out_art:
+            np.testing.assert_allclose(out_art[k], np.asarray(ref_art[k]),
+                                       rtol=5e-2, atol=1e-3)
+        # any batch size through the same artifact (symbolic query dim)
+        assert ep(batches[0][:7])["mean"].shape == (7,)
+
     # data changes invalidate loudly
     gp.observed(x[: n // 2], y[: n // 2])
     try:

@@ -198,6 +198,8 @@ from .models import (
     AveragedPredictor,
     IterativePredictor,
     DistributedPredictor,
+    ExportedPredictor,
+    load_predictor,
     GaussianProcess,
     WarpedGaussianProcess,
     StudentTProcess,

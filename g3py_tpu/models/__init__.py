@@ -3,7 +3,8 @@
 from .stochastic import StochasticProcess
 from .elliptical import EllipticalProcess
 from .predictor import (Predictor, AveragedPredictor,
-                        IterativePredictor, DistributedPredictor)
+                        IterativePredictor, DistributedPredictor,
+                        ExportedPredictor, load_predictor)
 from .gaussian import (
     GaussianProcess,
     WarpedGaussianProcess,
@@ -77,6 +78,8 @@ __all__ = [
     "AveragedPredictor",
     "IterativePredictor",
     "DistributedPredictor",
+    "ExportedPredictor",
+    "load_predictor",
     "GaussianProcess",
     "WarpedGaussianProcess",
     "WarpedGaussianDistribution",

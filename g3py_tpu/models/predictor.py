@@ -35,7 +35,7 @@ from ..config import settings
 from .stochastic import CompiledFn, _prep_matrix, _prep_vector
 
 __all__ = ["Predictor", "AveragedPredictor", "IterativePredictor",
-           "DistributedPredictor"]
+           "DistributedPredictor", "ExportedPredictor", "load_predictor"]
 
 
 def _rff_prior(kernel, pj, x_like, n_features, samples, key):
@@ -239,34 +239,15 @@ class Predictor:
         proc.observed(x_cat, y_cat)
         return Predictor(proc, self.params, _state=new_state)
 
-    # ------------------------------------------------------------- statistics
-    def predict(self, space=None, mean=True, std=True, var=False, cov=False,
-                median=False, quantiles=False, quantiles_noise=False,
-                samples=0, distribution=False, prior=False, noise=False,
-                simulations=None, fused=True):
-        """Full statistics dict (same keys as ``process.predict``).
-
-        With ``fused=True`` (default) every requested analytic statistic is
-        computed by ONE compiled call — one dispatch, one host sync per
-        query batch instead of one per statistic (XLA CSE shares the
-        location/sd subgraphs; quantiles use the class's latent-coefficient
-        hook ``_quantile_p``).  Monte-Carlo ``simulations`` and ``fused=
-        False`` fall back to the per-statistic path."""
-        self._check()
+    # ---------------------------------------------------------- bundle pieces
+    def _bundle_spec(self, mean=True, var=False, std=True, cov=False,
+                     median=False, quantiles=False, quantiles_noise=False,
+                     noise=False, prior=False):
+        """(output key, th builder name or ("q", latent multiplier), noise)
+        rows for the requested statistics — shared by the fused ``predict``
+        path and ``export``."""
         clone = self._clone
-        if simulations is not None or not fused:
-            return clone.predict(
-                space=space, mean=mean, std=std, var=var, cov=cov,
-                median=median, quantiles=quantiles,
-                quantiles_noise=quantiles_noise, samples=samples,
-                distribution=distribution, prior=prior, noise=noise,
-                simulations=simulations)
-        if not clone.is_observed:
-            prior = True
-
-        from ..utils import DictObj
-
-        spec = []  # (output key, th builder name or ("q", p), noise flag)
+        spec = []
         if mean:
             spec.append(("mean", "th_mean", noise))
         if var:
@@ -301,6 +282,147 @@ class Predictor:
                          ("q", clone._quantile_p(self.params, 0.025,
                                                  prior=prior, noise=True)),
                          True))
+        return spec
+
+    def _bundle_parts(self, spec, prior=False):
+        """Materialize a spec into ``[(key, pure fn(params, space, inputs,
+        outputs, vector))]`` parts."""
+        clone = self._clone
+        parts = []
+        for out_key, s, nz in spec:
+            if isinstance(s, tuple):  # latent quantile T(mu + p sd)
+                loc_fn = clone.th_location(prior=prior, noise=nz)
+                sd_fn = clone.th_kernel_sd(prior=prior, noise=nz)
+                mapping = clone.f_mapping
+
+                def f(params, sp, i, o, v, _l=loc_fn, _s=sd_fn,
+                      _p=s[1], _m=mapping):
+                    return _m(params, _l(params, sp, i, o, v)
+                              + _p * _s(params, sp, i, o, v))
+            else:
+                f = getattr(clone, s)(prior=prior, noise=nz)
+            parts.append((out_key, f))
+        return parts
+
+    # ----------------------------------------------------------- AOT export
+    def export(self, path, mean=True, std=True, var=False, cov=False,
+               median=False, quantiles=False, quantiles_noise=False,
+               noise=False, prior=False, batch=None,
+               platforms=("cpu", "tpu")):
+        """Serialize this predictor as a SELF-CONTAINED serving artifact:
+        one shape-polymorphic compiled statistic bundle (StableHLO via
+        ``jax.export``) plus the factorized state — loadable with
+        :func:`g3py_tpu.load_predictor` (or raw ``jax.export.deserialize``)
+        on any machine with jax, NO model code, NO hypers, NO
+        refactorization.  No reference counterpart: the reference pickles
+        the whole model object and recompiles its Theano graphs from
+        scratch at load (reference models.py:55-83).
+
+        Writes ``path/bundle.bin`` (the exported function, lowered for
+        every platform in ``platforms`` — export on CPU, serve on TPU),
+        ``path/state.npz`` (hypers + posterior state + observed data; the
+        dominant term is the n x n latent factor for dense states) and
+        ``path/manifest.json``.
+
+        ``batch=None`` exports with a SYMBOLIC query-batch dimension (any
+        number of query points, one artifact); pass an int to pin the
+        batch shape if a statistic's graph rejects shape polymorphism.
+        Statistic flags mirror ``predict``; the artifact returns a dict
+        with the same keys."""
+        import json
+        import os
+
+        import jax
+        import jax.numpy as jnp
+        from jax import export as jexport
+
+        self._check()
+        spec = self._bundle_spec(mean=mean, var=var, std=std, cov=cov,
+                                 median=median, quantiles=quantiles,
+                                 quantiles_noise=quantiles_noise,
+                                 noise=noise, prior=prior)
+        if not spec:
+            raise ValueError("export needs at least one statistic flag")
+        parts = self._bundle_parts(spec, prior=prior)
+
+        merged = {k: jnp.asarray(np.asarray(v, settings.floatx))
+                  for k, v in self.params.items()}
+        merged.update(self.state)
+        state_tree = {"merged": merged,
+                      "inputs": jnp.asarray(self.process._inputs),
+                      "outputs": jnp.asarray(self.process._outputs)}
+
+        def bundle(state, space, vector):
+            return {k: fn(state["merged"], space, state["inputs"],
+                          state["outputs"], vector)
+                    for k, fn in parts}
+
+        ndim = int(np.asarray(self.process._inputs).shape[1])
+        dt = settings.dtype
+        if batch is None:
+            (b,) = jexport.symbolic_shape("b")
+        else:
+            b = int(batch)
+        space_spec = jax.ShapeDtypeStruct((b, ndim), dt)
+        vector_spec = jax.ShapeDtypeStruct((b,), dt)
+        state_specs = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), state_tree)
+        exp = jexport.export(jax.jit(bundle), platforms=list(platforms))(
+            state_specs, space_spec, vector_spec)
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "bundle.bin"), "wb") as fh:
+            fh.write(exp.serialize())
+        flat = {"inputs": np.asarray(state_tree["inputs"]),
+                "outputs": np.asarray(state_tree["outputs"])}
+        for k, v in merged.items():
+            flat["merged/" + k] = np.asarray(v)
+        np.savez(os.path.join(path, "state.npz"), **flat)
+        with open(os.path.join(path, "manifest.json"), "w") as fh:
+            json.dump({"format": 1,
+                       "process": type(self.process).__name__,
+                       "statistics": [k for k, _, _ in spec],
+                       "platforms": list(platforms),
+                       "symbolic_batch": batch is None,
+                       "batch": batch,
+                       "n_obs": int(np.asarray(
+                           self.process._inputs).shape[0]),
+                       "ndim": ndim,
+                       "dtype": str(np.dtype(settings.floatx))}, fh,
+                      indent=1)
+        return path
+
+    # ------------------------------------------------------------- statistics
+    def predict(self, space=None, mean=True, std=True, var=False, cov=False,
+                median=False, quantiles=False, quantiles_noise=False,
+                samples=0, distribution=False, prior=False, noise=False,
+                simulations=None, fused=True):
+        """Full statistics dict (same keys as ``process.predict``).
+
+        With ``fused=True`` (default) every requested analytic statistic is
+        computed by ONE compiled call — one dispatch, one host sync per
+        query batch instead of one per statistic (XLA CSE shares the
+        location/sd subgraphs; quantiles use the class's latent-coefficient
+        hook ``_quantile_p``).  Monte-Carlo ``simulations`` and ``fused=
+        False`` fall back to the per-statistic path."""
+        self._check()
+        clone = self._clone
+        if simulations is not None or not fused:
+            return clone.predict(
+                space=space, mean=mean, std=std, var=var, cov=cov,
+                median=median, quantiles=quantiles,
+                quantiles_noise=quantiles_noise, samples=samples,
+                distribution=distribution, prior=prior, noise=noise,
+                simulations=simulations)
+        if not clone.is_observed:
+            prior = True
+
+        from ..utils import DictObj
+
+        spec = self._bundle_spec(mean=mean, var=var, std=std, cov=cov,
+                                 median=median, quantiles=quantiles,
+                                 quantiles_noise=quantiles_noise,
+                                 noise=noise, prior=prior)
 
         values = DictObj()
         if spec:
@@ -309,20 +431,7 @@ class Predictor:
                 + ("n" if nz else "")
                 for k, s, nz in spec)
             if not hasattr(clone, bname):
-                parts = []
-                for out_key, s, nz in spec:
-                    if isinstance(s, tuple):  # latent quantile T(mu + p sd)
-                        loc_fn = clone.th_location(prior=prior, noise=nz)
-                        sd_fn = clone.th_kernel_sd(prior=prior, noise=nz)
-                        mapping = clone.f_mapping
-
-                        def f(params, sp, i, o, v, _l=loc_fn, _s=sd_fn,
-                              _p=s[1], _m=mapping):
-                            return _m(params, _l(params, sp, i, o, v)
-                                      + _p * _s(params, sp, i, o, v))
-                    else:
-                        f = getattr(clone, s)(prior=prior, noise=nz)
-                    parts.append((out_key, f))
+                parts = self._bundle_parts(spec, prior=prior)
 
                 def make_bundle(_parts):
                     def bundle_builder(prior=False, noise=False):
@@ -462,6 +571,84 @@ class Predictor:
 
         bound.__name__ = name
         return bound
+
+
+class ExportedPredictor:
+    """A serving artifact written by :meth:`Predictor.export`, reloaded:
+    statistics stream from the deserialized StableHLO bundle and the saved
+    state — no model object, no hypers, no factorization, no g3py_tpu
+    compute code on the serving path (the loader itself is model-free).
+
+    >>> pr.export("/models/gp_v3", quantiles=True)
+    >>> ep = g3.load_predictor("/models/gp_v3")     # any machine with jax
+    >>> out = ep(x_query)                            # dict of statistics
+    >>> mu = ep.mean(x_query)
+
+    Exported with a symbolic batch dimension the artifact accepts any
+    number of query points; fixed-batch artifacts raise on other sizes.
+    Single-statistic access (``ep.mean`` / ``ep.std`` / ...) runs the same
+    one-dispatch bundle and selects the key."""
+
+    def __init__(self, path):
+        import json
+        import os
+
+        import jax.numpy as jnp
+        from jax import export as jexport
+
+        with open(os.path.join(path, "manifest.json")) as fh:
+            self.manifest = json.load(fh)
+        with open(os.path.join(path, "bundle.bin"), "rb") as fh:
+            self._exported = jexport.deserialize(fh.read())
+        data = np.load(os.path.join(path, "state.npz"))
+        merged = {k[len("merged/"):]: jnp.asarray(data[k])
+                  for k in data.files if k.startswith("merged/")}
+        self._state = {"merged": merged,
+                       "inputs": jnp.asarray(data["inputs"]),
+                       "outputs": jnp.asarray(data["outputs"])}
+        self.statistics = list(self.manifest["statistics"])
+        self.path = path
+        # Re-jit around the exported call with the state as CLOSURE
+        # constants: hosted runtimes pay dispatch cost per argument byte
+        # (see module docstring), so the n^2-sized state must ride in the
+        # executable, not the argument list.  Cost: one (cheap) wrapper
+        # compile per query-batch shape.
+        import jax
+
+        self._call = jax.jit(
+            lambda space, vector: self._exported.call(self._state, space,
+                                                      vector))
+
+    def predict(self, space, vector=None):
+        """All exported statistics for a query batch, one dispatch."""
+        from ..utils import DictObj
+
+        space = _prep_matrix(space)
+        if vector is None:
+            vector = np.zeros(len(space), dtype=self.manifest["dtype"])
+        else:
+            vector = _prep_vector(vector)
+        out = self._call(space, vector)
+        return DictObj({k: np.asarray(v) for k, v in out.items()})
+
+    def __call__(self, space, vector=None):
+        return self.predict(space, vector=vector)
+
+    def __getattr__(self, name):
+        if name.startswith("_") or name not in self.__dict__.get(
+                "statistics", ()):
+            raise AttributeError(name)
+
+        def stat(space, vector=None, _k=name):
+            return self.predict(space, vector=vector)[_k]
+
+        stat.__name__ = name
+        return stat
+
+
+def load_predictor(path):
+    """Load a serving artifact written by :meth:`Predictor.export`."""
+    return ExportedPredictor(path)
 
 
 class _LatentStatisticsMixin:
