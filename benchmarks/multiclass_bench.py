@@ -20,8 +20,10 @@ rng = np.random.default_rng(0)
 n, d, C, m = 100_000, 8, 10, 256
 x = rng.standard_normal((n, d)).astype(np.float32)
 # smooth ground-truth class scores: random low-frequency feature mix
-w1 = rng.standard_normal((d, C)).astype(np.float32)
-w2 = rng.standard_normal((d, C)).astype(np.float32)
+# frequency scaled so the latents are resolvable by m inducing points
+# in 8-D (|w| ~ 0.5 => lengthscale ~ 2)
+w1 = (0.5 * rng.standard_normal((d, C))).astype(np.float32)
+w2 = (0.5 * rng.standard_normal((d, C))).astype(np.float32)
 scores = np.sin(x @ w1) + 0.5 * np.cos(x @ (0.7 * w2))
 y = np.argmax(scores + 0.3 * rng.standard_normal(scores.shape),
               axis=1).astype(np.float32)
@@ -31,7 +33,7 @@ svc = g3.MulticlassSVP(space=x[:4], kernel=g3.SE(x), classes=C,
                        inducing=z0, name="MC100k")
 svc.observed(x, y)
 
-steps, bs = 2000, 2048
+steps, bs = 3000, 2048
 t0 = time.perf_counter()
 params, losses = svc.fit_svgp(batch_size=bs, steps=steps, lr=3e-2, key=0,
                               display=False)

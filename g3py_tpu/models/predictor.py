@@ -263,6 +263,13 @@ class Predictor:
             spec.append(("covariance", "th_covariance", noise))
         if median:
             spec.append(("median", "th_median", noise))
+        if (quantiles or quantiles_noise) \
+                and not hasattr(clone, "_quantile_p"):
+            raise ValueError(
+                f"{type(clone).__name__} has no analytic latent-quantile "
+                "hook (_quantile_p): fused/exported quantiles are "
+                "unavailable — use the process-level quantiler (Monte "
+                "Carlo) or export mean/std/var only")
         if quantiles:
             spec.append(("quantile_up",
                          ("q", clone._quantile_p(self.params, 0.975,

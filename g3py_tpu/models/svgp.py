@@ -363,6 +363,24 @@ class SparseVariationalProcess(StochasticProcess):
         kernel_diag="th_kernel_diag",
     )
 
+    # -- serving ---------------------------------------------------------------
+    def posterior_state(self, params=None):
+        """The variational family has NO n-sized posterior factorization —
+        every statistic is O(m^2) from (z, q(u)) which already live in the
+        params — so the serving state is empty: ``predictor()`` /
+        ``Predictor.export`` bake the params and stream the statistics
+        (and exported artifacts carry only the m-sized arrays)."""
+        return {}
+
+    def predictor(self, params=None):
+        """Serving wrapper (models/predictor.py): baked params, fused
+        statistic bundles, AOT ``export``.  No factorization to reuse here
+        (everything is m-sized already) — the win is dispatch amortization
+        and the model-free serving artifact."""
+        from .predictor import Predictor
+
+        return Predictor(self, params)
+
     # -- host-side sampling / quantiles ---------------------------------------
     def sampler(self, params=None, space=None, inputs=None, outputs=None,
                 samples=1, prior=False, noise=False, rng=None):

@@ -90,6 +90,52 @@ class TestExportRoundtrip:
         _assert_close(ep(xq), pr.predict(space=xq, quantiles=True),
                       ["mean", "std", "quantile_up", "quantile_down"])
 
+    def test_svp_bundle(self, rng, tmp_path):
+        """Variational family: empty posterior state, params-only baking
+        — robust-regression server exported and reloaded."""
+        x, y = _data(rng, n=200)
+        svp = g3.SVP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                     likelihood=g3.StudentTLik(), inducing=16, name="ExpSVP")
+        svp.observed(x, y)
+        params, _ = svp.fit_svgp(batch_size=200, steps=100, lr=1e-2,
+                                 display=False)
+        pr = svp.predictor(params)
+        xq = x[::4]
+        np.testing.assert_allclose(
+            pr.mean(space=xq), np.asarray(svp.mean(params, xq)),
+            rtol=1e-4, atol=1e-5)
+        path = str(tmp_path / "svp")
+        pr.export(path, var=True)
+        ep = g3.load_predictor(path)
+        _assert_close(ep(xq), pr.predict(space=xq, var=True),
+                      ["mean", "std", "variance"])
+        # no analytic latent quantile hook -> loud error, not silent junk
+        with pytest.raises(ValueError, match="quantile"):
+            pr.export(str(tmp_path / "svpq"), quantiles=True)
+
+    def test_multiclass_classifier_export(self, rng, tmp_path):
+        """A deployed softmax classifier: the artifact returns the class-
+        probability matrix."""
+        x = rng.standard_normal((150, 2)).astype(np.float32)
+        ang = np.arctan2(x[:, 1], x[:, 0])
+        y = ((ang + np.pi) // (2 * np.pi / 3)).clip(0, 2).astype(np.float32)
+        svc = g3.MulticlassSVP(space=x, kernel=g3.SE(x), classes=3,
+                               inducing=12, name="ExpMC")
+        svc.observed(x, y)
+        params, _ = svc.fit_svgp(batch_size=150, steps=300, lr=5e-2,
+                                 display=False)
+        pr = svc.predictor(params)
+        path = str(tmp_path / "mc")
+        pr.export(path)
+        ep = g3.load_predictor(path)
+        probs = ep.mean(x)
+        assert probs.shape == (150, 3)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-4)
+        np.testing.assert_allclose(probs, svc.predict_proba(params, x),
+                                   rtol=5e-2, atol=1e-3)
+        acc = float(np.mean(np.argmax(probs, -1) == y))
+        assert acc > 0.9
+
     def test_fixed_batch_export(self, rng, tmp_path):
         x, y = _data(rng)
         gp = g3.GP(space=x, kernel=g3.SE(x), name="ExpGPf")
