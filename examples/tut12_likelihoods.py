@@ -17,6 +17,9 @@ carried in the parameter vector and an elementwise likelihood component:
 * ``g3.MulticlassSVP`` (``CategoricalLik``) — softmax multi-class
   classification: C latent GPs sharing one kernel/inducing set, analytic
   Jensen bound ELBO, predictive class-probability matrix.
+* ``g3.HeteroscedasticSVP`` (``HeteroscedasticLik``) — input-dependent
+  noise: a second latent head models log-variance, fully analytic ELBO;
+  ``noise_field`` returns the learned noise map.
 
 Train with ``fit_svgp`` (Adam over hypers AND q; minibatch or full
 batch, optionally ``mesh=`` data-parallel).  ``find_MAP`` is polish-only
@@ -103,6 +106,24 @@ def main(quick=True, plot=False):
         np.mean(svc.predict_class(pm) == ym))
     assert out["multiclass_acc"] > 0.85
     assert np.allclose(probs3.sum(-1), 1.0, atol=1e-4)
+
+    # ---- 5. heteroscedastic regression: the noise is a GP too --------------
+    # y = f1 + N(0, exp(f2 + b)): two latent heads over one kernel, fully
+    # analytic ELBO (Lazaro-Gredilla & Titsias 2011).  The model resolves
+    # WHERE the data is noisy — a scalar-noise GP cannot.
+    xh = np.sort(rng.uniform(0, 10, n)).astype(np.float32).reshape(-1, 1)
+    fh = np.sin(xh[:, 0])
+    sd_h = 0.05 + 0.4 * (xh[:, 0] > 5)          # noise step at x=5
+    yh = (fh + sd_h * rng.standard_normal(n)).astype(np.float32)
+    het = g3.HeteroscedasticSVP(space=xh, location=g3.Bias(),
+                                kernel=g3.SE(xh), inducing=24, name="T12h")
+    het.observed(xh, yh, hidden=fh)
+    ph, _ = het.fit_svgp(batch_size=n, steps=2 * steps, lr=2e-2,
+                         display=False)
+    nf = het.noise_field(ph, xh)                 # learned variance map
+    out["noise_ratio"] = float(nf[xh[:, 0] > 6].mean()
+                               / nf[xh[:, 0] < 4].mean())
+    assert out["noise_ratio"] > 10.0             # true ratio is 81x
 
     if plot:
         import matplotlib.pyplot as plt

@@ -226,10 +226,12 @@ from .models import (
     BernoulliLik,
     PoissonLik,
     CategoricalLik,
+    HeteroscedasticLik,
     VariationalQ,
     VariationalQHeads,
     SparseVariationalProcess,
     MulticlassSVP,
+    HeteroscedasticSVP,
     GP,
     WGP,
     TP,

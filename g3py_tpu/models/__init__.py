@@ -50,12 +50,14 @@ from .likelihoods import (
     BernoulliLik,
     PoissonLik,
     CategoricalLik,
+    HeteroscedasticLik,
 )
 from .svgp import (
     VariationalQ,
     VariationalQHeads,
     SparseVariationalProcess,
     MulticlassSVP,
+    HeteroscedasticSVP,
 )
 
 # aliases (reference processes/__init__.py:9-16)
@@ -112,10 +114,12 @@ __all__ = [
     "BernoulliLik",
     "PoissonLik",
     "CategoricalLik",
+    "HeteroscedasticLik",
     "VariationalQ",
     "VariationalQHeads",
     "SparseVariationalProcess",
     "MulticlassSVP",
+    "HeteroscedasticSVP",
     "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP", "SGP", "SWGP",
     "SVP",
 ]

@@ -35,7 +35,7 @@ from ..hypers import Hypers, FlatExp, hval, is_param
 from ..ops.quadrature import hermgauss
 
 __all__ = ["Likelihood", "GaussianLik", "StudentTLik", "BernoulliLik",
-           "PoissonLik", "CategoricalLik"]
+           "PoissonLik", "CategoricalLik", "HeteroscedasticLik"]
 
 LOG2PI = np.log(2.0 * np.pi).astype(np.float32)
 _SQRT2 = np.sqrt(2.0).astype(np.float32)
@@ -292,6 +292,82 @@ class BernoulliLik(Likelihood):
         p = ndtr(jnp.asarray(mu, settings.dtype)
                  / jnp.sqrt(1.0 + jnp.asarray(var, settings.dtype)))
         return p, jnp.maximum(p * (1.0 - p), 0.0)
+
+
+class HeteroscedasticLik(Likelihood):
+    """Input-dependent Gaussian noise driven by a second latent GP:
+
+        y = f1 + eps,   eps ~ N(0, exp(f2 + b))
+
+    with (f1, f2) the two heads of a
+    :class:`~g3py_tpu.models.svgp.HeteroscedasticSVP` and ``b`` a
+    trainable log-noise offset (so the f2 head models the log-noise
+    SHAPE around a learned level; at f2 = const it reduces to ordinary
+    homoscedastic SVGP).  The variational ELBO data term is fully
+    ANALYTIC under mean-field Gaussian q (Lazaro-Gredilla & Titsias,
+    "Variational Heteroscedastic Gaussian Process Regression", ICML
+    2011 — lognormal moments):
+
+      E[log p(y|f)] = -(log 2 pi)/2 - (m2+b)/2
+                      - ((y-m1)^2 + v1) exp(-(m2+b) + v2/2) / 2
+      E[y*] = m1,   Var[y*] = v1 + exp(m2 + b + v2/2)
+
+    Moment arguments carry the heads axis: mu/var are (n, 2).  No
+    reference counterpart (the reference's noise is a single scalar
+    kernel hyper)."""
+
+    def __init__(self, x=None, bias=None, name=None):
+        self.bias = bias
+        super().__init__(x=x, name=name if name is not None else "HetLik")
+
+    def check_hypers(self, parent=""):
+        from ..hypers import Flat
+
+        self.bias = self._param(self.bias, parent + self.name + "_bias",
+                                Flat())
+
+    def default_hypers(self, x=None, y=None):
+        if is_param(self.bias) and y is not None:
+            return {self.bias: np.asarray(
+                np.log(np.var(y) / 10.0 + 1e-6), settings.floatx)}
+        return {}
+
+    def _b(self, params):
+        return jnp.asarray(hval(self.bias, params), settings.dtype)
+
+    def _split(self, mu, var, params):
+        mu = jnp.asarray(mu, settings.dtype)
+        var = jnp.asarray(var, settings.dtype)
+        return (mu[..., 0], mu[..., 1] + self._b(params),
+                var[..., 0], var[..., 1])
+
+    def logp_elem(self, params, y, f):
+        """f carries the heads axis (..., 2)."""
+        lv = f[..., 1] + self._b(params)
+        return (-0.5 * (LOG2PI + lv)
+                - 0.5 * (y - f[..., 0]) ** 2 * jnp.exp(-lv))
+
+    def expected_logp(self, params, y, mu, var):
+        m1, m2, v1, v2 = self._split(mu, var, params)
+        prec = jnp.exp(jnp.clip(-m2 + 0.5 * v2, -30.0, 30.0))
+        return (-0.5 * (LOG2PI + m2)
+                - 0.5 * ((jnp.asarray(y) - m1) ** 2 + v1) * prec)
+
+    def cond_mean(self, params, f):
+        return f[..., 0]
+
+    def cond_var(self, params, f):
+        return jnp.exp(f[..., 1] + self._b(params))
+
+    def predictive_moments(self, params, mu, var):
+        m1, m2, v1, v2 = self._split(mu, var, params)
+        ev = jnp.exp(jnp.clip(m2 + 0.5 * v2, -30.0, 30.0))
+        return m1, jnp.maximum(v1 + ev, 0.0)
+
+    def noise_mean(self, params, mu, var):
+        """E[exp(f2 + b)] per row — the predictive noise-variance field."""
+        _, m2, _, v2 = self._split(mu, var, params)
+        return jnp.exp(jnp.clip(m2 + 0.5 * v2, -30.0, 30.0))
 
 
 class CategoricalLik(Likelihood):

@@ -51,14 +51,15 @@ from ..ops.guards import to_num, to_cov, to_bounded
 from ..ops.linalg import safe_cholesky, solve_lower_triangular
 from .elliptical import _contains_kernel_noise
 from .gaussian import GUARD
-from .likelihoods import (GaussianLik, Likelihood, StudentTLik,
-                          BernoulliLik, PoissonLik, CategoricalLik)
+from .likelihoods import (LOG2PI, GaussianLik, Likelihood, StudentTLik,
+                          BernoulliLik, PoissonLik, CategoricalLik,
+                          HeteroscedasticLik)
 from .sparse import (make_inducing, signal_kernel_diag,
                      _sharded_data_layout, _sharded_draw_factory)
 from .stochastic import StochasticProcess, zero32
 
 __all__ = ["VariationalQ", "VariationalQHeads", "SparseVariationalProcess",
-           "SVP", "MulticlassSVP"]
+           "SVP", "MulticlassSVP", "HeteroscedasticSVP"]
 
 
 class VariationalQ(Hypers):
@@ -612,7 +613,67 @@ class SparseVariationalProcess(StochasticProcess):
         return params, losses
 
 
-class MulticlassSVP(SparseVariationalProcess):
+class _MultiHeadLatent:
+    """Shared algebra for SVP variants with ``n_heads`` latent GPs over
+    ONE kernel and inducing set (softmax classification, heteroscedastic
+    regression): the Kuu Cholesky and whitened cross-solve are computed
+    once per batch, per-head work is batched matmuls over the heads axis,
+    and q(u) is :class:`VariationalQHeads`."""
+
+    n_heads = None  # subclasses set before StochasticProcess.__init__
+
+    def _make_q(self, m):
+        return VariationalQHeads(m, self.n_heads)
+
+    def _latent(self, params, xq, want_cov=False):
+        """Per-head latent q(f) moments at xq: mf (n, H), varf (n, H)
+        [, covf (H, n, n)]."""
+        z = self.f_inducing.value(params)
+        kuu = to_cov(self.f_kernel.cov(params, z))
+        luu = safe_cholesky(kuu)
+        v = solve_lower_triangular(luu, to_num(self.f_kernel.cov(params, z,
+                                                                 xq)))
+        qm, lq = self.f_q.factors(params)          # (H, m), (H, m, m)
+        loc = self.f_location(params, xq)
+        mf = loc[:, None] + jnp.einsum(
+            "mn,cm->nc", v, qm, precision=settings.matmul_precision)
+        lv = jnp.einsum("cji,jn->cin", lq, v,
+                        precision=settings.matmul_precision)
+        if want_cov:
+            kss = to_cov(self.f_kernel.cov(params, xq))
+            base = kss - jnp.matmul(v.T, v,
+                                    precision=settings.matmul_precision)
+            covf = base[None, :, :] + jnp.einsum(
+                "cin,cip->cnp", lv, lv, precision=settings.matmul_precision)
+            return mf, jnp.diagonal(covf, axis1=-2, axis2=-1).T, covf
+        kdiag = self._kernel_diag_only(params, xq)
+        base = to_bounded(kdiag - jnp.sum(v * v, axis=0), zero32)
+        varf = base[:, None] + jnp.sum(lv * lv, axis=1).T
+        return mf, varf
+
+    def _moments(self, params, space, prior):
+        """(mf, varf) both (n, H); the prior is the same scalar GP prior
+        broadcast per head (shared kernel, independent heads)."""
+        if prior:
+            mf0 = self.f_location(params, space)
+            var0 = to_bounded(self._kernel_diag_only(params, space), zero32)
+            shp = (jnp.shape(mf0)[0], self.n_heads)
+            return (jnp.broadcast_to(mf0[:, None], shp),
+                    jnp.broadcast_to(var0[:, None], shp))
+        return self._latent(params, space)
+
+    def th_location(self, prior=False, noise=False):
+        def fn(params, space, inputs, outputs, vector):
+            return self._moments(params, space, prior)[0]
+        return fn
+
+    def th_kernel_diag(self, prior=False, noise=False):
+        def fn(params, space, inputs, outputs, vector):
+            return self._moments(params, space, prior)[1]
+        return fn
+
+
+class MulticlassSVP(_MultiHeadLatent, SparseVariationalProcess):
     """Sparse variational softmax classification over C classes.
 
     >>> svc = g3.MulticlassSVP(space=x, kernel=g3.SE(x), classes=3,
@@ -642,7 +703,7 @@ class MulticlassSVP(SparseVariationalProcess):
 
     def __init__(self, space=None, location=None, kernel=None, classes=3,
                  inducing=32, learn_inducing=True, *args, **kwargs):
-        self.n_classes = int(classes)
+        self.n_classes = self.n_heads = int(classes)
         if "name" not in kwargs:
             kwargs["name"] = "SVC"
         super().__init__(space=space, location=location, kernel=kernel,
@@ -650,60 +711,7 @@ class MulticlassSVP(SparseVariationalProcess):
                          inducing=inducing, learn_inducing=learn_inducing,
                          *args, **kwargs)
 
-    def _make_q(self, m):
-        return VariationalQHeads(m, self.n_classes)
-
-    # -- core math ------------------------------------------------------------
-    def _latent(self, params, xq, want_cov=False):
-        """Per-class latent q(f) moments at xq: mf (n, C), varf (n, C)
-        [, covf (C, n, n)].  The Kuu Cholesky and the whitened cross-solve
-        v = Luu^{-1} K(z, xq) are shared across classes; per-class terms
-        are batched matmuls over the heads axis."""
-        z = self.f_inducing.value(params)
-        kuu = to_cov(self.f_kernel.cov(params, z))
-        luu = safe_cholesky(kuu)
-        v = solve_lower_triangular(luu, to_num(self.f_kernel.cov(params, z,
-                                                                 xq)))
-        qm, lq = self.f_q.factors(params)          # (C, m), (C, m, m)
-        loc = self.f_location(params, xq)
-        mf = loc[:, None] + jnp.einsum(
-            "mn,cm->nc", v, qm, precision=settings.matmul_precision)
-        lv = jnp.einsum("cji,jn->cin", lq, v,
-                        precision=settings.matmul_precision)
-        if want_cov:
-            kss = to_cov(self.f_kernel.cov(params, xq))
-            base = kss - jnp.matmul(v.T, v,
-                                    precision=settings.matmul_precision)
-            covf = base[None, :, :] + jnp.einsum(
-                "cin,cip->cnp", lv, lv, precision=settings.matmul_precision)
-            return mf, jnp.diagonal(covf, axis1=-2, axis2=-1).T, covf
-        kdiag = self._kernel_diag_only(params, xq)
-        base = to_bounded(kdiag - jnp.sum(v * v, axis=0), zero32)
-        varf = base[:, None] + jnp.sum(lv * lv, axis=1).T
-        return mf, varf
-
-    def _moments(self, params, space, prior):
-        """(mf, varf) both (n, C); the prior is the same scalar GP prior
-        broadcast per class (shared kernel, independent heads)."""
-        if prior:
-            mf0 = self.f_location(params, space)
-            var0 = to_bounded(self._kernel_diag_only(params, space), zero32)
-            shp = (jnp.shape(mf0)[0], self.n_classes)
-            return (jnp.broadcast_to(mf0[:, None], shp),
-                    jnp.broadcast_to(var0[:, None], shp))
-        return self._latent(params, space)
-
     # -- moment statistics (trailing class axis) ------------------------------
-    def th_location(self, prior=False, noise=False):
-        def fn(params, space, inputs, outputs, vector):
-            return self._moments(params, space, prior)[0]
-        return fn
-
-    def th_kernel_diag(self, prior=False, noise=False):
-        def fn(params, space, inputs, outputs, vector):
-            return self._moments(params, space, prior)[1]
-        return fn
-
     def th_mean(self, prior=False, noise=False, simulations=None):
         lik = self.f_likelihood
 
@@ -846,6 +854,156 @@ class MulticlassSVP(SparseVariationalProcess):
                                                      settings.floatx))) \
                 / len(y)
         return out
+
+
+class HeteroscedasticSVP(_MultiHeadLatent, SparseVariationalProcess):
+    """Sparse variational heteroscedastic regression: the observation
+    noise is itself a GP.
+
+    >>> het = g3.HeteroscedasticSVP(space=x, kernel=g3.SE(x), inducing=32)
+    >>> het.observed(x, y)                 # y with input-dependent scatter
+    >>> params, _ = het.fit_svgp(batch_size=1024, steps=3000)
+    >>> het.mean(params, xq)               # predictive mean (n,)
+    >>> het.variance(params, xq, noise=True)   # signal + LOCAL noise
+    >>> het.noise_field(params, xq)        # the learned noise-variance map
+
+    Two latent heads over one kernel/inducing set (:class:`_MultiHeadLatent`):
+    f1 is the signal, f2 the log-noise shape, and the likelihood's
+    trainable bias sets the noise level — y ~ N(f1, exp(f2 + b)).  The
+    ELBO data term is fully analytic
+    (:class:`~g3py_tpu.models.likelihoods.HeteroscedasticLik`), so
+    training is exactly the SVP machinery: ``fit_svgp`` (optionally
+    ``mesh=`` data-parallel), ``find_MAP`` polish, ``sample_hypers``.
+    Scalar statistics (mean/variance/median + regression ``scores``) keep
+    the ordinary (n,) shapes — unlike the reference, whose only noise
+    knob is one scalar kernel hyper (reference kernels.py WN/KernelNoise),
+    this resolves WHERE the data is noisy."""
+
+    n_heads = 2
+
+    def __init__(self, space=None, location=None, kernel=None, inducing=32,
+                 learn_inducing=True, *args, **kwargs):
+        if "name" not in kwargs:
+            kwargs["name"] = "HET"
+        super().__init__(space=space, location=location, kernel=kernel,
+                         likelihood=HeteroscedasticLik(),
+                         inducing=inducing, learn_inducing=learn_inducing,
+                         *args, **kwargs)
+
+    # -- scalar moment statistics ---------------------------------------------
+    def th_mean(self, prior=False, noise=False, simulations=None):
+        lik = self.f_likelihood
+
+        def fn(params, space, inputs, outputs, vector):
+            mf, varf = self._moments(params, space, prior)
+            return lik.predictive_moments(params, mf, varf)[0]
+
+        return fn
+
+    def th_median(self, prior=False, noise=False, simulations=None):
+        # gaussian conditional: the predictive is symmetric around m1
+        return self.th_mean(prior=prior, noise=noise)
+
+    def th_variance(self, prior=False, noise=False, simulations=None):
+        lik = self.f_likelihood
+
+        def fn(params, space, inputs, outputs, vector):
+            mf, varf = self._moments(params, space, prior)
+            if noise:
+                return lik.predictive_moments(params, mf, varf)[1]
+            return varf[:, 0]
+
+        return fn
+
+    def th_covariance(self, prior=False, noise=False):
+        lik = self.f_likelihood
+
+        def fn(params, space, inputs, outputs, vector):
+            if prior:
+                covf = to_cov(self.f_kernel.cov(params, space))
+                if not noise:
+                    return covf
+                mf, varf = self._moments(params, space, True)
+            else:
+                mf, varf, covs = self._latent(params, space, want_cov=True)
+                covf = covs[0]
+            if noise:
+                nv = lik.noise_mean(params, mf, varf)
+                covf = covf + jnp.diag(nv)
+            return covf
+
+        return fn
+
+    def th_logpredictive(self, prior=False, noise=False):
+        """sum_i log E_q[N(y_i; f1, exp(f2+b))]: conditional on f2 the f1
+        integral is analytic (N(y; m1, v1 + exp(g))), leaving ONE
+        Gauss-Hermite quadrature over the log-noise head."""
+        lik = self.f_likelihood
+
+        def fn(params, space, inputs, outputs, vector):
+            mf, varf = self._moments(params, space, prior)
+            m1, m2, v1, v2 = lik._split(mf, varf, params)
+            g, w = lik._grid(m2, v2)           # (deg, n), (deg,)
+            tot = v1[None, :] + jnp.exp(jnp.clip(g, -30.0, 30.0))
+            y = jnp.asarray(vector, settings.dtype)[None, :]
+            lp = (-0.5 * (LOG2PI + jnp.log(tot))
+                  - 0.5 * (y - m1[None, :]) ** 2 / tot)
+            per = logsumexp(lp, axis=0, b=jnp.maximum(w, 1e-30)[:, None])
+            return jnp.sum(per)
+
+        return fn
+
+    # -- the learned noise field ----------------------------------------------
+    def noise_field(self, params=None, space=None, prior=False):
+        """Predictive noise-VARIANCE map E[exp(f2 + b)] at the query
+        points (n,) — the quantity this model family exists to resolve."""
+        if params is None:
+            params = self.params
+        if space is None:
+            space = self.space
+        lik = self.f_likelihood
+        mf = np.asarray(self.location(params, space, prior=prior))
+        vf = np.asarray(self.kernel_diag(params, space, prior=prior))
+        pj = {k: jnp.asarray(np.asarray(v)) for k, v in
+              self.filter_params(params).items()}
+        return np.asarray(lik.noise_mean(pj, jnp.asarray(mf),
+                                         jnp.asarray(vf)))
+
+    # -- host-side sampling / quantiles ---------------------------------------
+    def sampler(self, params=None, space=None, inputs=None, outputs=None,
+                samples=1, prior=False, noise=False, rng=None):
+        """(n, samples) y draws: f heads from the mean-field q, then
+        y = f1 + exp((f2+b)/2) xi for ``noise=True`` (``noise=False``
+        returns the signal head draws)."""
+        if params is None:
+            params = self.params
+        if space is None:
+            space = self.space
+        if rng is None:
+            rng = np.random.default_rng(0)
+        mf = np.asarray(self.location(params, space, inputs, outputs,
+                                      prior=prior))
+        sd = np.sqrt(np.maximum(np.asarray(
+            self.kernel_diag(params, space, inputs, outputs, prior=prior)),
+            0.0))
+        f = (mf[:, :, None] + sd[:, :, None]
+             * rng.standard_normal(mf.shape + (samples,)).astype(
+                 settings.floatx))
+        if not noise:
+            return f[:, 0, :]
+        pj = {k: np.asarray(v) for k, v in params.items()}
+        b = float(np.asarray(hval(self.f_likelihood.bias, pj)))
+        s = np.exp(np.clip(0.5 * (f[:, 1, :] + b), -15.0, 15.0))
+        return (f[:, 0, :] + s * rng.standard_normal(s.shape).astype(
+            settings.floatx))
+
+    def quantiler(self, params=None, space=None, inputs=None, outputs=None,
+                  q=0.975, prior=False, noise=False, simulations=None):
+        """Monte-Carlo predictive quantiles through the scale mixture."""
+        draws = self.sampler(params, space, inputs, outputs, samples=500,
+                             prior=prior, noise=noise,
+                             rng=np.random.default_rng(7))
+        return np.quantile(draws, q, axis=-1)
 
 
 SVP = SparseVariationalProcess
