@@ -49,6 +49,7 @@ from .likelihoods import (
     StudentTLik,
     BernoulliLik,
     PoissonLik,
+    OrdinalLik,
     CategoricalLik,
     HeteroscedasticLik,
 )
@@ -113,6 +114,7 @@ __all__ = [
     "StudentTLik",
     "BernoulliLik",
     "PoissonLik",
+    "OrdinalLik",
     "CategoricalLik",
     "HeteroscedasticLik",
     "VariationalQ",

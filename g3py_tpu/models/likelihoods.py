@@ -35,7 +35,8 @@ from ..hypers import Hypers, FlatExp, hval, is_param
 from ..ops.quadrature import hermgauss
 
 __all__ = ["Likelihood", "GaussianLik", "StudentTLik", "BernoulliLik",
-           "PoissonLik", "CategoricalLik", "HeteroscedasticLik"]
+           "PoissonLik", "OrdinalLik", "CategoricalLik",
+           "HeteroscedasticLik"]
 
 LOG2PI = np.log(2.0 * np.pi).astype(np.float32)
 _SQRT2 = np.sqrt(2.0).astype(np.float32)
@@ -292,6 +293,117 @@ class BernoulliLik(Likelihood):
         p = ndtr(jnp.asarray(mu, settings.dtype)
                  / jnp.sqrt(1.0 + jnp.asarray(var, settings.dtype)))
         return p, jnp.maximum(p * (1.0 - p), 0.0)
+
+
+class OrdinalLik(Likelihood):
+    """Cumulative-probit ordinal regression: y in {0, ..., C-1} ORDERED
+    (ratings, grades, severity levels), p(y=k | f) = Phi(b_{k+1} - f) -
+    Phi(b_k - f) with b_0 = -inf < b_1 < ... < b_{C-1} < b_C = +inf.
+
+    The cutpoints are trainable hypers: ``cut`` is b_1 and ``logdelta``
+    the C-2 log-spacings (positivity by construction keeps the ordering).
+    The latent noise scale is fixed to 1 (absorbed by the kernel
+    variance).  Expected log-lik under Gaussian q uses the base-class
+    Gauss-Hermite grid (f is SCALAR per row — no head machinery needed);
+    the predictive CLASS PROBABILITIES are analytic:
+
+        P(y=k) = Phi((b_{k+1} - mu)/sqrt(1+var))
+               - Phi((b_k - mu)/sqrt(1+var)).
+
+    Treating ordered categories as real numbers (regression) ignores the
+    unknown spacing; treating them as unordered (softmax) discards the
+    ordering — this is the standard middle way.  No reference
+    counterpart."""
+
+    def __init__(self, classes, x=None, cut=None, logdelta=None, name=None):
+        self.classes = int(classes)
+        if self.classes < 2:
+            raise ValueError("OrdinalLik needs classes >= 2")
+        self.cut = cut
+        self.logdelta = logdelta
+        super().__init__(x=x, name=name if name is not None else "OrdLik")
+
+    def check_hypers(self, parent=""):
+        from ..hypers import Flat
+
+        self.cut = self._param(self.cut, parent + self.name + "_cut",
+                               Flat())
+        if self.classes > 2:
+            self.logdelta = self._param(
+                self.logdelta, parent + self.name + "_logdelta", Flat(),
+                shape=(self.classes - 2,))
+
+    def default_hypers(self, x=None, y=None):
+        out = {}
+        if is_param(self.cut):
+            out[self.cut] = np.asarray(-(self.classes - 2) / 2.0,
+                                       settings.floatx)
+        if self.classes > 2 and is_param(self.logdelta):
+            out[self.logdelta] = np.zeros((self.classes - 2,),
+                                          settings.floatx)
+        return out
+
+    def _cuts(self, params):
+        """Finite interior cutpoints (C-1,): b_1, b_1+e^d_1, ..."""
+        b1 = jnp.asarray(hval(self.cut, params), settings.dtype)
+        if self.classes == 2:
+            return b1[None]
+        d = jnp.exp(jnp.asarray(hval(self.logdelta, params),
+                                settings.dtype))
+        return jnp.concatenate([b1[None], b1 + jnp.cumsum(d)])
+
+    def _bin_probs(self, params, f):
+        """p(y=k | f) for all k: (..., C), stable via ndtr diffs."""
+        b = self._cuts(params)                      # (C-1,)
+        cdf = ndtr(b - f[..., None])                # (..., C-1)
+        lo = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+        hi = jnp.concatenate([cdf, jnp.ones_like(cdf[..., :1])], axis=-1)
+        return jnp.maximum(hi - lo, 1e-30)
+
+    def logp_elem(self, params, y, f):
+        yi = jnp.asarray(y, jnp.int32)
+        p = self._bin_probs(params, jnp.asarray(f, settings.dtype))
+        yb = jnp.broadcast_to(yi, jnp.shape(f))
+        return jnp.log(jnp.take_along_axis(p, yb[..., None],
+                                           axis=-1)[..., 0])
+
+    def probs(self, params, mu, var):
+        """Analytic P(y*=k) under Gaussian q: (n, C)."""
+        mu = jnp.asarray(mu, settings.dtype)
+        sd = jnp.sqrt(1.0 + jnp.asarray(var, settings.dtype))
+        b = self._cuts(params)
+        cdf = ndtr((b[None, :] - mu[:, None]) / sd[:, None])
+        lo = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
+        hi = jnp.concatenate([cdf, jnp.ones_like(cdf[:, :1])], axis=-1)
+        return jnp.maximum(hi - lo, 0.0)
+
+    def cond_mean(self, params, f):
+        p = self._bin_probs(params, jnp.asarray(f, settings.dtype))
+        k = jnp.arange(self.classes, dtype=settings.dtype)
+        return jnp.sum(p * k, axis=-1)
+
+    def cond_var(self, params, f):
+        p = self._bin_probs(params, jnp.asarray(f, settings.dtype))
+        k = jnp.arange(self.classes, dtype=settings.dtype)
+        m = jnp.sum(p * k, axis=-1)
+        return jnp.maximum(jnp.sum(p * k * k, axis=-1) - m * m, 0.0)
+
+    def predictive_moments(self, params, mu, var):
+        """Analytic E[y*], Var[y*] from the exact class probabilities."""
+        p = self.probs(params, mu, var)
+        k = jnp.arange(self.classes, dtype=settings.dtype)
+        m = jnp.sum(p * k, axis=-1)
+        v = jnp.maximum(jnp.sum(p * k * k, axis=-1) - m * m, 0.0)
+        return m, v
+
+    def check_targets(self, y):
+        ya = np.asarray(y)
+        if not np.allclose(ya, np.round(ya), atol=1e-6):
+            raise ValueError(
+                "OrdinalLik targets must be integer ordinal levels")
+        if np.any(ya < 0) or np.any(ya > self.classes - 1):
+            raise ValueError(
+                f"OrdinalLik targets must lie in [0, {self.classes - 1}]")
 
 
 class HeteroscedasticLik(Likelihood):

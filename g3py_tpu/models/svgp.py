@@ -52,8 +52,8 @@ from ..ops.linalg import safe_cholesky, solve_lower_triangular
 from .elliptical import _contains_kernel_noise
 from .gaussian import GUARD
 from .likelihoods import (LOG2PI, GaussianLik, Likelihood, StudentTLik,
-                          BernoulliLik, PoissonLik, CategoricalLik,
-                          HeteroscedasticLik)
+                          BernoulliLik, PoissonLik, OrdinalLik,
+                          CategoricalLik, HeteroscedasticLik)
 from .sparse import (make_inducing, signal_kernel_diag,
                      _sharded_data_layout, _sharded_draw_factory)
 from .stochastic import StochasticProcess, zero32
@@ -297,7 +297,8 @@ class SparseVariationalProcess(StochasticProcess):
 
     def th_median(self, prior=False, noise=False, simulations=None):
         # mean == median only for symmetric conditionals
-        if isinstance(self.f_likelihood, (BernoulliLik, PoissonLik)):
+        if isinstance(self.f_likelihood,
+                      (BernoulliLik, PoissonLik, OrdinalLik)):
             return None
         return self.th_mean(prior=prior, noise=noise)
 
@@ -373,6 +374,36 @@ class SparseVariationalProcess(StochasticProcess):
         (and exported artifacts carry only the m-sized arrays)."""
         return {}
 
+    # -- classification conveniences -------------------------------------------
+    def predict_proba(self, params=None, space=None, prior=False):
+        """Predictive class-probability matrix (n, C), for likelihoods
+        whose class probabilities are analytic under Gaussian q(f):
+        :class:`BernoulliLik` (columns [P(y=0), P(y=1)]) and
+        :class:`OrdinalLik` (C ordered levels).  Mirrors
+        :meth:`MulticlassSVP.predict_proba`."""
+        lik = self.f_likelihood
+        if params is None:
+            params = self.params
+        if space is None:
+            space = self.space
+        mf = np.asarray(self.location(params, space, prior=prior))
+        varf = np.asarray(self.kernel_diag(params, space, prior=prior))
+        if isinstance(lik, BernoulliLik):
+            p1 = np.asarray(lik.predictive_moments(params, mf, varf)[0])
+            return np.stack([1.0 - p1, p1], axis=-1)
+        if isinstance(lik, OrdinalLik):
+            pj = {k: np.asarray(v) for k, v in params.items()}
+            return np.asarray(lik.probs(pj, mf, varf))
+        raise ValueError(
+            "predict_proba needs a classification likelihood with "
+            "analytic class probabilities (Bernoulli/Ordinal), got "
+            f"{type(lik).__name__}")
+
+    def predict_class(self, params=None, space=None, prior=False):
+        """argmax-probability class labels (n,) int."""
+        return np.argmax(self.predict_proba(params, space, prior=prior),
+                         axis=-1)
+
     def predictor(self, params=None):
         """Serving wrapper (models/predictor.py): baked params, fused
         statistic bundles, AOT ``export``.  No factorization to reuse here
@@ -411,6 +442,14 @@ class SparseVariationalProcess(StochasticProcess):
             return (rng.uniform(size=f.shape) < p).astype(settings.floatx)
         if isinstance(lik, PoissonLik):
             return rng.poisson(np.exp(np.clip(f, -30, 30))).astype(
+                settings.floatx)
+        if isinstance(lik, OrdinalLik):
+            # y | f: count how many interior cutpoints the latent-plus-
+            # probit-noise draw clears (equivalent to categorical sampling
+            # from the bin probabilities, but one uniform per draw)
+            b = np.asarray(lik._cuts(pj))                     # (C-1,)
+            g = f + rng.standard_normal(f.shape).astype(settings.floatx)
+            return np.sum(g[..., None] > b, axis=-1).astype(
                 settings.floatx)
         if isinstance(lik, StudentTLik):
             s2 = float(np.maximum(hval(lik.var, pj), 1e-10))

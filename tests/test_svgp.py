@@ -347,3 +347,92 @@ class TestSVPGuards:
         qm_key = [k for k in p if k.endswith("_Q_qm")][0]
         p[qm_key] = np.full_like(p[qm_key], np.nan)
         assert float(svp.loglike(p)) <= -1e29
+
+
+class TestOrdinalSVP:
+    """Cumulative-probit ordinal regression (likelihoods.py OrdinalLik).
+    No reference counterpart (the reference has no discrete likelihoods
+    at all)."""
+
+    def _ordinal_data(self, rng, n=1200):
+        x = rng.standard_normal((n, 2)).astype(np.float32)
+        f = 1.5 * np.sin(1.5 * x[:, 0]) + 0.8 * x[:, 1]
+        g = f + rng.standard_normal(n)
+        y = np.digitize(g, [-1.5, 0.0, 1.2]).astype(np.float32)
+        return x, y, f
+
+    def test_fit_recovers_cut_spacings_and_classifies(self, rng):
+        """The latent f is identified only up to shift (absorbed by the
+        Bias location), so the CUT SPACINGS are the recoverable
+        quantities; prediction quality vs the Bayes classifier built
+        from the true latent is the end-to-end check."""
+        x, y, f = self._ordinal_data(rng)
+        lik = g3.OrdinalLik(4)
+        mod = g3.SVP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     likelihood=lik, inducing=x[::len(x) // 32][:32],
+                     name="TOrd")
+        mod.observed(x, y)
+        params, losses = mod.fit_svgp(batch_size=256, steps=800, lr=3e-2,
+                                      key=0, display=False)
+        assert losses[-1] < losses[0]
+        pj = {k: np.asarray(v) for k, v in params.items()}
+        cuts = np.asarray(lik._cuts(pj))
+        assert np.all(np.diff(cuts) > 0)  # ordering by construction
+        np.testing.assert_allclose(np.diff(cuts), [1.5, 1.2], atol=0.45)
+        probs = mod.predict_proba(params, x[:400])
+        assert probs.shape == (400, 4)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+        acc = np.mean(mod.predict_class(params, x[:400]) == y[:400])
+        # Bayes classifier from the TRUE latent (argmax bin prob)
+        from scipy import stats
+        cdf = stats.norm.cdf(np.array([-1.5, 0.0, 1.2])[None, :]
+                             - f[:400, None])
+        pb = np.diff(np.concatenate([np.zeros((400, 1)), cdf,
+                                     np.ones((400, 1))], axis=1), axis=1)
+        bayes = np.mean(np.argmax(pb, -1) == y[:400])
+        assert acc > 0.85 * bayes
+
+    def test_analytic_probs_match_quadrature(self, rng):
+        lik = g3.OrdinalLik(5)
+        lik.check_hypers("T5_")
+        p = {k.name: np.asarray(v) for k, v in
+             lik.default_hypers().items()}
+        mu = np.linspace(-2, 2, 7).astype(np.float32)
+        var = np.linspace(0.1, 2.0, 7).astype(np.float32)
+        m_a, v_a = lik.predictive_moments(p, mu, var)
+        m_q, v_q = g3.Likelihood.predictive_moments(lik, p, mu, var)
+        np.testing.assert_allclose(np.asarray(m_a), np.asarray(m_q),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v_a), np.asarray(v_q),
+                                   atol=1e-4)
+        probs = np.asarray(lik.probs(p, mu, var))
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-6)
+
+    def test_sampler_frequencies_match_analytic_probs(self, rng):
+        x, y, _ = self._ordinal_data(rng, n=200)
+        lik = g3.OrdinalLik(4)
+        mod = g3.SVP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                     likelihood=lik, inducing=8, name="TOs")
+        mod.observed(x, y)
+        params = mod.params_default
+        draws = mod.sampler(params, x[:5], samples=4000, noise=True,
+                            rng=np.random.default_rng(3))
+        assert set(np.unique(draws)) <= {0.0, 1.0, 2.0, 3.0}
+        probs = mod.predict_proba(params, x[:5])
+        for i in range(5):
+            emp = np.bincount(draws[i].astype(int), minlength=4) / 4000.0
+            np.testing.assert_allclose(emp, probs[i], atol=0.04)
+
+    def test_target_validation_and_median(self, rng):
+        x, _, _ = self._ordinal_data(rng, n=50)
+        mod = g3.SVP(space=x[:4], kernel=g3.SE(x),
+                     likelihood=g3.OrdinalLik(3), inducing=8, name="TOv")
+        with pytest.raises(ValueError, match="must lie in"):
+            mod.observed(x, np.full(50, 5.0, np.float32))
+        with pytest.raises(ValueError, match="integer ordinal"):
+            mod.observed(x, np.full(50, 0.5, np.float32))
+        with pytest.raises(ValueError, match="classes >= 2"):
+            g3.OrdinalLik(1)
+        assert mod.th_median() is None
+        with pytest.raises(ValueError, match="additive-noise"):
+            mod.th_covariance(noise=True)
