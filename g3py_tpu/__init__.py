@@ -233,6 +233,13 @@ from .models import (
     SparseVariationalProcess,
     MulticlassSVP,
     HeteroscedasticSVP,
+    Mixing,
+    MultiGaussianLik,
+    LMCSVP,
+    with_output,
+    stack_outputs,
+    StateSpaceGP,
+    SSGP,
     GP,
     WGP,
     TP,

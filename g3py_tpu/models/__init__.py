@@ -60,6 +60,14 @@ from .svgp import (
     MulticlassSVP,
     HeteroscedasticSVP,
 )
+from .lmc import (
+    Mixing,
+    MultiGaussianLik,
+    LMCSVP,
+    with_output,
+    stack_outputs,
+)
+from .statespace import StateSpaceGP, SSGP
 
 # aliases (reference processes/__init__.py:9-16)
 GP = GaussianProcess
@@ -122,6 +130,13 @@ __all__ = [
     "SparseVariationalProcess",
     "MulticlassSVP",
     "HeteroscedasticSVP",
+    "Mixing",
+    "MultiGaussianLik",
+    "LMCSVP",
+    "with_output",
+    "stack_outputs",
+    "StateSpaceGP",
+    "SSGP",
     "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP", "SGP", "SWGP",
     "SVP",
 ]

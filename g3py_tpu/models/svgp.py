@@ -244,16 +244,25 @@ class SparseVariationalProcess(StochasticProcess):
         return mf, varf
 
     # -- the bound ------------------------------------------------------------
+    def _ell(self, params, xb, yb, w=None):
+        """Expected log-likelihood sum over a batch of rows (the ELBO data
+        term; subclass hook — LMC redefines it with per-row output
+        mixing).  ``w`` is an optional per-row weight vector (the sharded
+        trainer's padding mask)."""
+        mf, varf = self._latent(params, xb)
+        e = self.f_likelihood.expected_logp(params, yb, mf, varf)
+        if w is not None:
+            e = e * w
+        return jnp.sum(e)
+
     def th_loglike_fn(self):
         """The uncollapsed ELBO (this process's ``loglike``): a true lower
         bound on log p(y | hypers), tight as q approaches the exact
         posterior.  Guarded like every logp in the library (non-finite ->
         -1e30 with zero gradient)."""
-        lik = self.f_likelihood
 
         def fn(params, space, inputs, outputs):
-            mf, varf = self._latent(params, inputs)
-            ell = jnp.sum(lik.expected_logp(params, outputs, mf, varf))
+            ell = self._ell(params, inputs, outputs)
             elbo = ell - self.f_q.kl(params)
             bad = ~jnp.isfinite(elbo)
             return jnp.where(bad, GUARD, to_num(elbo, nan=GUARD,
@@ -526,7 +535,6 @@ class SparseVariationalProcess(StochasticProcess):
         y_all = jnp.asarray(self._outputs)
         n = x_all.shape[0]
         bs = int(min(batch_size, n))
-        lik = self.f_likelihood
         prior_pure = self._logp_pure(prior=True)
         vec0 = jnp.zeros(0, dtype=settings.dtype)
         scale = n / bs
@@ -535,8 +543,7 @@ class SparseVariationalProcess(StochasticProcess):
             p = reg.array_to_dict_jax(u)
             xb = x_all[idx]
             yb = y_all[idx]
-            mf, varf = self._latent(p, xb)
-            ell = jnp.sum(lik.expected_logp(p, yb, mf, varf))
+            ell = self._ell(p, xb, yb)
             elbo = (scale * ell - self.f_q.kl(p)
                     + prior_pure(p, xb, xb, yb, vec0))
             return -to_num(elbo, nan=GUARD, posinf=GUARD, neginf=GUARD)
@@ -597,7 +604,6 @@ class SparseVariationalProcess(StochasticProcess):
         bs = int(min(batch_size, n))
         bs_local = max(bs // ndev, 1)
         full_batch = bs >= n
-        lik = self.f_likelihood
         prior_pure = self._logp_pure(prior=True)
         vec0 = jnp.zeros(0, dtype=settings.dtype)
 
@@ -605,8 +611,7 @@ class SparseVariationalProcess(StochasticProcess):
             p = reg.array_to_dict_jax(u)
             xb = x_loc[idx]
             yb = y_loc[idx]
-            mf, varf = self._latent(p, xb)
-            ell = jnp.sum(lik.expected_logp(p, yb, mf, varf) * w)
+            ell = self._ell(p, xb, yb, w=w)
             share = (scale_l * ell
                      + (prior_pure(p, xb, xb, yb, vec0)
                         - self.f_q.kl(p)) / ndev)
