@@ -47,6 +47,10 @@ class Settings:
     logp_guard: float = -1e30
     quadrature_degree: int = 10
     mc_simulations: int = 30
+    # Cosine harmonics kept in the state-space expansion of the SIN
+    # (exp-sin^2 periodic) kernel (ops/ssm.py PeriodicLeaf); truncation
+    # tail is sum_{j>J} 2 e^{-r} I_j(r) — keep J >= rate + ~8.
+    ssm_harmonics: int = 7
     plot_big: bool = False
     # Fused Pallas gram kernels on ARD_L2 (TPU only, tile-aligned shapes;
     # transparent XLA fallback otherwise).  True = families measured at

@@ -53,10 +53,12 @@ class StateSpaceGP(StochasticProcess):
     """Exact 1-D Markovian GP via parallel Kalman filtering/smoothing."""
 
     def __init__(self, space=None, location=None, kernel=None,
-                 *args, **kwargs):
+                 harmonics=None, *args, **kwargs):
         self.f_location = location if location is not None else Zero()
         self.f_kernel = kernel
-        self._leaves = ssm_leaves(kernel)   # validates the kernel tree
+        # validates the kernel tree; ``harmonics`` truncates the SIN
+        # (periodic) leaf's cosine expansion (default settings.ssm_harmonics)
+        self._leaves = ssm_leaves(kernel, harmonics=harmonics)
         # name matches the dense GP(noisy=True) wrapper (elliptical.py:74)
         # so param dicts transfer between the two families verbatim
         self.f_noise = KernelNoise(name="Noise")
@@ -122,14 +124,18 @@ class StateSpaceGP(StochasticProcess):
         r = self._noise_var(params)
         _nll, m_f, p_f = parallel_kalman_nll(a, q, h, r, ys, os_)
         m_s, p_s = parallel_smoother(a, q, m_f, p_f)
-        mean = jnp.einsum("ni,i->n", m_s, h)
-        var = jnp.einsum("i,nij,j->n", h, p_s, h)
+        # tiny-axis reductions stay on the VPU in full f32 (ops/ssm._bmm)
+        mean = jnp.sum(m_s * h, axis=-1)
+        var = jnp.sum(jnp.sum(p_s * h, axis=-1) * h, axis=-1)
         inv = jnp.argsort(order)
         qpos = inv[n_obs:]
         return mean[qpos], jnp.maximum(var[qpos], zero32)
 
     def _prior_diag(self, params, nq):
-        v = sum(leaf.values(params)[0] for leaf in self._leaves)
+        """Stationary variance H Pinf H' (the prior marginal at any t)."""
+        dt0 = jnp.zeros(1, settings.dtype)
+        _a, _q, pinf, h = ssm_blocks(self._leaves, params, dt0)
+        v = jnp.sum(jnp.sum(pinf * h, axis=-1) * h)
         return jnp.broadcast_to(v, (nq,))
 
     # -- the exact marginal likelihood --------------------------------------------

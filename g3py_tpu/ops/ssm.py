@@ -1,28 +1,36 @@
-"""State-space (SDE) representation of 1-D Matern GPs + parallel Kalman.
+"""State-space (SDE) representation of 1-D stationary GPs + parallel Kalman.
 
-A stationary GP on a 1-D input with an OU / Matern-3/2 / Matern-5/2
-kernel (or a sum of them) is EXACTLY a linear-Gaussian state-space model
-(Hartikainen & Sarkka 2010): a latent state z(t) in R^s follows a linear
-SDE whose first component has the kernel as its stationary covariance.
-Exact GP regression then costs O(n s^3) instead of O(n^3) — and on TPU
-the sequential Kalman recursion is replaced by the PARALLEL-IN-TIME form
-of Sarkka & Garcia-Fernandez, "Temporal Parallelization of Bayesian
-Smoothers" (IEEE TAC 2021): filtering and smoothing are associative
-scans, O(log n) depth on hardware, mapping directly onto
-``jax.lax.associative_scan``.  This is the TPU-native answer to the
-reference's only scaling strategy — subsampling (reference
+A stationary GP on a 1-D input with an OU / Matern-3/2 / Matern-5/2 /
+cosine / periodic kernel (or sums and products of them) is EXACTLY (or,
+for the exp-sin^2 periodic, to a truncated-harmonic tolerance) a
+linear-Gaussian state-space model (Hartikainen & Sarkka 2010; Solin &
+Sarkka 2014 for the periodic expansion): a latent state z(t) in R^s
+follows a linear SDE whose H-projection has the kernel as its stationary
+covariance.  Exact GP regression then costs O(n s^3) instead of O(n^3) —
+and on TPU the sequential Kalman recursion is replaced by the
+PARALLEL-IN-TIME form of Sarkka & Garcia-Fernandez, "Temporal
+Parallelization of Bayesian Smoothers" (IEEE TAC 2021): filtering and
+smoothing are associative scans, O(log n) depth on hardware, mapping
+directly onto ``jax.lax.associative_scan``.  This is the TPU-native
+answer to the reference's only scaling strategy — subsampling (reference
 data.py:129-190) — for the time-series datasets the reference itself
 ships (sunspots, CO2, EURUSD): EXACT inference at N=1e6 in milliseconds.
 
 Kernel parametrization matches this library's dense forms exactly
 (hypers/kernels.py, hypers/metrics.py) so the SSM NLL equals the dense
-``mvn_quad_logdet`` NLL to float32 rounding:
+``mvn_quad_logdet`` NLL to float32 rounding (tested):
 
 * ``OU``     (ARD_L1): k = v exp(-r|t|)                  -> lambda = r
 * ``MAT32``  (ARD_L2): d3 = sqrt(1.5) r |t|              -> lambda = sqrt(1.5) r
 * ``MAT52``  (ARD_L2): d5 = sqrt(2.5) r |t|              -> lambda = sqrt(2.5) r
+* ``COS``    (Difference): k = v cos(2 pi f t)           -> 2-D rotation
+* ``SIN``    (exp-sin^2): k = v exp(-2 r sin^2(pi f t))
+             = v e^{-r} [I_0(r) + 2 sum_j I_j(r) cos(2 pi f j t)]
+             (EXACT Bessel identity; truncated at ``harmonics`` J)
+* products of the above (KernelProd): Kronecker state composition —
+  H(A1 (x) A2)(P1 (x) P2)H' = k1 k2, the quasi-periodic construction.
 
-State blocks (companion form, z = (f, f', ...), H picks the first
+Matern state blocks (companion form, z = (f, f', ...), H picks the first
 component):
 
 * OU:     s=1, A = e^{-c},                      Pinf = v
@@ -35,25 +43,40 @@ the series is finite and exactly differentiable).
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.scipy.special import gammaln
 
 from ..config import settings
 from ..hypers import hval
 
 __all__ = ["ssm_leaves", "ssm_blocks", "parallel_kalman_nll",
-           "parallel_smoother", "SSMLeaf"]
+           "parallel_smoother", "parallel_kalman_filter", "SSMLeaf",
+           "periodic_coefficients"]
 
 LOG2PI = np.log(2.0 * np.pi)
+TWOPI = 2.0 * np.pi
+
+
+# ---------------------------------------------------------------------------
+# leaves: per-kernel-component SSM descriptions
+# ---------------------------------------------------------------------------
 
 
 class SSMLeaf:
-    """One additive kernel component's SSM description: the state
-    dimension, and how to read (variance, lambda) out of a params dict.
-    Holds the kernel leaf itself — its ``var``/``metric.rate`` hyper
-    slots are only populated at ``check_hypers`` time, after the leaf
-    walk runs in the process constructor."""
+    """One kernel component's SSM description.  ``blocks(params, dt)``
+    returns the discretized transition stack ``A`` (n, s, s), the
+    stationary covariance ``Pinf`` (s, s) and the measurement row ``H``
+    (s,); the component's stationary variance is ``H Pinf H'``."""
+
+    dim = 0
+
+    def blocks(self, params, dt):
+        raise NotImplementedError
+
+
+class MaternLeaf(SSMLeaf):
+    """OU / Matern-3/2 / Matern-5/2 companion-form blocks."""
 
     def __init__(self, family, kernel, lam_scale, dim):
         self.family = family          # 'ou' | 'mat32' | 'mat52'
@@ -62,24 +85,223 @@ class SSMLeaf:
         self.dim = int(dim)
 
     def values(self, params):
-        """(variance, lambda) as jax scalars."""
+        """(variance, lambda) as jax scalars.  The kernel leaf's
+        ``var``/``metric.rate`` hyper slots are only populated at
+        ``check_hypers`` time, after the leaf walk runs in the process
+        constructor."""
         v = jnp.asarray(hval(self.kernel.var, params),
                         settings.dtype).reshape(())
         r = jnp.asarray(hval(self.kernel.metric.rate, params),
                         settings.dtype).reshape(())
         return v, self.lam_scale * r
 
+    def blocks(self, params, dt):
+        v, lam = self.values(params)
+        c = lam * dt
+        e = jnp.exp(-c)
+        if self.family == "ou":
+            a = e[:, None, None]
+            return a, v.reshape(1, 1), np.ones(1, settings.floatx)
+        if self.family == "mat32":
+            # N = F + lam I, F = [[0, 1], [-lam^2, -2 lam]]; N^2 = 0
+            n_mat = jnp.stack([
+                jnp.stack([lam, jnp.ones_like(lam)]),
+                jnp.stack([-lam * lam, -lam]),
+            ])                                         # (2, 2)
+            eye = jnp.eye(2, dtype=settings.dtype)
+            a = e[:, None, None] * (eye[None]
+                                    + dt[:, None, None] * n_mat[None])
+            pinf = jnp.diag(jnp.stack([v, v * lam * lam]))
+            h = np.zeros(2, settings.floatx)
+            h[0] = 1.0
+            return a, pinf, h
+        # mat52: F = [[0,1,0],[0,0,1],[-l^3,-3l^2,-3l]]; N = F + l I,
+        # N^3 = 0 (triple eigenvalue), so expm is the finite series below
+        z = jnp.zeros_like(lam)
+        one = jnp.ones_like(lam)
+        n_mat = jnp.stack([
+            jnp.stack([lam, one, z]),
+            jnp.stack([z, lam, one]),
+            jnp.stack([-lam ** 3, -3.0 * lam * lam, -2.0 * lam]),
+        ])                                             # (3, 3)
+        n2 = jnp.matmul(n_mat, n_mat,
+                        precision=settings.matmul_precision)
+        eye = jnp.eye(3, dtype=settings.dtype)
+        a = e[:, None, None] * (eye[None]
+                                + dt[:, None, None] * n_mat[None]
+                                + 0.5 * (dt ** 2)[:, None, None] * n2[None])
+        l2 = lam * lam
+        k13 = -v * l2 / 3.0
+        pinf = jnp.stack([
+            jnp.stack([v, z, k13]),
+            jnp.stack([z, v * l2 / 3.0, z]),
+            jnp.stack([k13, z, v * l2 * l2]),
+        ])
+        h = np.zeros(3, settings.floatx)
+        h[0] = 1.0
+        return a, pinf, h
 
-def ssm_leaves(kernel):
-    """Host-side walk of an additive kernel tree into :class:`SSMLeaf`
-    blocks.  Supported leaves: OU, MAT32, MAT52 on their default ARD
-    metrics over ONE input dimension; composition: KernelSum.  Raises a
-    loud error naming the unsupported part otherwise (SE has no finite
-    state-space form; use MAT52 — within f32 noise of SE for smooth
-    data — or the dense/sparse families)."""
-    from ..hypers.kernels import OU, MAT32, MAT52, KernelSum
+
+def _rotation_stack(omega, dt):
+    """(n, 2, 2) rotation matrices by angle omega*dt (the cosine
+    kernel's exact transition: H A(tau) Pinf H' = v cos(omega tau))."""
+    th = omega * dt
+    c, s = jnp.cos(th), jnp.sin(th)
+    return jnp.stack([jnp.stack([c, -s], axis=-1),
+                      jnp.stack([s, c], axis=-1)], axis=-2)
+
+
+class CosLeaf(SSMLeaf):
+    """COS kernel (kernels.py COS: v cos(2 pi f tau)): exact 2-D
+    rotation state, Q = 0."""
+
+    dim = 2
+
+    def __init__(self, kernel):
+        self.kernel = kernel
+
+    def blocks(self, params, dt):
+        v = jnp.asarray(hval(self.kernel.var, params),
+                        settings.dtype).reshape(())
+        f = jnp.asarray(hval(self.kernel.freq, params),
+                        settings.dtype).reshape(())
+        a = _rotation_stack(TWOPI * f, dt)
+        pinf = v * jnp.eye(2, dtype=settings.dtype)
+        h = np.zeros(2, settings.floatx)
+        h[0] = 1.0
+        return a, pinf, h
+
+
+def periodic_coefficients(r, harmonics, terms=64):
+    """Harmonic variances of the exp-sin^2 periodic kernel: ``c`` with
+    ``c[0] = e^{-r} I_0(r)``, ``c[j] = 2 e^{-r} I_j(r)`` so that
+    exp(-2 r sin^2(pi f tau)) = sum_j c_j cos(2 pi f j tau) EXACTLY as
+    harmonics -> inf (the Jacobi-Anger / modified-Bessel identity).
+
+    Computed by the ascending series of I_j in the log domain (each term
+    exp((2k+j) ln(r/2) - lgamma(k+1) - lgamma(k+j+1) - r), bounded by 1),
+    differentiable in ``r`` and accurate in f32 for r up to ~30 with the
+    default 64 terms — far beyond any trainable periodic lengthscale."""
+    r = jnp.asarray(r, settings.dtype).reshape(())
+    j = jnp.arange(harmonics + 1, dtype=settings.dtype)[:, None]
+    k = jnp.arange(terms, dtype=settings.dtype)[None, :]
+    # guard ln(r/2) at r->0: terms with 2k+j>0 vanish anyway
+    logr2 = jnp.log(jnp.maximum(r, 1e-30) / 2.0)
+    logterm = ((2.0 * k + j) * logr2 - gammaln(k + 1.0)
+               - gammaln(k + j + 1.0) - r)
+    i_scaled = jnp.sum(jnp.exp(logterm), axis=1)       # e^{-r} I_j(r)
+    scale = jnp.concatenate([jnp.ones(1, settings.dtype),
+                             jnp.full((harmonics,), 2.0, settings.dtype)])
+    return scale * i_scaled
+
+
+class PeriodicLeaf(SSMLeaf):
+    """SIN kernel (kernels.py SIN: v exp(-2 r sin^2(pi f tau))) as a
+    truncated sum of ``harmonics`` cosine blocks plus a constant (j=0)
+    state.  The truncation tail is sum_{j>J} 2 e^{-r} I_j(r) — below f32
+    resolution for J >= ~r + 8."""
+
+    def __init__(self, kernel, harmonics):
+        self.kernel = kernel
+        self.harmonics = int(harmonics)
+        self.dim = 1 + 2 * self.harmonics
+
+    def blocks(self, params, dt):
+        v = jnp.asarray(hval(self.kernel.var, params),
+                        settings.dtype).reshape(())
+        f = jnp.asarray(hval(self.kernel.freq, params),
+                        settings.dtype).reshape(())
+        r = jnp.asarray(hval(self.kernel.rate, params),
+                        settings.dtype).reshape(())
+        c = periodic_coefficients(r, self.harmonics)
+        n = dt.shape[0]
+        s = self.dim
+        a = jnp.zeros((n, s, s), settings.dtype)
+        pinf = jnp.zeros((s, s), settings.dtype)
+        h = np.zeros(s, settings.floatx)
+        # j = 0: random constant (A = 1, Pinf = v c_0)
+        a = a.at[:, 0, 0].set(1.0)
+        pinf = pinf.at[0, 0].set(v * c[0])
+        h[0] = 1.0
+        for jh in range(1, self.harmonics + 1):
+            o = 1 + 2 * (jh - 1)
+            a = a.at[:, o:o + 2, o:o + 2].set(
+                _rotation_stack(TWOPI * f * jh, dt))
+            pinf = pinf.at[o, o].set(v * c[jh])
+            pinf = pinf.at[o + 1, o + 1].set(v * c[jh])
+            h[o] = 1.0
+        return a, pinf, h
+
+
+class ProductLeaf(SSMLeaf):
+    """Kernel product via Kronecker state composition: for SSM kernels
+    k1, k2 with blocks (A_i, P_i, H_i), the product kernel k1 k2 has
+    blocks (A1 (x) A2, P1 (x) P2, H1 (x) H2) — then H A(tau) P H' =
+    (H1 A1 P1 H1')(H2 A2 P2 H2') = k1(tau) k2(tau).  This is the
+    quasi-periodic construction (Solin & Sarkka 2014): SIN * MAT32 gives
+    a periodic pattern whose shape drifts on the Matern timescale."""
+
+    def __init__(self, left, right):
+        self.left = left
+        self.right = right
+        self.dim = left.dim * right.dim
+
+    def blocks(self, params, dt):
+        a1, p1, h1 = self.left.blocks(params, dt)
+        a2, p2, h2 = self.right.blocks(params, dt)
+        n = dt.shape[0]
+        # Kronecker products as pure broadcasts (no contraction)
+        a = (a1[:, :, None, :, None] * a2[:, None, :, None, :]).reshape(
+            n, self.dim, self.dim)
+        pinf = (p1[:, None, :, None] * p2[None, :, None, :]).reshape(
+            self.dim, self.dim)
+        h = np.kron(h1, h2).astype(settings.floatx)
+        return a, pinf, h
+
+
+def _leaf_of(k, harmonics):
+    """One non-composite kernel -> SSMLeaf, or raise naming the part."""
+    from ..hypers.kernels import OU, MAT32, MAT52, COS, SIN, KernelProd
     from ..hypers.metrics import ARD_L1, ARD_L2
 
+    if isinstance(k, KernelProd):
+        return ProductLeaf(_leaf_of(k.k1, harmonics),
+                           _leaf_of(k.k2, harmonics))
+    if isinstance(k, MAT32) or isinstance(k, MAT52):
+        if type(k.metric) is not ARD_L2:
+            raise ValueError(
+                f"{type(k).__name__} needs its default ARD_L2 metric "
+                "for the state-space form")
+        fam = "mat32" if isinstance(k, MAT32) else "mat52"
+        scale = np.sqrt(1.5) if fam == "mat32" else np.sqrt(2.5)
+        return MaternLeaf(fam, k, scale, 2 if fam == "mat32" else 3)
+    if isinstance(k, OU):
+        if type(k.metric) is not ARD_L1:
+            raise ValueError(
+                "OU needs its default ARD_L1 metric for the "
+                "state-space form")
+        return MaternLeaf("ou", k, 1.0, 1)
+    if isinstance(k, COS):
+        return CosLeaf(k)
+    if isinstance(k, SIN):
+        return PeriodicLeaf(k, harmonics)
+    raise ValueError(
+        f"kernel part {type(k).__name__} has no state-space "
+        "form (supported: OU, MAT32, MAT52, COS, SIN and their sums/"
+        "products; SE is not Markovian — approximate it with MAT52 or "
+        "use the dense/sparse families)")
+
+
+def ssm_leaves(kernel, harmonics=None):
+    """Host-side walk of a kernel tree into :class:`SSMLeaf` blocks.
+    Sums (KernelSum) become additive block-diagonal leaves; products
+    (KernelProd) become Kronecker :class:`ProductLeaf`; supported
+    atoms: OU, MAT32, MAT52, COS, SIN (truncated at ``harmonics``
+    cosine terms, default ``settings.ssm_harmonics``)."""
+    from ..hypers.kernels import KernelSum
+
+    if harmonics is None:
+        harmonics = getattr(settings, "ssm_harmonics", 7)
     out = []
     stack = [kernel]
     while stack:
@@ -87,69 +309,8 @@ def ssm_leaves(kernel):
         if isinstance(k, KernelSum):
             stack = [k.k1, k.k2] + stack
             continue
-        if isinstance(k, MAT32) or isinstance(k, MAT52):
-            if type(k.metric) is not ARD_L2:
-                raise ValueError(
-                    f"{type(k).__name__} needs its default ARD_L2 metric "
-                    "for the state-space form")
-            fam = "mat32" if isinstance(k, MAT32) else "mat52"
-            scale = np.sqrt(1.5) if fam == "mat32" else np.sqrt(2.5)
-            out.append(SSMLeaf(fam, k, scale, 2 if fam == "mat32" else 3))
-        elif isinstance(k, OU):
-            if type(k.metric) is not ARD_L1:
-                raise ValueError(
-                    "OU needs its default ARD_L1 metric for the "
-                    "state-space form")
-            out.append(SSMLeaf("ou", k, 1.0, 1))
-        else:
-            raise ValueError(
-                f"kernel part {type(k).__name__} has no exact state-space "
-                "form (supported: OU, MAT32, MAT52 and sums; SE is not "
-                "Markovian — approximate it with MAT52 or use the "
-                "dense/sparse families)")
+        out.append(_leaf_of(k, harmonics))
     return out
-
-
-def _leaf_blocks(leaf, v, lam, dt):
-    """(A (n, s, s), Pinf (s, s)) for one leaf over the step vector dt."""
-    c = lam * dt
-    e = jnp.exp(-c)
-    if leaf.family == "ou":
-        a = e[:, None, None]
-        pinf = v.reshape(1, 1)
-        return a, pinf
-    if leaf.family == "mat32":
-        # N = F + lam I, F = [[0, 1], [-lam^2, -2 lam]]; N^2 = 0
-        n_mat = jnp.stack([
-            jnp.stack([lam, jnp.ones_like(lam)]),
-            jnp.stack([-lam * lam, -lam]),
-        ])                                             # (2, 2)
-        eye = jnp.eye(2, dtype=settings.dtype)
-        a = e[:, None, None] * (eye[None] + dt[:, None, None] * n_mat[None])
-        pinf = jnp.diag(jnp.stack([v, v * lam * lam]))
-        return a, pinf
-    # mat52: F = [[0,1,0],[0,0,1],[-l^3,-3l^2,-3l]]; N = F + l I,
-    # N^3 = 0 (triple eigenvalue), so expm is the finite series below
-    z = jnp.zeros_like(lam)
-    one = jnp.ones_like(lam)
-    n_mat = jnp.stack([
-        jnp.stack([lam, one, z]),
-        jnp.stack([z, lam, one]),
-        jnp.stack([-lam ** 3, -3.0 * lam * lam, -2.0 * lam]),
-    ])                                                 # (3, 3)
-    n2 = jnp.matmul(n_mat, n_mat)
-    eye = jnp.eye(3, dtype=settings.dtype)
-    a = e[:, None, None] * (eye[None]
-                            + dt[:, None, None] * n_mat[None]
-                            + 0.5 * (dt ** 2)[:, None, None] * n2[None])
-    l2 = lam * lam
-    k13 = -v * l2 / 3.0
-    pinf = jnp.stack([
-        jnp.stack([v, z, k13]),
-        jnp.stack([z, v * l2 / 3.0, z]),
-        jnp.stack([k13, z, v * l2 * l2]),
-    ])
-    return a, pinf
 
 
 def ssm_blocks(leaves, params, dt):
@@ -158,44 +319,95 @@ def ssm_blocks(leaves, params, dt):
     ``Q`` (n, s, s), ``Pinf`` (s, s), ``H`` (s,).  Row 0's A is ZEROED
     and its Q set to Pinf, encoding the exact stationary prior
     x_1 ~ N(0, Pinf) through the uniform filter element."""
-    mats = [_leaf_blocks(leaf, *leaf.values(params), dt)
-            for leaf in leaves]
+    mats = [leaf.blocks(params, dt) for leaf in leaves]
     s = sum(leaf.dim for leaf in leaves)
     n = dt.shape[0]
     a = jnp.zeros((n, s, s), settings.dtype)
     pinf = jnp.zeros((s, s), settings.dtype)
     h = np.zeros((s,), settings.floatx)
     off = 0
-    for leaf, (a_l, p_l) in zip(leaves, mats):
+    for leaf, (a_l, p_l, h_l) in zip(leaves, mats):
         d = leaf.dim
         a = a.at[:, off:off + d, off:off + d].set(a_l)
         pinf = pinf.at[off:off + d, off:off + d].set(p_l)
-        h[off] = 1.0
+        h[off:off + d] = h_l
         off += d
-    q = pinf[None] - jnp.einsum("nij,jk,nlk->nil", a, pinf, a)
+    # Q = Pinf - A Pinf A' is a cancellation-prone difference (Q -> 0 as
+    # dt -> 0): _bmm keeps the products in native full f32 (see _bmm)
+    q = pinf[None] - _bmm(a, _bmm(jnp.broadcast_to(pinf, a.shape),
+                                  _bt(a)))
     # the first step starts from the stationary prior exactly
     a = a.at[0].set(0.0)
     q = q.at[0].set(pinf)
     return a, q, pinf, jnp.asarray(h)
 
 
+def _bmm(x, y):
+    """Batched tiny-matrix multiply as VPU multiply+reduce.
+
+    The state blocks are (s, s) with s <= ~32, batched over n rows.  On
+    TPU, ``jnp.einsum`` at default precision rounds through bf16 (the
+    recursion compounds to ~1e-3 relative NLL error at n=2k), while
+    ``precision='highest'`` triggers the 6-pass f32 MXU emulation —
+    measured 160x slower at these shapes (6.8ms -> 1077ms for the n=16k
+    filter scan).  Broadcast-multiply-reduce runs on the VPU in native
+    full f32: accurate AND fast."""
+    return jnp.sum(x[..., :, :, None] * y[..., None, :, :], axis=-2)
+
+
+def _bmv(x, v):
+    """Batched tiny matrix @ vector: (..., s, s) x (..., s) -> (..., s)."""
+    return jnp.sum(x * v[..., None, :], axis=-1)
+
+
+def _bvm(v, x):
+    """Batched vector @ matrix (x' v): (..., s) x (..., s, s) -> (..., s)."""
+    return jnp.sum(x * v[..., :, None], axis=-2)
+
+
+def _bt(x):
+    return jnp.swapaxes(x, -1, -2)
+
+
+def small_inv(m):
+    """Batched inverse of small well-conditioned matrices by UNROLLED
+    Gauss-Jordan (no pivoting).  XLA's tiny-batched LU path (what
+    ``jnp.linalg.solve`` lowers to) is catastrophically slow on TPU —
+    row-loop with dynamic slices per scan stage; this is s fused
+    elementwise passes instead.  No pivoting is safe here: every matrix
+    inverted in the Kalman combines is I + (PSD)(PSD) or a PD predicted
+    covariance, strongly diagonally dominant."""
+    s = m.shape[-1]
+    eye = jnp.eye(s, dtype=m.dtype)
+    aug = jnp.concatenate(
+        [m, jnp.broadcast_to(eye, m.shape)], axis=-1)   # (..., s, 2s)
+    for i in range(s):
+        piv = aug[..., i:i + 1, i:i + 1]
+        row = aug[..., i:i + 1, :] / piv
+        col = aug[..., :, i:i + 1]
+        # one update clears column i in all other rows AND normalizes
+        # row i: for row i the update is aug_i - (piv-1)·row = row
+        aug = aug - (col - eye[:, i:i + 1]) * row
+    return aug[..., s:]
+
+
 def _filter_elements(a, q, h, r, y, obs):
     """Per-step associative filtering elements (Sarkka & G-F 2021 eq. 10)
     for a SCALAR measurement y_k = h'x_k + N(0, r), with ``obs`` masking
     rows that carry no observation (prediction-only time points)."""
-    qh = jnp.einsum("nij,j->ni", q, h)                 # Q H'
-    s = jnp.einsum("ni,i->n", qh, h) + r               # H Q H' + r
+    qh = _bmv(q, h)                                    # Q H'
+    s = jnp.sum(qh * h, axis=-1) + r                   # H Q H' + r
     k = qh / s[:, None]                                # gain (n, s)
     k = jnp.where(obs[:, None], k, 0.0)
     eye = jnp.eye(a.shape[-1], dtype=a.dtype)
     ikh = eye[None] - k[:, :, None] * h[None, None, :]
-    a_e = jnp.einsum("nij,njk->nik", ikh, a)
+    a_e = _bmm(ikh, a)
     b_e = k * y[:, None]
-    c_e = jnp.einsum("nij,njk->nik", ikh, q)
-    ah = jnp.einsum("nji,j->ni", a, h)                 # A' H
+    c_e = _bmm(ikh, q)
+    ah = _bvm(h, a)                                    # A' H
     w = jnp.where(obs, 1.0 / s, 0.0)
     eta = ah * (w * y)[:, None]
-    j_e = jnp.einsum("ni,nj->nij", ah, ah) * w[:, None, None]
+    j_e = ah[:, :, None] * ah[:, None, :] * w[:, None, None]
     return a_e, b_e, c_e, eta, j_e
 
 
@@ -205,20 +417,18 @@ def _filter_combine(e1, e2):
     a2, b2, c2, n2, j2 = e2
     s = a1.shape[-1]
     eye = jnp.eye(s, dtype=a1.dtype)
-    m = eye[None] + jnp.einsum("nij,njk->nik", c1, j2)
-    minv_a1 = jnp.linalg.solve(m, a1)
-    minv_bc = jnp.linalg.solve(m, (b1 + jnp.einsum(
-        "nij,nj->ni", c1, n2))[..., None])[..., 0]
-    a = jnp.einsum("nij,njk->nik", a2, minv_a1)
-    b = jnp.einsum("nij,nj->ni", a2, minv_bc) + b2
-    c = jnp.einsum("nij,njk,nlk->nil", a2,
-                   jnp.linalg.solve(m, c1), a2) + c2
-    mt = eye[None] + jnp.einsum("nij,njk->nik", j2, c1)
-    w = jnp.linalg.solve(mt, (n2 - jnp.einsum("nij,nj->ni", j2, b1))
-                         [..., None])[..., 0]
-    eta = jnp.einsum("nji,nj->ni", a1, w) + n1
-    j = jnp.einsum("nji,njk,nkl->nil", a1,
-                   jnp.linalg.solve(mt, j2), a1) + j1
+    m = eye[None] + _bmm(c1, j2)
+    # C1, J2 are symmetric, so Mt = I + J2 C1 = M' — ONE inverse serves
+    # both solve groups (and small_inv beats the tiny-batched LU path)
+    minv = small_inv(m)
+    mtinv = _bt(minv)
+    a = _bmm(a2, _bmm(minv, a1))
+    b = _bmv(a2, _bmv(minv, b1 + _bmv(c1, n2))) + b2
+    minv_c1 = _bmm(minv, c1)
+    c = _bmm(a2, _bmm(minv_c1, _bt(a2))) + c2
+    w = _bmv(mtinv, n2 - _bmv(j2, b1))
+    eta = _bvm(w, a1) + n1
+    j = _bmm(_bt(a1), _bmm(_bmm(mtinv, j2), a1)) + j1
     return a, b, c, eta, j
 
 
@@ -244,10 +454,10 @@ def parallel_kalman_nll(a, q, h, r, y, obs=None):
     m_f, p_f = parallel_kalman_filter(a, q, h, r, y, obs)
     m_prev = jnp.concatenate([jnp.zeros_like(m_f[:1]), m_f[:-1]], axis=0)
     p_prev = jnp.concatenate([jnp.zeros_like(p_f[:1]), p_f[:-1]], axis=0)
-    m_pred = jnp.einsum("nij,nj->ni", a, m_prev)
-    p_pred = jnp.einsum("nij,njk,nlk->nil", a, p_prev, a) + q
-    mu = jnp.einsum("ni,i->n", m_pred, h)
-    sig = jnp.einsum("i,nij,j->n", h, p_pred, h) + r
+    m_pred = _bmv(a, m_prev)
+    p_pred = _bmm(a, _bmm(p_prev, _bt(a))) + q
+    mu = jnp.sum(m_pred * h, axis=-1)
+    sig = jnp.sum(_bmv(p_pred, h) * h, axis=-1) + r
     ll = -0.5 * (LOG2PI + jnp.log(sig) + (y - mu) ** 2 / sig)
     return -jnp.sum(jnp.where(obs, ll, 0.0)), m_f, p_f
 
@@ -259,9 +469,9 @@ def _smoother_combine(e1, e2):
     element and the composition is earlier ∘ later."""
     g1, h1, l1 = e1                                    # later suffix
     g2, h2, l2 = e2                                    # earlier
-    g = jnp.einsum("nij,njk->nik", g2, g1)
-    hh = jnp.einsum("nij,nj->ni", g2, h1) + h2
-    ll = jnp.einsum("nij,njk,nlk->nil", g2, l1, g2) + l2
+    g = _bmm(g2, g1)
+    hh = _bmv(g2, h1) + h2
+    ll = _bmm(g2, _bmm(l1, _bt(g2))) + l2
     return g, hh, ll
 
 
@@ -271,13 +481,12 @@ def parallel_smoother(a, q, m_f, p_f):
     ``associative_scan``."""
     n, s = m_f.shape
     a_n = a[1:]                                        # A_{k+1}, k=0..n-2
-    p_pred = jnp.einsum("nij,njk,nlk->nil", a_n, p_f[:-1], a_n) + q[1:]
-    # E_k = P_k A_{k+1}' P_pred^{-1}  (solve on the transpose)
-    e_k = jnp.linalg.solve(
-        p_pred, jnp.einsum("nij,nkj->nik", a_n, p_f[:-1]))
-    e_k = jnp.swapaxes(e_k, -1, -2)
-    g_k = m_f[:-1] - jnp.einsum("nij,njk,nk->ni", e_k, a_n, m_f[:-1])
-    l_k = p_f[:-1] - jnp.einsum("nij,njk,nlk->nil", e_k, p_pred, e_k)
+    p_pred = _bmm(a_n, _bmm(p_f[:-1], _bt(a_n))) + q[1:]
+    # E_k = P_k A_{k+1}' P_pred^{-1} (P_pred is PD: small_inv safe, and
+    # its inverse is symmetric)
+    e_k = _bmm(p_f[:-1], _bmm(_bt(a_n), small_inv(p_pred)))
+    g_k = m_f[:-1] - _bmv(e_k, _bmv(a_n, m_f[:-1]))
+    l_k = p_f[:-1] - _bmm(e_k, _bmm(p_pred, _bt(e_k)))
     g = jnp.concatenate([e_k, jnp.zeros((1, s, s), e_k.dtype)], axis=0)
     hh = jnp.concatenate([g_k, m_f[-1:]], axis=0)
     ll = jnp.concatenate([l_k, p_f[-1:]], axis=0)

@@ -15,7 +15,8 @@ import pytest
 
 import g3py_tpu as g3
 from g3py_tpu.ops.ssm import (ssm_leaves, ssm_blocks, parallel_kalman_nll,
-                              parallel_kalman_filter, parallel_smoother)
+                              parallel_kalman_filter, parallel_smoother,
+                              periodic_coefficients, small_inv)
 
 
 @pytest.fixture
@@ -244,6 +245,27 @@ class TestOpsLevel:
             np.testing.assert_allclose(np.asarray(p_s[kstep]), psm,
                                        atol=5e-4)
 
+    def test_small_inv_matches_numpy(self, rng):
+        for s in (1, 2, 3, 7):
+            base = rng.standard_normal((32, s, s)).astype(np.float32)
+            # the combine matrices are I + (PSD)(PSD): build that shape
+            psd1 = np.einsum("nij,nkj->nik", base, base)
+            m = np.eye(s, dtype=np.float32)[None] + 0.1 * psd1
+            np.testing.assert_allclose(np.asarray(small_inv(jnp.asarray(m))),
+                                       np.linalg.inv(m), atol=2e-4)
+
+    def test_periodic_coefficients_are_bessel(self):
+        from scipy import special
+
+        for r in (0.3, 1.0, 5.0, 20.0):
+            c = np.asarray(periodic_coefficients(r, 10))
+            expect = special.ive(np.arange(11), r)   # e^{-r} I_j(r)
+            expect[1:] *= 2.0
+            np.testing.assert_allclose(c, expect, rtol=2e-4, atol=1e-7)
+        # the expansion sums to k(0)/v = 1 once the tail is negligible
+        assert abs(float(np.sum(np.asarray(
+            periodic_coefficients(1.0, 12)))) - 1.0) < 1e-6
+
     def test_ssm_leaves_rejects_non_markovian(self):
         t = np.linspace(0, 1, 8).reshape(-1, 1).astype(np.float32)
         with pytest.raises(ValueError, match="state-space"):
@@ -251,3 +273,62 @@ class TestOpsLevel:
         leaves = ssm_leaves(g3.MAT32(t) + (g3.OU(t) + g3.MAT52(t)))
         assert [lf.family for lf in leaves] == ["mat32", "ou", "mat52"]
         assert sum(lf.dim for lf in leaves) == 6
+        # products compose by Kronecker, periodic by harmonics
+        leaves = ssm_leaves(g3.SIN(t) * g3.MAT32(t), harmonics=5)
+        assert leaves[0].dim == (1 + 2 * 5) * 2
+
+
+class TestPeriodic:
+    """COS (exact rotation state), SIN (truncated Bessel-cosine
+    expansion) and quasi-periodic products vs the dense oracle."""
+
+    CASES = {
+        "cos": lambda t: (lambda: g3.COS(t)),
+        "sin": lambda t: (lambda: g3.SIN(t)),
+        "quasi": lambda t: (lambda: g3.SIN(t) * g3.MAT32(t)),
+        "cos_ou_plus_mat52": lambda t: (
+            lambda: g3.COS(t) * g3.OU(t) + g3.MAT52(t)),
+    }
+
+    @pytest.mark.parametrize("which", list(CASES))
+    def test_matches_dense(self, rng, which):
+        n = 96
+        t = np.sort(rng.uniform(0, 10, n)).reshape(-1, 1).astype(
+            np.float32)
+        y = (np.sin(2 * np.pi * t[:, 0] / 3.0)
+             + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        kf = self.CASES[which](t)
+        ss = g3.StateSpaceGP(space=t, kernel=kf(), name="S", harmonics=10)
+        dn = g3.GP(space=t, kernel=kf(), noisy=True, name="S")
+        ss.observed(t, y)
+        dn.observed(t, y)
+        assert set(ss.params) == set(dn.params)
+        p = ss.params
+        l_ss, l_d = float(ss.loglike(p)), float(dn.loglike(p))
+        assert abs(l_ss - l_d) < 2e-4 * max(1.0, abs(l_d))
+        np.testing.assert_allclose(np.asarray(ss.mean(p, space=t)),
+                                   np.asarray(dn.mean(p, space=t)),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(ss.variance(p, space=t)),
+                                   np.asarray(dn.variance(p, space=t)),
+                                   atol=2e-4)
+
+    def test_harmonics_truncation_converges(self, rng):
+        """More harmonics -> closer to the dense exp-sin^2 kernel;
+        J >= r + 8 leaves the tail below f32 resolution."""
+        n = 48
+        t = np.sort(rng.uniform(0, 6, n)).reshape(-1, 1).astype(np.float32)
+        y = (np.sin(2 * np.pi * t[:, 0])
+             + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        dn = g3.GP(space=t, kernel=g3.SIN(t), noisy=True, name="S")
+        dn.observed(t, y)
+        p = dn.params
+        l_d = float(dn.loglike(p))
+        errs = []
+        for J in (2, 4, 10):
+            ss = g3.StateSpaceGP(space=t, kernel=g3.SIN(t), name="S",
+                                 harmonics=J)
+            ss.observed(t, y)
+            errs.append(abs(float(ss.loglike(p)) - l_d))
+        assert errs[2] <= errs[1] <= errs[0] + 1e-5
+        assert errs[2] < 1e-3
