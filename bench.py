@@ -190,6 +190,43 @@ def main():
     except Exception as e:
         notes.append(f"n16384 points skipped: {e}")
 
+    # ---- state-space family: EXACT 1-D NLL+grad at N=16384 -----------------
+    # Same mathematical quantity as the dense 16k row (exact marginal
+    # likelihood + gradient) on the time-series workload, via the O(n)
+    # parallel-Kalman path (ops/ssm.py).  vs_baseline = the same CPU
+    # LAPACK stand-in an exact dense eval costs (206.26 s) — the
+    # reference has no sub-cubic exact path at any cost.
+    try:
+        tss = np.sort(rng.uniform(0, 16384 / 50.0, 16384)).reshape(
+            -1, 1).astype(np.float32)
+        yss = (np.sin(2 * np.pi * tss[:, 0] / 20.0)
+               + 0.2 * rng.standard_normal(16384)).astype(np.float32)
+        ssg = g3.StateSpaceGP(space=tss[:4],
+                              kernel=g3.MAT32(tss) + g3.OU(tss),
+                              name="BSSG")
+        ssg.observed(tss, yss)
+        regss = ssg.active
+        press = ssg._logp_pure(prior=False)
+        uss = jnp.asarray(regss.dict_to_array(ssg.params_default))
+        tssj, yssj = jnp.asarray(tss), jnp.asarray(yss)
+
+        @jax.jit
+        def ss_nll_grad(u):
+            def nll(uu):
+                return -press(regss.array_to_dict_jax(uu), tssj, tssj,
+                              yssj, jnp.zeros(0, dtype=uu.dtype))
+
+            return jax.value_and_grad(nll)(u)
+
+        t_ss = _timeit(ss_nll_grad, uss, repeat=20, warmup=3)
+        rows.append({"metric": "ssgp_exact_nll_grad_evals_per_sec_n16384",
+                     "value": round(1.0 / t_ss, 2), "unit": "evals/sec",
+                     "vs_baseline": round(206.26 / t_ss, 1)})
+        notes.append(f"t_ssgp_nll_grad_n16384={t_ss*1e3:.2f}ms "
+                     f"(exact O(n) path; dense on-chip floor ~242ms)")
+    except Exception as e:
+        notes.append(f"ssgp bench skipped: {e}")
+
     # ---- sparse family at production scale: SGPR ELBO+grad at N=100k -------
     # The reference's only big-N strategy was subsampling (data.py:129-190
     # p-fractions); the sparse family trains on ALL rows in O(n m^2).

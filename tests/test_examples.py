@@ -36,6 +36,7 @@ MODULES = [
     "tut10_serving",
     "tut11_distributed_training",
     "tut12_likelihoods",
+    "tut13_time_series",
 ]
 
 
