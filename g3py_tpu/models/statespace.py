@@ -34,6 +34,7 @@ closed-form-less covariance, stochastic.py:827-831).
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import settings
@@ -42,7 +43,8 @@ from ..hypers.kernels import KernelNoise
 from ..hypers.means import Zero
 from ..ops.guards import to_num
 from ..ops.ssm import (ssm_leaves, ssm_blocks, parallel_kalman_nll,
-                       parallel_smoother, LOG2PI)
+                       parallel_kalman_filter, parallel_smoother,
+                       ssm_prior_state_sample, LOG2PI)
 from .gaussian import GUARD
 from .stochastic import StochasticProcess, zero32
 
@@ -243,29 +245,85 @@ class StateSpaceGP(StochasticProcess):
 
         return Predictor(self, params)
 
+    # -- joint sampling (simulation smoother) ------------------------------------
+    def _joint_draws(self, params, tq, inputs, outputs, samples, seed,
+                     prior=False):
+        """(nq, samples) JOINT draws of the latent f at query times via
+        the Matheron simulation smoother: simulate prior state
+        trajectories x' (one associative scan each), filter+smooth their
+        synthetic observations y' = Hx' + e alongside the data, and
+        return m_s(y) + H(x' - m_s'(y')) — exact joint posterior draws
+        in O(n) work, the state-space counterpart of the dense family's
+        pathwise Matheron sampling (models/predictor.py)."""
+        tq = jnp.asarray(tq, settings.dtype)
+        key = jax.random.PRNGKey(seed)
+        r = self._noise_var(params)
+        if prior:
+            dt = jnp.concatenate([jnp.zeros(1, settings.dtype),
+                                  jnp.diff(tq)])
+            a, q, _pinf, h = ssm_blocks(self._leaves, params, dt)
+            keys = jax.random.split(key, samples)
+            xs = jax.vmap(lambda k: ssm_prior_state_sample(a, q, k))(keys)
+            return jnp.einsum("sni,i->ns", xs, h)
+        tobs = jnp.asarray(inputs, settings.dtype)[:, 0]
+        yres = (jnp.asarray(outputs, settings.dtype)
+                - self.f_location(params, inputs))
+        n_obs = tobs.shape[0]
+        t_all = jnp.concatenate([tobs, tq])
+        y_all = jnp.concatenate([yres, jnp.zeros_like(tq)])
+        obs = jnp.concatenate([jnp.ones(n_obs, bool),
+                               jnp.zeros(tq.shape[0], bool)])
+        order = jnp.argsort(t_all)
+        ts, ys, os_ = t_all[order], y_all[order], obs[order]
+        dt = jnp.concatenate([jnp.zeros(1, settings.dtype), jnp.diff(ts)])
+        a, q, _pinf, h = ssm_blocks(self._leaves, params, dt)
+        m_f, p_f = parallel_kalman_filter(a, q, h, r, ys, os_)
+        m_s, _ = parallel_smoother(a, q, m_f, p_f)
+
+        def one(k):
+            k1, k2 = jax.random.split(k)
+            x = ssm_prior_state_sample(a, q, k1)
+            yprime = (jnp.sum(x * h, axis=-1)
+                      + jnp.sqrt(r) * jax.random.normal(
+                          k2, ys.shape, dtype=ys.dtype))
+            mfp, pfp = parallel_kalman_filter(a, q, h, r, yprime, os_)
+            msp, _ = parallel_smoother(a, q, mfp, pfp)
+            return jnp.sum((m_s + x - msp) * h, axis=-1)
+
+        draws = jax.vmap(one)(jax.random.split(key, samples))   # (S, n)
+        inv = jnp.argsort(order)
+        return draws[:, inv[n_obs:]].T                          # (nq, S)
+
     # -- host-side sampling / quantiles ---------------------------------------------
     def sampler(self, params=None, space=None, inputs=None, outputs=None,
-                samples=1, prior=False, noise=False, rng=None):
-        """(n, samples) draws from the posterior MARGINALS (mean-field
-        across query rows; the smoothed joint is Markov — row-coupled
-        draws need a forward simulation pass, not shipped yet)."""
+                samples=1, prior=False, noise=False, rng=None, seed=0):
+        """(n, samples) JOINT draws of f (``noise=True`` adds the
+        observation noise per row) at the query times — rows are coupled
+        through the exact posterior (simulation smoother), matching the
+        dense family's joint sampler semantics."""
         if params is None:
             params = self.params
         if space is None:
             space = self.space
-        if rng is None:
-            rng = np.random.default_rng(0)
-        m = np.asarray(self.location(params, space, inputs, outputs,
-                                     prior=prior))
-        v = np.maximum(np.asarray(
-            self.kernel_diag(params, space, inputs, outputs, prior=prior)),
-            0.0)
+        if inputs is None:
+            inputs = self._inputs
+        if outputs is None:
+            outputs = self._outputs
+        pj = {k: jnp.asarray(v) for k, v in params.items()}
+        tq = np.asarray(space, settings.floatx)[:, 0]
+        f = np.asarray(self._joint_draws(pj, tq, inputs, outputs,
+                                         int(samples), int(seed),
+                                         prior=prior))
+        f = f + np.asarray(self.f_location(pj, jnp.asarray(
+            space, settings.dtype)))[:, None]
         if noise:
-            pj = {k: np.asarray(vv) for k, vv in params.items()}
-            v = v + float(np.maximum(hval(self.f_noise.var, pj), 1e-10))
-        return (m[:, None] + np.sqrt(v)[:, None]
-                * rng.standard_normal((len(m), samples)).astype(
-                    settings.floatx))
+            if rng is None:
+                rng = np.random.default_rng(seed + 1)
+            s2 = float(np.maximum(np.asarray(hval(self.f_noise.var, pj)),
+                                  1e-10))
+            f = f + np.sqrt(s2) * rng.standard_normal(f.shape).astype(
+                settings.floatx)
+        return f
 
     def quantiler(self, params=None, space=None, inputs=None, outputs=None,
                   q=0.975, prior=False, noise=False, simulations=None):

@@ -43,6 +43,7 @@ the series is finite and exactly differentiable).
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.scipy.special import gammaln
@@ -52,7 +53,8 @@ from ..hypers import hval
 
 __all__ = ["ssm_leaves", "ssm_blocks", "parallel_kalman_nll",
            "parallel_smoother", "parallel_kalman_filter", "SSMLeaf",
-           "periodic_coefficients"]
+           "periodic_coefficients", "small_inv", "small_chol",
+           "ssm_prior_state_sample"]
 
 LOG2PI = np.log(2.0 * np.pi)
 TWOPI = 2.0 * np.pi
@@ -389,6 +391,45 @@ def small_inv(m):
         # row i: for row i the update is aug_i - (piv-1)·row = row
         aug = aug - (col - eye[:, i:i + 1]) * row
     return aug[..., s:]
+
+
+def small_chol(m):
+    """Batched tiny-matrix Cholesky, unrolled (Cholesky-Banachiewicz),
+    PSD-SINGULAR-safe: a zero pivot produces a zero factor column instead
+    of NaN — exact for the rotation blocks whose Q is identically 0
+    (COS/SIN harmonics) and for the dt=0 duplicate-time rows."""
+    s = m.shape[-1]
+    idx = jnp.arange(s)
+    l = jnp.zeros_like(m)
+    for j in range(s):
+        d = m[..., j, j] - jnp.sum(l[..., j, :] ** 2, axis=-1)
+        dsafe = jnp.sqrt(jnp.maximum(d, 0.0))
+        inv = jnp.where(dsafe > 0.0, 1.0 /
+                        jnp.where(dsafe > 0.0, dsafe, 1.0), 0.0)
+        col = (m[..., :, j]
+               - jnp.sum(l * l[..., j:j + 1, :], axis=-1)) * inv[..., None]
+        l = l.at[..., :, j].set(jnp.where(idx > j, col, 0.0))
+        l = l.at[..., j, j].set(dsafe)
+    return l
+
+
+def ssm_prior_state_sample(a, q, key):
+    """One joint draw of the latent state trajectory x ~ N(0, SSM prior):
+    the linear recurrence x_k = A_k x_{k-1} + w_k, w_k ~ N(0, Q_k), runs
+    as ONE associative scan over (A, w) pairs with composition
+    (A2 A1, A2 w1 + w2) — O(log n) depth like the filter.  Row 0's
+    (A=0, Q=Pinf) convention makes x_1 ~ N(0, Pinf) exactly."""
+    n, s, _ = a.shape
+    eps = jax.random.normal(key, (n, s), dtype=a.dtype)
+    w = _bmv(small_chol(q), eps)
+
+    def comb(e1, e2):
+        a1, b1 = e1
+        a2, b2 = e2
+        return _bmm(a2, a1), _bmv(a2, b1) + b2
+
+    _, x = lax.associative_scan(comb, (a, w))
+    return x
 
 
 def _filter_elements(a, q, h, r, y, obs):

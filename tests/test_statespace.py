@@ -131,13 +131,42 @@ class TestModelAPI:
         ss, _ = _pair(t, KERNELS["ou"](t))
         ss.observed(t, y)
         p = ss.params
-        s = ss.sampler(p, space=t, samples=5, noise=True)
+        s = ss.sampler(p, space=t, samples=5, noise=True, seed=2)
         assert s.shape == (32, 5) and np.all(np.isfinite(s))
         q_hi = ss.quantiler(p, space=t, q=0.975, noise=True)
         q_lo = ss.quantiler(p, space=t, q=0.025, noise=True)
         assert np.all(q_hi > q_lo)
         m = np.asarray(ss.mean(p, space=t))
         assert np.all((m > q_lo) & (m < q_hi))
+
+    def test_joint_sampler_matches_dense_covariance(self, rng):
+        """The simulation-smoother sampler draws from the JOINT
+        posterior: empirical moments at 3000 draws match the dense
+        family's closed-form posterior mean/covariance within MC error."""
+        n = 24
+        t = np.sort(rng.uniform(0, 10, n)).reshape(-1, 1).astype(
+            np.float32)
+        y = (np.sin(t[:, 0])
+             + 0.2 * rng.standard_normal(n)).astype(np.float32)
+        tq = np.linspace(0.5, 9.5, 12).reshape(-1, 1).astype(np.float32)
+        ss, dn = _pair(t, KERNELS["mat32"](t))
+        ss.observed(t, y)
+        dn.observed(t, y)
+        p = ss.params
+        draws = ss.sampler(p, space=tq, samples=3000, seed=0)
+        assert draws.shape == (12, 3000)
+        m_d = np.asarray(dn.mean(p, space=tq))
+        c_d = np.asarray(dn.covariance(p, space=tq))
+        scale = float(np.abs(c_d).max())
+        np.testing.assert_allclose(draws.mean(axis=1), m_d,
+                                   atol=6 * np.sqrt(scale / 3000))
+        np.testing.assert_allclose(np.cov(draws), c_d, atol=0.1 * scale)
+        # prior draws reproduce the prior kernel
+        dp = ss.sampler(p, space=tq, samples=3000, prior=True, seed=1)
+        kq = np.asarray(dn.f_kernel.cov(
+            {k: np.asarray(v) for k, v in p.items()}, tq))
+        np.testing.assert_allclose(np.cov(dp), kq,
+                                   atol=0.15 * float(np.abs(kq).max()))
 
     def test_predictor_serving(self, rng):
         t, y = _series(rng, n=32)
