@@ -163,66 +163,10 @@ class EllipticalProcess(StochasticProcess):
         return distributed_quad_logdet(cov_fn, mesh=mesh, block=block,
                                        axis=axis, noise_fn=noise_fn)
 
-    def _find_map_distributed(self, start=None, points=1, return_points=False,
-                              display=True, max_iters=200, mesh=None,
-                              block=None, axis="dp", **_):
-        """MAP search over the device-sharded exact NLL (plus hyper
-        priors): L-BFGS-B where every objective/gradient evaluation is one
-        SPMD program over the mesh (``find_MAP(engine='distributed')``).
-        Symmetric with the GP family's ``engine='iterative'`` but exact —
-        no trace estimator, so the optimum matches the single-device
-        engine to solver tolerance while the gram stays sharded.  Works
-        for every subclass defining ``nll_distributed`` (GP/WGP, TP/WTP)."""
-        import jax as _jax
-        import scipy.optimize as spo
-
-        reg = self.active
-        if start is None:
-            start = self.params_default
-        starts = list(start) if isinstance(start, list) else [start]
-        rng = np.random.default_rng(0)  # match _find_map_jax's determinism
-        while len(starts) < points:
-            starts.append(self.params_random(mean=starts[0], sigma=0.15,
-                                             prop=True, rng=rng))
-        prior_pure = self._logp_pure(prior=True)
-        xj = jnp.asarray(self.inputs)
-        yj = jnp.asarray(self.outputs)
-        vec0 = jnp.zeros(0, dtype=settings.dtype)
-
-        def objective(u):
-            p = reg.array_to_dict_jax(u)
-            nll = self.nll_distributed(p, mesh=mesh, block=block, axis=axis)
-            return nll - prior_pure(p, xj, xj, yj, vec0)
-
-        vg = _jax.jit(_jax.value_and_grad(objective))
-
-        def f_and_g(u):
-            v, g = vg(jnp.asarray(u, settings.dtype))
-            v = float(v)
-            g = np.asarray(g, np.float64)
-            if not np.isfinite(v) or not np.all(np.isfinite(g)):
-                # hardened objective (reference selection.py nan_to_high):
-                # overshoots into dead regions must read as 'very bad'
-                return 1e10, np.zeros_like(g)
-            return v, g
-
-        results = []
-        for i, s in enumerate(starts, start=1):
-            u0 = np.asarray(reg.dict_to_array(s), np.float64)
-            if display:
-                print(f"start{i} (-logp): {f_and_g(u0)[0]:.6g}")
-            res = spo.minimize(f_and_g, u0, jac=True, method="L-BFGS-B",
-                               options={"maxiter": max_iters})
-            results.append((f"distributed{i}", float(res.fun),
-                            reg.array_to_dict(
-                                np.asarray(res.x, settings.floatx))))
-            if display:
-                print(f"start{i} done (-logp): {res.fun:.6g}")
-        results.sort(key=lambda t: t[1])
-        best = results[0][2]
-        if return_points:
-            return best, [(n, -v, p) for n, v, p in results]
-        return best
+    # _find_map_distributed (find_MAP engine='distributed') lives on
+    # StochasticProcess — it is generic over any subclass defining
+    # ``nll_distributed`` (GP/WGP, TP/WTP here; StateSpaceGP's
+    # time-axis-sharded objective rides the same engine).
 
     def _posterior_state_pure(self):
         """Pure ``fn(params, inputs, outputs) -> state dict`` behind

@@ -43,8 +43,9 @@ from ..hypers.kernels import KernelNoise
 from ..hypers.means import Zero
 from ..ops.guards import to_num
 from ..ops.ssm import (ssm_leaves, ssm_blocks, parallel_kalman_nll,
-                       chunked_kalman_nll, parallel_kalman_filter,
-                       parallel_smoother, ssm_prior_state_sample, LOG2PI)
+                       chunked_kalman_nll, sharded_ssm_nll,
+                       parallel_kalman_filter, parallel_smoother,
+                       ssm_prior_state_sample, LOG2PI)
 from .gaussian import GUARD
 from .stochastic import StochasticProcess, zero32
 
@@ -165,6 +166,33 @@ class StateSpaceGP(StochasticProcess):
                                                 neginf=GUARD))
 
         return fn
+
+    def nll_distributed(self, params=None, mesh=None, axis="dp"):
+        """Device-sharded exact negative loglikelihood over the TIME axis
+        (``ops/ssm.sharded_ssm_nll``): each device builds the state
+        blocks for its own rows and scans them locally; the cross-device
+        traffic is one all_gather of D tiny (s, s) monoid totals plus a
+        scalar psum.  The multi-chip counterpart of the dense family's
+        ``nll_distributed`` (gaussian.py:245) — but where the dense
+        objective shards an O(n^2) gram, here the sharded object is the
+        O(n s^2) element stream, so N scales linearly with the mesh.
+
+        Matches ``-loglike(params)`` (no hyper priors) to f32 rounding;
+        differentiable w.r.t. ``params``; rides
+        ``find_MAP(engine='distributed')`` unchanged."""
+        if params is None:
+            params = self.params
+        params = {k: jnp.asarray(v) for k, v in params.items()}
+        x = jnp.asarray(self.inputs, settings.dtype)
+        t = x[:, 0]
+        order = jnp.argsort(t)
+        ts = t[order]
+        ys = (jnp.asarray(self.outputs, settings.dtype)
+              - self.f_location(params, x))[order]
+        dt = jnp.concatenate([jnp.zeros(1, settings.dtype), jnp.diff(ts)])
+        return sharded_ssm_nll(self._leaves, params, dt,
+                               self._noise_var(params), ys,
+                               mesh=mesh, axis=axis)
 
     # -- moment statistics ----------------------------------------------------------
     def th_location(self, prior=False, noise=False):

@@ -52,6 +52,7 @@ from ..config import settings
 from ..hypers import hval
 
 __all__ = ["ssm_leaves", "ssm_blocks", "parallel_kalman_nll",
+           "chunked_kalman_nll", "sharded_ssm_nll",
            "parallel_smoother", "parallel_kalman_filter", "SSMLeaf",
            "periodic_coefficients", "small_inv", "small_chol",
            "ssm_prior_state_sample"]
@@ -315,12 +316,14 @@ def ssm_leaves(kernel, harmonics=None):
     return out
 
 
-def ssm_blocks(leaves, params, dt):
+def ssm_blocks(leaves, params, dt, stationary_first=True):
     """Stack the additive kernel's leaf SSMs into one block-diagonal
     model over the step vector ``dt`` (n,): returns ``A`` (n, s, s),
     ``Q`` (n, s, s), ``Pinf`` (s, s), ``H`` (s,).  Row 0's A is ZEROED
     and its Q set to Pinf, encoding the exact stationary prior
-    x_1 ~ N(0, Pinf) through the uniform filter element."""
+    x_1 ~ N(0, Pinf) through the uniform filter element
+    (``stationary_first=False`` skips that — the sharded NLL builds
+    blocks per device, where only the GLOBAL first row is the prior)."""
     mats = [leaf.blocks(params, dt) for leaf in leaves]
     s = sum(leaf.dim for leaf in leaves)
     n = dt.shape[0]
@@ -338,9 +341,10 @@ def ssm_blocks(leaves, params, dt):
     # dt -> 0): _bmm keeps the products in native full f32 (see _bmm)
     q = pinf[None] - _bmm(a, _bmm(jnp.broadcast_to(pinf, a.shape),
                                   _bt(a)))
-    # the first step starts from the stationary prior exactly
-    a = a.at[0].set(0.0)
-    q = q.at[0].set(pinf)
+    if stationary_first:
+        # the first step starts from the stationary prior exactly
+        a = a.at[0].set(0.0)
+        q = q.at[0].set(pinf)
     return a, q, pinf, jnp.asarray(h)
 
 
@@ -527,7 +531,14 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144):
     recompute of the forward per block.
 
     Returns the NLL only (training path); use the plain filter+smoother
-    for posterior statistics at serving sizes."""
+    for posterior statistics at serving sizes.
+
+    The filter ELEMENTS are built inside the scan body from each block's
+    (A, Q, y) slice — full-length (n, s) element tensors must never
+    exist: XLA lays them out in T(8, 128) tiles with the size-s axis on
+    the 128 lanes, a 128/s padding blowup (measured 42.7x at s=3 —
+    three 4.88 GB copies of 117 MB tensors OOM'd the N=1e7 backward).
+    (n, s, s) inputs get the benign n-minor layout (~1.3x)."""
     n = y.shape[0]
     if obs is None:
         obs = jnp.ones(n, bool)
@@ -543,16 +554,14 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144):
             jnp.eye(s, dtype=q.dtype), (pad, s, s))])
         y = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
         obs = jnp.concatenate([obs, jnp.zeros(pad, bool)])
-    elems = _filter_elements(a, q, h, r, y, obs)
-    blocks = jax.tree.map(
-        lambda x: x.reshape((nc, chunk) + x.shape[1:]), elems)
     aq_blocks = (a.reshape(nc, chunk, s, s), q.reshape(nc, chunk, s, s),
                  y.reshape(nc, chunk), obs.reshape(nc, chunk))
 
     @jax.checkpoint
     def body(carry, xs):
         prev, nll_acc = carry                    # prefix at block start
-        eb, (ab, qb, yb, ob) = xs
+        ab, qb, yb, ob = xs
+        eb = _filter_elements(ab, qb, h, r, yb, ob)
         pref = lax.associative_scan(_filter_combine, eb)
         carry_b = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (chunk,) + x.shape), prev)
@@ -574,8 +583,98 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144):
     init = (jax.tree.map(lambda x: x[0],
                          _filter_identity(s, 1, a.dtype)),
             jnp.zeros((), y.dtype))
-    (_, nll), _ = lax.scan(body, init, (blocks, aq_blocks))
+    (_, nll), _ = lax.scan(body, init, aq_blocks)
     return nll
+
+
+def sharded_ssm_nll(leaves, params, dt, r, y, obs=None, mesh=None,
+                    axis="dp"):
+    """Time-axis-sharded exact LGSSM NLL over a device mesh (SPMD).
+
+    The filtering elements form a monoid (Sarkka & Garcia-Fernandez
+    2021), so the time axis shards like any prefix sum: each device
+    builds the state blocks for ITS OWN rows (``ssm_blocks`` over the
+    local dt slice — the O(n s^2) block tensors never exist unsharded),
+    runs one local ``associative_scan``, and the only cross-device
+    traffic is an ``all_gather`` of the D per-device monoid totals
+    (D tiny (s, s) tensors riding ICI) plus the final scalar ``psum``
+    of per-shard NLL terms.  Each device folds the totals of the
+    devices before it into its carry, exactly as the chunked scan does
+    across blocks — numerically identical combines, identical order.
+
+    This is the multi-chip training objective for
+    :meth:`~g3py_tpu.models.statespace.StateSpaceGP.nll_distributed`:
+    exact GP NLL at N beyond one chip's HBM with per-device memory
+    O(n/D · s^2).  Fully differentiable w.r.t. ``params`` and ``r``
+    (plain autodiff through ``shard_map``; the collectives transpose).
+
+    Rows must arrive time-sorted; ``dt`` is the step vector with
+    ``dt[0] == 0`` (as in the single-chip path).  n not divisible by D
+    is padded with dt=0 / obs=False rows, whose filter elements are the
+    monoid identity (A=I from dt=0, gain masked to 0) and whose NLL
+    terms are masked out."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.cholesky import _resolve_mesh
+
+    mesh = _resolve_mesh(mesh, axis)
+    n_dev = mesh.shape[axis]
+    n = y.shape[0]
+    if obs is None:
+        obs = jnp.ones(n, bool)
+    mrows = -(-n // n_dev)
+    pad = mrows * n_dev - n
+    if pad:
+        dt = jnp.concatenate([dt, jnp.zeros(pad, dt.dtype)])
+        y = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
+        obs = jnp.concatenate([obs, jnp.zeros(pad, bool)])
+
+    def body(dt_l, y_l, obs_l, p, rr):
+        a_l, q_l, pinf, h = ssm_blocks(leaves, p, dt_l,
+                                       stationary_first=False)
+        idx = lax.axis_index(axis)
+        first = idx == 0
+        # only the GLOBAL first row starts from the stationary prior
+        a_l = a_l.at[0].set(jnp.where(first, jnp.zeros_like(a_l[0]),
+                                      a_l[0]))
+        q_l = q_l.at[0].set(jnp.where(first, pinf, q_l[0]))
+        elems = _filter_elements(a_l, q_l, h, rr, y_l, obs_l)
+        pref = lax.associative_scan(_filter_combine, elems)
+        tot = jax.tree.map(lambda x: lax.all_gather(x[-1:], axis), pref)
+        s = a_l.shape[-1]
+        carry = _filter_identity(s, 1, a_l.dtype)
+        for j in range(n_dev):                    # D static tiny combines
+            ej = jax.tree.map(lambda x: x[j], tot)
+            comb = _filter_combine(carry, ej)
+            use = jnp.asarray(j, idx.dtype) < idx
+            carry = jax.tree.map(lambda c, nw: jnp.where(use, nw, c),
+                                 carry, comb)
+        mloc = y_l.shape[0]
+        carry_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (mloc,) + x.shape[1:]), carry)
+        full = _filter_combine(carry_b, pref)
+        m_f, p_f = full[1], full[2]
+        # predicted moments: previous row's filtered state; the shard's
+        # first row predicts from the carried cross-device prefix
+        m_prev = jnp.concatenate([carry[1], m_f[:-1]], axis=0)
+        p_prev = jnp.concatenate([carry[2], p_f[:-1]], axis=0)
+        m_pred = _bmv(a_l, m_prev)
+        p_pred = _bmm(a_l, _bmm(p_prev, _bt(a_l))) + q_l
+        mu = jnp.sum(m_pred * h, axis=-1)
+        sig = jnp.sum(_bmv(p_pred, h) * h, axis=-1) + rr
+        ll = -0.5 * (LOG2PI + jnp.log(sig) + (y_l - mu) ** 2 / sig)
+        return lax.psum(-jnp.sum(jnp.where(obs_l, ll, 0.0)), axis)
+
+    # jit handles the scatter of replicated inputs onto the in_specs
+    # shardings (a bare eager shard_map call asserts on the sharding
+    # override); under an outer jit this inlines into the caller's
+    # program, so the training objective stays ONE compiled SPMD program
+    fn = jax.jit(shard_map(body, mesh=mesh,
+                           in_specs=(P(axis), P(axis), P(axis), P(), P()),
+                           out_specs=P()))
+    params_j = {k: jnp.asarray(v) for k, v in params.items()}
+    return fn(jnp.asarray(dt), jnp.asarray(y), obs, params_j,
+              jnp.asarray(r, dt.dtype))
 
 
 def _smoother_combine(e1, e2):

@@ -334,6 +334,52 @@ class TestOpsLevel:
         np.testing.assert_allclose(ll_chunk, ll_plain, rtol=2e-5)
         assert np.all(np.isfinite(g))
 
+    def test_sharded_nll_matches_plain(self, rng):
+        """StateSpaceGP.nll_distributed (time-axis-sharded monoid scan,
+        8-device mesh) == -loglike, value AND gradient, at an n that
+        does NOT divide over the mesh (identity-element pad path)."""
+        n = 601
+        t = np.sort(rng.uniform(0, 60, n)).reshape(-1, 1).astype(
+            np.float32)
+        y = (np.sin(t[:, 0]) + 0.1 * rng.standard_normal(n)).astype(
+            np.float32)
+        ss = g3.StateSpaceGP(space=t, kernel=g3.MAT52(t) + g3.OU(t),
+                             name="SHD")
+        ss.observed(t, y)
+        p = ss.params
+        v_plain = -float(ss.loglike(p))
+        v_shard = float(ss.nll_distributed(p))
+        np.testing.assert_allclose(v_shard, v_plain, rtol=1e-5)
+
+        reg = ss.active
+        pure = ss._logp_pure(prior=False)
+        xj, yj = jnp.asarray(t), jnp.asarray(y)
+        vec0 = jnp.zeros(0, jnp.float32)
+        u = jnp.asarray(reg.dict_to_array(p))
+        g1 = np.asarray(jax.grad(
+            lambda w: -pure(reg.array_to_dict_jax(w), xj, xj, yj,
+                            vec0))(u))
+        g2 = np.asarray(jax.grad(
+            lambda w: ss.nll_distributed(reg.array_to_dict_jax(w)))(u))
+        np.testing.assert_allclose(g2, g1, rtol=1e-4,
+                                   atol=1e-5 * np.max(np.abs(g1)))
+
+    def test_find_map_distributed_improves(self, rng):
+        """find_MAP(engine='distributed') on the state-space GP: a few
+        L-BFGS steps over the sharded objective improve the logp."""
+        n = 256
+        t = np.sort(rng.uniform(0, 40, n)).reshape(-1, 1).astype(
+            np.float32)
+        y = (np.sin(t[:, 0]) + 0.1 * rng.standard_normal(n)).astype(
+            np.float32)
+        ss = g3.StateSpaceGP(space=t, kernel=g3.MAT32(t), name="SHM")
+        ss.observed(t, y)
+        lp0 = float(ss.logp(ss.params))
+        p = ss.find_MAP(engine="distributed", points=1, max_iters=15,
+                        display=False)
+        lp1 = float(ss.logp(p))
+        assert np.isfinite(lp1) and lp1 > lp0
+
     def test_small_inv_matches_numpy(self, rng):
         for s in (1, 2, 3, 7):
             base = rng.standard_normal((32, s, s)).astype(np.float32)
