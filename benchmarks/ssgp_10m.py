@@ -100,3 +100,24 @@ for n in (4_000_000, 10_000_000):
     print(f"N={n}: exact NLL+grad {te*1e3:.1f} ms/eval "
           f"(cold {tc:.1f}s, nll {v:.0f}, chunk {settings.ssm_chunk})",
           flush=True)
+
+# -- beyond-HBM SERVING: smoothed posterior at 512 query points over the
+# full 1e7-row history (chunked two-pass smoother, ssm.chunked_smoother_diag)
+tq = np.linspace(float(t[0, 0]), float(t[-1, 0]), 512).astype(np.float32)
+pj = {k: jnp.asarray(v) for k, v in ss.params.items()}
+sm = jax.jit(lambda p, q_, xi, yo: ss._run_smoother(p, q_, xi, yo))
+xj, yj = jnp.asarray(t), jnp.asarray(y)
+t0 = time.perf_counter()
+m_q, v_q = sm(pj, jnp.asarray(tq), xj, yj)
+np.asarray(jnp.sum(m_q) + jnp.sum(v_q))
+t_cold = time.perf_counter() - t0
+t0 = time.perf_counter()
+m_q, v_q = sm(pj, jnp.asarray(tq), xj, yj)
+np.asarray(jnp.sum(m_q) + jnp.sum(v_q))
+t_warm = time.perf_counter() - t0
+truth = np.sin(2 * np.pi * tq / 20.0) + 0.3 * np.sin(tq / 3.0)
+rmse = float(np.sqrt(np.mean((np.asarray(m_q) - truth) ** 2)))
+print(f"N={n} serving: 512-query smoothed posterior warm {t_warm*1e3:.1f} "
+      f"ms (cold {t_cold:.1f}s), rmse vs truth {rmse:.4f}", flush=True)
+assert np.all(np.isfinite(np.asarray(m_q))) and np.all(
+    np.asarray(v_q) >= 0.0)

@@ -43,9 +43,9 @@ from ..hypers.kernels import KernelNoise
 from ..hypers.means import Zero
 from ..ops.guards import to_num
 from ..ops.ssm import (ssm_leaves, ssm_blocks, parallel_kalman_nll,
-                       chunked_kalman_nll, sharded_ssm_nll,
-                       parallel_kalman_filter, parallel_smoother,
-                       ssm_prior_state_sample, LOG2PI)
+                       chunked_kalman_nll, chunked_smoother_diag,
+                       sharded_ssm_nll, parallel_kalman_filter,
+                       parallel_smoother, ssm_prior_state_sample, LOG2PI)
 from .gaussian import GUARD
 from .stochastic import StochasticProcess, zero32
 
@@ -125,11 +125,16 @@ class StateSpaceGP(StochasticProcess):
         dt = jnp.concatenate([jnp.zeros(1, settings.dtype), jnp.diff(ts)])
         a, q, _pinf, h = ssm_blocks(self._leaves, params, dt)
         r = self._noise_var(params)
-        _nll, m_f, p_f = parallel_kalman_nll(a, q, h, r, ys, os_)
-        m_s, p_s = parallel_smoother(a, q, m_f, p_f)
-        # tiny-axis reductions stay on the VPU in full f32 (ops/ssm._bmm)
-        mean = jnp.sum(m_s * h, axis=-1)
-        var = jnp.sum(jnp.sum(p_s * h, axis=-1) * h, axis=-1)
+        if ts.shape[0] > settings.ssm_chunk_threshold:
+            # beyond-HBM serving: O(chunk)-memory two-pass smoother
+            mean, var = chunked_smoother_diag(a, q, h, r, ys, os_,
+                                              chunk=settings.ssm_chunk)
+        else:
+            _nll, m_f, p_f = parallel_kalman_nll(a, q, h, r, ys, os_)
+            m_s, p_s = parallel_smoother(a, q, m_f, p_f)
+            # tiny-axis reductions stay on the VPU in full f32 (ssm._bmm)
+            mean = jnp.sum(m_s * h, axis=-1)
+            var = jnp.sum(jnp.sum(p_s * h, axis=-1) * h, axis=-1)
         inv = jnp.argsort(order)
         qpos = inv[n_obs:]
         return mean[qpos], jnp.maximum(var[qpos], zero32)

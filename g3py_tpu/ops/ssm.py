@@ -52,7 +52,7 @@ from ..config import settings
 from ..hypers import hval
 
 __all__ = ["ssm_leaves", "ssm_blocks", "parallel_kalman_nll",
-           "chunked_kalman_nll", "sharded_ssm_nll",
+           "chunked_kalman_nll", "chunked_smoother_diag", "sharded_ssm_nll",
            "parallel_smoother", "parallel_kalman_filter", "SSMLeaf",
            "periodic_coefficients", "small_inv", "small_chol",
            "ssm_prior_state_sample"]
@@ -585,6 +585,98 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144):
             jnp.zeros((), y.dtype))
     (_, nll), _ = lax.scan(body, init, aq_blocks)
     return nll
+
+
+def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144):
+    """H-projected smoothed posterior (mean, var), each (n,), with
+    O(chunk) live memory — the beyond-HBM SERVING path.
+
+    Two block passes, both exact (the filter elements and the RTS
+    smoothing elements each form a monoid):
+
+    1. forward ``lax.scan`` over blocks storing only the nc tiny
+       block-START filter prefixes;
+    2. backward ``lax.scan`` over blocks: recompute the local filter
+       from the stored prefix, build the local smoothing elements
+       (the block's last row uses the NEXT block's first (A, Q); the
+       global last row gets (0, m_f, P_f) — the pad rows' A=0 make
+       that automatic), reverse-scan them locally, and fold in the
+       suffix element carried from the later blocks.
+
+    Emitting only the scalar projections H'm_s and H'P_s H avoids
+    materializing ANY full-length (n, s) tensor — which XLA tiles as
+    T(8, 128) with the size-s axis padded onto the 128 lanes, a 128/s
+    memory blowup (see chunked_kalman_nll; measured 42.7x at s=3).
+
+    Padding rows (A=0, Q=I, obs=False) leave real rows' smoothed
+    moments untouched: unobserved future rows never change a smoothed
+    marginal, and A=0 terminates the backward recursion with the
+    filtered moments exactly as the plain ``parallel_smoother`` does."""
+    n = y.shape[0]
+    if obs is None:
+        obs = jnp.ones(n, bool)
+    s = a.shape[-1]
+    chunk = int(min(chunk, n))
+    nc = -(-n // chunk)
+    pad = nc * chunk - n
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((pad, s, s), a.dtype)])
+        q = jnp.concatenate([q, jnp.broadcast_to(
+            jnp.eye(s, dtype=q.dtype), (pad, s, s))])
+        y = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
+        obs = jnp.concatenate([obs, jnp.zeros(pad, bool)])
+    blocks = (a.reshape(nc, chunk, s, s), q.reshape(nc, chunk, s, s),
+              y.reshape(nc, chunk), obs.reshape(nc, chunk))
+    # each block's smoothing tail needs the NEXT block's first (A, Q);
+    # the last block gets the pad convention (A=0, Q=I) so the global
+    # final smoothing element reduces to (0, m_f, P_f)
+    a_next = jnp.concatenate([blocks[0][1:, 0],
+                              jnp.zeros((1, s, s), a.dtype)])
+    q_next = jnp.concatenate([blocks[1][1:, 0],
+                              jnp.eye(s, dtype=q.dtype)[None]])
+
+    def local_filter(start_c, ab, qb, yb, ob):
+        eb = _filter_elements(ab, qb, h, r, yb, ob)
+        pref = lax.associative_scan(_filter_combine, eb)
+        carry_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (chunk,) + x.shape),
+            start_c)
+        return _filter_combine(carry_b, pref)
+
+    def fwd(carry, xs):
+        full = local_filter(carry, *xs)
+        return jax.tree.map(lambda x: x[-1], full), carry
+
+    ident_f = jax.tree.map(lambda x: x[0], _filter_identity(s, 1, a.dtype))
+    _, starts = lax.scan(fwd, ident_f, blocks)      # (nc, ...) tiny
+
+    def bwd(suffix, xs):
+        start_c, ab, qb, yb, ob, an, qn = xs
+        full = local_filter(start_c, ab, qb, yb, ob)
+        m_f, p_f = full[1], full[2]
+        a_n = jnp.concatenate([ab[1:], an[None]], axis=0)
+        q_n = jnp.concatenate([qb[1:], qn[None]], axis=0)
+        p_pred = _bmm(a_n, _bmm(p_f, _bt(a_n))) + q_n
+        e_k = _bmm(p_f, _bmm(_bt(a_n), small_inv(p_pred)))
+        g_k = m_f - _bmv(e_k, _bmv(a_n, m_f))
+        l_k = p_f - _bmm(e_k, _bmm(p_pred, _bt(e_k)))
+        suf = lax.associative_scan(_smoother_combine, (e_k, g_k, l_k),
+                                   reverse=True)
+        suffix_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (chunk,) + x.shape),
+            suffix)
+        total = _smoother_combine(suffix_b, suf)
+        mean_b = jnp.sum(total[1] * h, axis=-1)
+        var_b = jnp.sum(jnp.sum(total[2] * h, axis=-1) * h, axis=-1)
+        new_suffix = jax.tree.map(lambda x: x[0], total)
+        return new_suffix, (mean_b, var_b)
+
+    ident_s = (jnp.eye(s, dtype=a.dtype), jnp.zeros(s, a.dtype),
+               jnp.zeros((s, s), a.dtype))
+    _, (mean, var) = lax.scan(bwd, ident_s,
+                              (starts,) + blocks + (a_next, q_next),
+                              reverse=True)
+    return mean.reshape(-1)[:n], var.reshape(-1)[:n]
 
 
 def sharded_ssm_nll(leaves, params, dt, r, y, obs=None, mesh=None,

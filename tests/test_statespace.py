@@ -334,6 +334,34 @@ class TestOpsLevel:
         np.testing.assert_allclose(ll_chunk, ll_plain, rtol=2e-5)
         assert np.all(np.isfinite(g))
 
+    def test_chunked_smoother_matches_plain(self, rng):
+        """chunked_smoother_diag (O(chunk)-memory two-pass smoother) ==
+        the plain filter+smoother's H-projections, including masked
+        (prediction-only) rows, across dividing/non-dividing/oversized
+        chunk sizes."""
+        from g3py_tpu.ops.ssm import chunked_smoother_diag
+        n, s = 600, 3
+        a = jnp.asarray(rng.standard_normal((n, s, s)) * 0.3)
+        L = rng.standard_normal((n, s, s)) * 0.5
+        q = jnp.asarray(np.einsum("nij,nkj->nik", L, L)
+                        + 0.1 * np.eye(s), jnp.float32)
+        h = jnp.asarray(rng.standard_normal(s), jnp.float32)
+        r = jnp.float32(0.3)
+        y = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        obs = jnp.asarray(rng.random(n) > 0.15)
+        _nll, m_f, p_f = parallel_kalman_nll(a, q, h, r, y, obs)
+        m_s, p_s = parallel_smoother(a, q, m_f, p_f)
+        mean_p = np.asarray(jnp.sum(m_s * h, axis=-1))
+        var_p = np.asarray(jnp.sum(jnp.sum(p_s * h, axis=-1) * h,
+                                   axis=-1))
+        for chunk in (64, 150, 600, 4096):
+            mean_c, var_c = chunked_smoother_diag(a, q, h, r, y, obs,
+                                                  chunk=chunk)
+            np.testing.assert_allclose(np.asarray(mean_c), mean_p,
+                                       atol=5e-5)
+            np.testing.assert_allclose(np.asarray(var_c), var_p,
+                                       atol=5e-5)
+
     def test_sharded_nll_matches_plain(self, rng):
         """StateSpaceGP.nll_distributed (time-axis-sharded monoid scan,
         8-device mesh) == -loglike, value AND gradient, at an n that
