@@ -240,6 +240,8 @@ from .models import (
     stack_outputs,
     StateSpaceGP,
     SSGP,
+    MultiStateSpaceGP,
+    LMCSSGP,
     GP,
     WGP,
     TP,

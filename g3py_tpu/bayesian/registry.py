@@ -202,7 +202,16 @@ class GraphicalModel:
         for name, component in self.components.items():
             try:
                 d = component.default_hypers()
-            except Exception:
+            except Exception as e:
+                # degrade loudly: losing data-driven defaults (k-means
+                # inducing points, var(y) scales) silently leaves models
+                # starting from degenerate test values
+                import warnings
+
+                warnings.warn(
+                    f"default_hypers failed for component {name!r} "
+                    f"({type(e).__name__}: {e}); falling back to test "
+                    "values for its params")
                 d = {}
             for param, v in d.items():
                 key = param.name if isinstance(param, Param) else param

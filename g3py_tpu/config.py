@@ -51,11 +51,13 @@ class Settings:
     # (exp-sin^2 periodic) kernel (ops/ssm.py PeriodicLeaf); truncation
     # tail is sum_{j>J} 2 e^{-r} I_j(r) — keep J >= rate + ~8.
     ssm_harmonics: int = 7
-    # Above this many rows, StateSpaceGP's loglike switches from the plain
-    # parallel Kalman filter to the chunked monoid scan
-    # (ops/ssm.chunked_kalman_nll): O(ssm_chunk) activation memory, so the
+    # Above this many rows, StateSpaceGP switches from the plain parallel
+    # Kalman programs to the chunked monoid scans: loglike ->
+    # ops/ssm.chunked_kalman_nll (O(ssm_chunk) activation memory, so the
     # differentiated NLL scales past the one-chip HBM limit of the plain
-    # filter (~1e6 rows measured).  Values are static-shape thresholds.
+    # filter, ~1e6 rows measured), posterior statistics ->
+    # ops/ssm.chunked_smoother_diag (two-pass smoother, no full-length
+    # (n, s) tensors).  Values are static-shape thresholds.
     ssm_chunk_threshold: int = 1_048_576
     ssm_chunk: int = 262_144
     plot_big: bool = False

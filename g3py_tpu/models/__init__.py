@@ -67,7 +67,7 @@ from .lmc import (
     with_output,
     stack_outputs,
 )
-from .statespace import StateSpaceGP, SSGP
+from .statespace import StateSpaceGP, SSGP, MultiStateSpaceGP, LMCSSGP
 
 # aliases (reference processes/__init__.py:9-16)
 GP = GaussianProcess
@@ -137,6 +137,8 @@ __all__ = [
     "stack_outputs",
     "StateSpaceGP",
     "SSGP",
+    "MultiStateSpaceGP",
+    "LMCSSGP",
     "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP", "SGP", "SWGP",
     "SVP",
 ]

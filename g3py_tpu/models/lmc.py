@@ -48,7 +48,8 @@ from .elliptical import _contains_kernel_noise
 from .likelihoods import LOG2PI, Likelihood
 from .sparse import signal_kernel_diag
 from .stochastic import zero32
-from .svgp import SparseVariationalProcess, VariationalQHeads
+from .svgp import (SparseVariationalProcess, VariationalQHeads,
+                   _whitened_head_moments)
 
 __all__ = ["Mixing", "MultiGaussianLik", "LMCSVP", "with_output",
            "stack_outputs"]
@@ -259,7 +260,9 @@ class LMCSVP(SparseVariationalProcess):
         feats = self._features(self.inputs)
         out = {}
         for comp in (self.f_location, *self.f_kernels, self.f_inducing):
-            out.update(comp.default_hypers(feats, self.outputs))
+            # default_hypers_dims: composite kernels define only the
+            # dims-aware merge (see SVP.default_hypers)
+            out.update(comp.default_hypers_dims(feats, self.outputs))
         out.update(self.f_q.default_hypers())
         out.update(self.f_mixing.default_hypers(self.inputs, self.outputs))
         out.update(self.f_likelihood.default_hypers(self.inputs,
@@ -292,26 +295,12 @@ class LMCSVP(SparseVariationalProcess):
         z = self.f_inducing.value(params)
         qm, lq = self.f_q.factors(params)           # (Q, m), (Q, m, m)
         if self._shared_kernel:
+            # the whitened-head algebra lives once, in svgp.py (zero-mean
+            # there; LMC adds location post-mixing)
             k = self.f_kernels[0]
-            kuu = to_cov(k.cov(params, z))
-            luu = safe_cholesky(kuu)
-            v = solve_lower_triangular(luu, to_num(k.cov(params, z, xf)))
-            mf = jnp.einsum("mn,qm->nq", v, qm,
-                            precision=settings.matmul_precision)
-            lv = jnp.einsum("qji,jn->qin", lq, v,
-                            precision=settings.matmul_precision)
-            if want_cov:
-                kss = to_cov(k.cov(params, xf))
-                base = kss - jnp.matmul(v.T, v,
-                                        precision=settings.matmul_precision)
-                covf = base[None, :, :] + jnp.einsum(
-                    "qin,qip->qnp", lv, lv,
-                    precision=settings.matmul_precision)
-                return mf, jnp.diagonal(covf, axis1=-2, axis2=-1).T, covf
-            kdiag = signal_kernel_diag(k, params, xf)
-            base = to_bounded(kdiag - jnp.sum(v * v, axis=0), zero32)
-            varf = base[:, None] + jnp.sum(lv * lv, axis=1).T
-            return mf, varf
+            return _whitened_head_moments(
+                k, lambda p, xx: signal_kernel_diag(k, p, xx),
+                params, z, xf, qm, lq, want_cov=want_cov)
         # per-latent kernels: Q separate small factorizations (Q ~ 2-4),
         # stacked so the downstream mixing algebra is identical
         mfs, varfs, covfs = [], [], []

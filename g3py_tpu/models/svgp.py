@@ -203,7 +203,12 @@ class SparseVariationalProcess(StochasticProcess):
     def default_hypers(self):
         out = {}
         for comp in self._components():
-            out.update(comp.default_hypers(self.inputs, self.outputs))
+            # dims-aware walk: composite kernels (KernelSum/KernelProd)
+            # only merge children via default_hypers_dims
+            # (kernels.py:281-285) — calling default_hypers on them
+            # raises, and the registry's fallback would silently drop
+            # ALL data-driven defaults (k-means inducing points, var(y))
+            out.update(comp.default_hypers_dims(self.inputs, self.outputs))
         return out
 
     def observed(self, inputs=None, outputs=None, order=None, index=None,
@@ -657,6 +662,35 @@ class SparseVariationalProcess(StochasticProcess):
         return params, losses
 
 
+def _whitened_head_moments(kernel, kdiag_fn, params, z, xq, qm, lq,
+                           want_cov=False):
+    """ZERO-MEAN whitened-head q(f) moments for H latent GPs sharing one
+    kernel and inducing set: mf (n, H), varf (n, H) [, covf (H, n, n)].
+    One Kuu Cholesky + one cross-solve; per-head work is batched matmuls
+    over the heads axis.  Shared by :class:`_MultiHeadLatent` (softmax /
+    heteroscedastic heads, which add their location) and LMCSVP's
+    shared-kernel branch (location is added post-mixing there) — the
+    numerically sensitive algebra lives ONCE."""
+    kuu = to_cov(kernel.cov(params, z))
+    luu = safe_cholesky(kuu)
+    v = solve_lower_triangular(luu, to_num(kernel.cov(params, z, xq)))
+    mf = jnp.einsum("mn,cm->nc", v, qm,
+                    precision=settings.matmul_precision)
+    lv = jnp.einsum("cji,jn->cin", lq, v,
+                    precision=settings.matmul_precision)
+    if want_cov:
+        kss = to_cov(kernel.cov(params, xq))
+        base = kss - jnp.matmul(v.T, v,
+                                precision=settings.matmul_precision)
+        covf = base[None, :, :] + jnp.einsum(
+            "cin,cip->cnp", lv, lv, precision=settings.matmul_precision)
+        return mf, jnp.diagonal(covf, axis1=-2, axis2=-1).T, covf
+    kdiag = kdiag_fn(params, xq)
+    base = to_bounded(kdiag - jnp.sum(v * v, axis=0), zero32)
+    varf = base[:, None] + jnp.sum(lv * lv, axis=1).T
+    return mf, varf
+
+
 class _MultiHeadLatent:
     """Shared algebra for SVP variants with ``n_heads`` latent GPs over
     ONE kernel and inducing set (softmax classification, heteroscedastic
@@ -673,27 +707,16 @@ class _MultiHeadLatent:
         """Per-head latent q(f) moments at xq: mf (n, H), varf (n, H)
         [, covf (H, n, n)]."""
         z = self.f_inducing.value(params)
-        kuu = to_cov(self.f_kernel.cov(params, z))
-        luu = safe_cholesky(kuu)
-        v = solve_lower_triangular(luu, to_num(self.f_kernel.cov(params, z,
-                                                                 xq)))
         qm, lq = self.f_q.factors(params)          # (H, m), (H, m, m)
+        out = _whitened_head_moments(self.f_kernel, self._kernel_diag_only,
+                                     params, z, xq, qm, lq,
+                                     want_cov=want_cov)
         loc = self.f_location(params, xq)
-        mf = loc[:, None] + jnp.einsum(
-            "mn,cm->nc", v, qm, precision=settings.matmul_precision)
-        lv = jnp.einsum("cji,jn->cin", lq, v,
-                        precision=settings.matmul_precision)
         if want_cov:
-            kss = to_cov(self.f_kernel.cov(params, xq))
-            base = kss - jnp.matmul(v.T, v,
-                                    precision=settings.matmul_precision)
-            covf = base[None, :, :] + jnp.einsum(
-                "cin,cip->cnp", lv, lv, precision=settings.matmul_precision)
-            return mf, jnp.diagonal(covf, axis1=-2, axis2=-1).T, covf
-        kdiag = self._kernel_diag_only(params, xq)
-        base = to_bounded(kdiag - jnp.sum(v * v, axis=0), zero32)
-        varf = base[:, None] + jnp.sum(lv * lv, axis=1).T
-        return mf, varf
+            mf, varf, covf = out
+            return loc[:, None] + mf, varf, covf
+        mf, varf = out
+        return loc[:, None] + mf, varf
 
     def _moments(self, params, space, prior):
         """(mf, varf) both (n, H); the prior is the same scalar GP prior
@@ -846,7 +869,11 @@ class MulticlassSVP(_MultiHeadLatent, SparseVariationalProcess):
         e = np.exp(f - f.max(axis=1, keepdims=True))
         cum = np.cumsum(e / e.sum(axis=1, keepdims=True), axis=1)
         u = rng.uniform(size=(f.shape[0], 1, samples))
-        return (u > cum).sum(axis=1).astype(settings.floatx)
+        # compare against the C-1 interior boundaries only: the f32
+        # cumsum's last entry can land just below 1, and u > cum over all
+        # C entries would then emit the out-of-range label C
+        labels = (u > cum[:, :-1, :]).sum(axis=1)
+        return labels.astype(settings.floatx)
 
     def quantiler(self, params=None, space=None, inputs=None, outputs=None,
                   q=0.975, prior=False, noise=False, simulations=None):

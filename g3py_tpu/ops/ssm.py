@@ -348,6 +348,43 @@ def ssm_blocks(leaves, params, dt, stationary_first=True):
     return a, q, pinf, jnp.asarray(h)
 
 
+def ssm_blocks_multi(leaf_sets, params, dt, stationary_first=True):
+    """Block-diagonal stack of Q independent latent SSMs (the state model
+    behind the LMC-mixed multi-output state-space GP): returns
+    ``A`` (n, S, S), ``Q`` (n, S, S), ``Pinf`` (S, S) and ``Hq`` (Q, S),
+    where ``S = sum_q s_q`` and row q of ``Hq`` carries latent q's
+    emission vector in its own state segment (zeros elsewhere) — so an
+    event row observing output p emits through
+    ``h_row = sum_q W[p, q] Hq[q]``.
+
+    ``leaf_sets`` entries may repeat the SAME list object (shared-kernel
+    latents); identical sets are materialized once and replicated into
+    their diagonal blocks."""
+    mats, cache = [], {}
+    for leaves in leaf_sets:
+        key = id(leaves)
+        if key not in cache:
+            cache[key] = ssm_blocks(leaves, params, dt,
+                                    stationary_first=stationary_first)
+        mats.append(cache[key])
+    dims = [int(m[3].shape[0]) for m in mats]
+    s_tot = sum(dims)
+    n = dt.shape[0]
+    a = jnp.zeros((n, s_tot, s_tot), settings.dtype)
+    q = jnp.zeros((n, s_tot, s_tot), settings.dtype)
+    pinf = jnp.zeros((s_tot, s_tot), settings.dtype)
+    hq = jnp.zeros((len(leaf_sets), s_tot), settings.dtype)
+    off = 0
+    for i, (a_l, q_l, p_l, h_l) in enumerate(mats):
+        d = dims[i]
+        a = a.at[:, off:off + d, off:off + d].set(a_l)
+        q = q.at[:, off:off + d, off:off + d].set(q_l)
+        pinf = pinf.at[off:off + d, off:off + d].set(p_l)
+        hq = hq.at[i, off:off + d].set(h_l)
+        off += d
+    return a, q, pinf, hq
+
+
 def _bmm(x, y):
     """Batched tiny-matrix multiply as VPU multiply+reduce.
 
@@ -439,17 +476,23 @@ def ssm_prior_state_sample(a, q, key):
 def _filter_elements(a, q, h, r, y, obs):
     """Per-step associative filtering elements (Sarkka & G-F 2021 eq. 10)
     for a SCALAR measurement y_k = h'x_k + N(0, r), with ``obs`` masking
-    rows that carry no observation (prediction-only time points)."""
-    qh = _bmv(q, h)                                    # Q H'
-    s = jnp.sum(qh * h, axis=-1) + r                   # H Q H' + r
+    rows that carry no observation (prediction-only time points).
+
+    ``h`` may be a shared (s,) vector or PER-ROW (n, s) — the latter is
+    how the multi-output (LMC-mixed) state-space GP observes one output
+    channel per event row: h_k = sum_q W[p_k, q] H_q.  ``r`` likewise is
+    a scalar or a per-row (n,) vector (per-output noise variances)."""
+    hb = jnp.broadcast_to(h, a.shape[:-1])             # (n, s)
+    qh = _bmv(q, hb)                                   # Q H'
+    s = jnp.sum(qh * hb, axis=-1) + r                  # H Q H' + r
     k = qh / s[:, None]                                # gain (n, s)
     k = jnp.where(obs[:, None], k, 0.0)
     eye = jnp.eye(a.shape[-1], dtype=a.dtype)
-    ikh = eye[None] - k[:, :, None] * h[None, None, :]
+    ikh = eye[None] - k[:, :, None] * hb[:, None, :]
     a_e = _bmm(ikh, a)
     b_e = k * y[:, None]
     c_e = _bmm(ikh, q)
-    ah = _bvm(h, a)                                    # A' H
+    ah = _bvm(hb, a)                                   # A' H
     w = jnp.where(obs, 1.0 / s, 0.0)
     eta = ah * (w * y)[:, None]
     j_e = ah[:, :, None] * ah[:, None, :] * w[:, None, None]
@@ -493,7 +536,9 @@ def parallel_kalman_nll(a, q, h, r, y, obs=None):
 
     The per-step terms log N(y_k; H m_k^-, H P_k^- H' + r) are computed
     pointwise from the scan's filtered output shifted by one step — the
-    whole NLL is two O(log n)-depth passes, no sequential loop."""
+    whole NLL is two O(log n)-depth passes, no sequential loop.
+
+    ``h``/``r`` may be per-row ((n, s) / (n,)) — see _filter_elements."""
     if obs is None:
         obs = jnp.ones(y.shape, bool)
     m_f, p_f = parallel_kalman_filter(a, q, h, r, y, obs)
@@ -501,8 +546,9 @@ def parallel_kalman_nll(a, q, h, r, y, obs=None):
     p_prev = jnp.concatenate([jnp.zeros_like(p_f[:1]), p_f[:-1]], axis=0)
     m_pred = _bmv(a, m_prev)
     p_pred = _bmm(a, _bmm(p_prev, _bt(a))) + q
-    mu = jnp.sum(m_pred * h, axis=-1)
-    sig = jnp.sum(_bmv(p_pred, h) * h, axis=-1) + r
+    hb = jnp.broadcast_to(h, a.shape[:-1])
+    mu = jnp.sum(m_pred * hb, axis=-1)
+    sig = jnp.sum(_bmv(p_pred, hb) * hb, axis=-1) + r
     ll = -0.5 * (LOG2PI + jnp.log(sig) + (y - mu) ** 2 / sig)
     return -jnp.sum(jnp.where(obs, ll, 0.0)), m_f, p_f
 
@@ -517,7 +563,20 @@ def _filter_identity(s, n, dtype):
     return eye, z_v, z_m, z_v, z_m
 
 
-def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144):
+def _rows_hr(idxb, rows):
+    """Per-row emission vectors and noise variances for a block of
+    output indices ``idxb`` (chunk,) from ``rows = (w, hq, r_vec)``:
+    ``h_k = sum_q W[p_k, q] Hq[q]`` (the LMC-mixed multi-output SSM),
+    ``r_k = r_vec[p_k]``.  Built INSIDE scan bodies so no full-length
+    (n, s) tensor ever exists (the T(8, 128) lane-padding blowup —
+    see chunked_kalman_nll's layout note); the tiny-Q contraction is a
+    VPU multiply-reduce (``_bmm`` rationale)."""
+    w, hq, r_vec = rows
+    hb = jnp.sum(w[idxb][:, :, None] * hq[None], axis=1)   # (chunk, s)
+    return hb, r_vec[idxb]
+
+
+def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144, rows=None):
     """Exact LGSSM NLL with O(chunk) activation memory: ``lax.scan``
     over blocks of ``chunk`` rows, a rematerialized associative scan
     inside each block, the running prefix element carried across blocks
@@ -538,7 +597,15 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144):
     exist: XLA lays them out in T(8, 128) tiles with the size-s axis on
     the 128 lanes, a 128/s padding blowup (measured 42.7x at s=3 —
     three 4.88 GB copies of 117 MB tensors OOM'd the N=1e7 backward).
-    (n, s, s) inputs get the benign n-minor layout (~1.3x)."""
+    (n, s, s) inputs get the benign n-minor layout (~1.3x).
+
+    ``rows=(idx, w, hq, r_vec)`` is the PER-ROW-EMISSION form (the
+    LMC-mixed multi-output SSM): ``idx`` (n,) int32 output index per
+    event row, ``w`` (P, Q) mixing, ``hq`` (Q, s) latent emission rows,
+    ``r_vec`` (P,) per-output noise variances.  ``h``/``r`` are ignored;
+    each block's h/r are built inside the scan body (``_rows_hr``) so
+    the (n, s) per-row tensor never materializes — only the layout-safe
+    (n,) index rides the scan."""
     n = y.shape[0]
     if obs is None:
         obs = jnp.ones(n, bool)
@@ -546,22 +613,33 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144):
     chunk = int(min(chunk, n))
     nc = -(-n // chunk)
     pad = nc * chunk - n
+    idx = None if rows is None else jnp.asarray(rows[0], jnp.int32)
     if pad:
-        # identity-element padding: contributes nothing to prefixes,
-        # obs=False rows contribute 0 to the NLL
-        a = jnp.concatenate([a, jnp.zeros((pad, s, s), a.dtype)])
-        q = jnp.concatenate([q, jnp.broadcast_to(
-            jnp.eye(s, dtype=q.dtype), (pad, s, s))])
+        # TRUE identity-element padding (A=I, Q=0, obs=False -> filter
+        # element (I, 0, 0, 0, 0)): pads cannot perturb any prefix, and
+        # their masked NLL terms stay finite (sig = h'P_prev h + r > 0)
+        a = jnp.concatenate([a, jnp.broadcast_to(
+            jnp.eye(s, dtype=a.dtype), (pad, s, s))])
+        q = jnp.concatenate([q, jnp.zeros((pad, s, s), q.dtype)])
         y = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
         obs = jnp.concatenate([obs, jnp.zeros(pad, bool)])
+        if idx is not None:
+            idx = jnp.concatenate([idx, jnp.zeros(pad, jnp.int32)])
     aq_blocks = (a.reshape(nc, chunk, s, s), q.reshape(nc, chunk, s, s),
                  y.reshape(nc, chunk), obs.reshape(nc, chunk))
+    if idx is not None:
+        aq_blocks = aq_blocks + (idx.reshape(nc, chunk),)
 
     @jax.checkpoint
     def body(carry, xs):
         prev, nll_acc = carry                    # prefix at block start
-        ab, qb, yb, ob = xs
-        eb = _filter_elements(ab, qb, h, r, yb, ob)
+        if rows is None:
+            ab, qb, yb, ob = xs
+            hb, rb = h, r
+        else:
+            ab, qb, yb, ob, ib = xs
+            hb, rb = _rows_hr(ib, rows[1:])
+        eb = _filter_elements(ab, qb, hb, rb, yb, ob)
         pref = lax.associative_scan(_filter_combine, eb)
         carry_b = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (chunk,) + x.shape), prev)
@@ -573,8 +651,8 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144):
         p_prev = jnp.concatenate([prev[2][None], p_f[:-1]], axis=0)
         m_pred = _bmv(ab, m_prev)
         p_pred = _bmm(ab, _bmm(p_prev, _bt(ab))) + qb
-        mu = jnp.sum(m_pred * h, axis=-1)
-        sig = jnp.sum(_bmv(p_pred, h) * h, axis=-1) + r
+        mu = jnp.sum(m_pred * hb, axis=-1)
+        sig = jnp.sum(_bmv(p_pred, hb) * hb, axis=-1) + rb
         ll = -0.5 * (LOG2PI + jnp.log(sig) + (yb - mu) ** 2 / sig)
         nll_b = -jnp.sum(jnp.where(ob, ll, 0.0))
         new_prev = jax.tree.map(lambda x: x[-1], full)
@@ -587,7 +665,8 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144):
     return nll
 
 
-def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144):
+def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144,
+                          rows=None):
     """H-projected smoothed posterior (mean, var), each (n,), with
     O(chunk) live memory — the beyond-HBM SERVING path.
 
@@ -611,7 +690,11 @@ def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144):
     Padding rows (A=0, Q=I, obs=False) leave real rows' smoothed
     moments untouched: unobserved future rows never change a smoothed
     marginal, and A=0 terminates the backward recursion with the
-    filtered moments exactly as the plain ``parallel_smoother`` does."""
+    filtered moments exactly as the plain ``parallel_smoother`` does.
+
+    ``rows=(idx, w, hq, r_vec)``: per-row-emission (multi-output) form,
+    see :func:`chunked_kalman_nll` — the returned mean/var are then the
+    per-row MIXED projections h_k' m_s / h_k' P_s h_k."""
     n = y.shape[0]
     if obs is None:
         obs = jnp.ones(n, bool)
@@ -619,14 +702,19 @@ def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144):
     chunk = int(min(chunk, n))
     nc = -(-n // chunk)
     pad = nc * chunk - n
+    idx = None if rows is None else jnp.asarray(rows[0], jnp.int32)
     if pad:
         a = jnp.concatenate([a, jnp.zeros((pad, s, s), a.dtype)])
         q = jnp.concatenate([q, jnp.broadcast_to(
             jnp.eye(s, dtype=q.dtype), (pad, s, s))])
         y = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
         obs = jnp.concatenate([obs, jnp.zeros(pad, bool)])
+        if idx is not None:
+            idx = jnp.concatenate([idx, jnp.zeros(pad, jnp.int32)])
     blocks = (a.reshape(nc, chunk, s, s), q.reshape(nc, chunk, s, s),
               y.reshape(nc, chunk), obs.reshape(nc, chunk))
+    if idx is not None:
+        blocks = blocks + (idx.reshape(nc, chunk),)
     # each block's smoothing tail needs the NEXT block's first (A, Q);
     # the last block gets the pad convention (A=0, Q=I) so the global
     # final smoothing element reduces to (0, m_f, P_f)
@@ -635,8 +723,12 @@ def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144):
     q_next = jnp.concatenate([blocks[1][1:, 0],
                               jnp.eye(s, dtype=q.dtype)[None]])
 
-    def local_filter(start_c, ab, qb, yb, ob):
-        eb = _filter_elements(ab, qb, h, r, yb, ob)
+    def _block_hr(ib):
+        return (h, r) if rows is None else _rows_hr(ib, rows[1:])
+
+    def local_filter(start_c, ab, qb, yb, ob, ib=None):
+        hb, rb = _block_hr(ib)
+        eb = _filter_elements(ab, qb, hb, rb, yb, ob)
         pref = lax.associative_scan(_filter_combine, eb)
         carry_b = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (chunk,) + x.shape),
@@ -651,8 +743,12 @@ def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144):
     _, starts = lax.scan(fwd, ident_f, blocks)      # (nc, ...) tiny
 
     def bwd(suffix, xs):
-        start_c, ab, qb, yb, ob, an, qn = xs
-        full = local_filter(start_c, ab, qb, yb, ob)
+        start_c, *rest = xs
+        an, qn = rest[-2:]
+        ab, qb, yb, ob = rest[:4]
+        ib = rest[4] if rows is not None else None
+        hb, _rb = _block_hr(ib)
+        full = local_filter(start_c, ab, qb, yb, ob, ib)
         m_f, p_f = full[1], full[2]
         a_n = jnp.concatenate([ab[1:], an[None]], axis=0)
         q_n = jnp.concatenate([qb[1:], qn[None]], axis=0)
@@ -666,8 +762,10 @@ def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144):
             lambda x: jnp.broadcast_to(x[None], (chunk,) + x.shape),
             suffix)
         total = _smoother_combine(suffix_b, suf)
-        mean_b = jnp.sum(total[1] * h, axis=-1)
-        var_b = jnp.sum(jnp.sum(total[2] * h, axis=-1) * h, axis=-1)
+        hrow = jnp.broadcast_to(hb, (chunk, s))
+        mean_b = jnp.sum(total[1] * hrow, axis=-1)
+        var_b = jnp.sum(jnp.sum(total[2] * hrow[:, None, :], axis=-1)
+                        * hrow, axis=-1)
         new_suffix = jax.tree.map(lambda x: x[0], total)
         return new_suffix, (mean_b, var_b)
 
@@ -677,6 +775,51 @@ def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144):
                               (starts,) + blocks + (a_next, q_next),
                               reverse=True)
     return mean.reshape(-1)[:n], var.reshape(-1)[:n]
+
+
+_sharded_nll_cache = {}
+
+
+def _sharded_filter_nll(a_l, q_l, pinf, h, rr, y_l, obs_l, axis, n_dev):
+    """Per-shard tail of the time-axis-sharded NLL (runs INSIDE
+    shard_map): local associative filter scan, all_gather of the D tiny
+    per-shard monoid totals, static fold of the earlier shards' totals
+    into this shard's carry, per-row predictive NLL terms, scalar psum.
+    ``h`` may be shared (s,) or per-row (m_loc, s); ``rr`` scalar or
+    per-row (m_loc,) — the multi-output (LMC-mixed) form."""
+    idx = lax.axis_index(axis)
+    first = idx == 0
+    # only the GLOBAL first row starts from the stationary prior
+    a_l = a_l.at[0].set(jnp.where(first, jnp.zeros_like(a_l[0]),
+                                  a_l[0]))
+    q_l = q_l.at[0].set(jnp.where(first, pinf, q_l[0]))
+    elems = _filter_elements(a_l, q_l, h, rr, y_l, obs_l)
+    pref = lax.associative_scan(_filter_combine, elems)
+    tot = jax.tree.map(lambda x: lax.all_gather(x[-1:], axis), pref)
+    s = a_l.shape[-1]
+    carry = _filter_identity(s, 1, a_l.dtype)
+    for j in range(n_dev):                    # D static tiny combines
+        ej = jax.tree.map(lambda x: x[j], tot)
+        comb = _filter_combine(carry, ej)
+        use = jnp.asarray(j, idx.dtype) < idx
+        carry = jax.tree.map(lambda c, nw: jnp.where(use, nw, c),
+                             carry, comb)
+    mloc = y_l.shape[0]
+    carry_b = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (mloc,) + x.shape[1:]), carry)
+    full = _filter_combine(carry_b, pref)
+    m_f, p_f = full[1], full[2]
+    # predicted moments: previous row's filtered state; the shard's
+    # first row predicts from the carried cross-device prefix
+    m_prev = jnp.concatenate([carry[1], m_f[:-1]], axis=0)
+    p_prev = jnp.concatenate([carry[2], p_f[:-1]], axis=0)
+    m_pred = _bmv(a_l, m_prev)
+    p_pred = _bmm(a_l, _bmm(p_prev, _bt(a_l))) + q_l
+    hb = jnp.broadcast_to(h, a_l.shape[:-1])
+    mu = jnp.sum(m_pred * hb, axis=-1)
+    sig = jnp.sum(_bmv(p_pred, hb) * hb, axis=-1) + rr
+    ll = -0.5 * (LOG2PI + jnp.log(sig) + (y_l - mu) ** 2 / sig)
+    return lax.psum(-jnp.sum(jnp.where(obs_l, ll, 0.0)), axis)
 
 
 def sharded_ssm_nll(leaves, params, dt, r, y, obs=None, mesh=None,
@@ -724,49 +867,83 @@ def sharded_ssm_nll(leaves, params, dt, r, y, obs=None, mesh=None,
     def body(dt_l, y_l, obs_l, p, rr):
         a_l, q_l, pinf, h = ssm_blocks(leaves, p, dt_l,
                                        stationary_first=False)
-        idx = lax.axis_index(axis)
-        first = idx == 0
-        # only the GLOBAL first row starts from the stationary prior
-        a_l = a_l.at[0].set(jnp.where(first, jnp.zeros_like(a_l[0]),
-                                      a_l[0]))
-        q_l = q_l.at[0].set(jnp.where(first, pinf, q_l[0]))
-        elems = _filter_elements(a_l, q_l, h, rr, y_l, obs_l)
-        pref = lax.associative_scan(_filter_combine, elems)
-        tot = jax.tree.map(lambda x: lax.all_gather(x[-1:], axis), pref)
-        s = a_l.shape[-1]
-        carry = _filter_identity(s, 1, a_l.dtype)
-        for j in range(n_dev):                    # D static tiny combines
-            ej = jax.tree.map(lambda x: x[j], tot)
-            comb = _filter_combine(carry, ej)
-            use = jnp.asarray(j, idx.dtype) < idx
-            carry = jax.tree.map(lambda c, nw: jnp.where(use, nw, c),
-                                 carry, comb)
-        mloc = y_l.shape[0]
-        carry_b = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (mloc,) + x.shape[1:]), carry)
-        full = _filter_combine(carry_b, pref)
-        m_f, p_f = full[1], full[2]
-        # predicted moments: previous row's filtered state; the shard's
-        # first row predicts from the carried cross-device prefix
-        m_prev = jnp.concatenate([carry[1], m_f[:-1]], axis=0)
-        p_prev = jnp.concatenate([carry[2], p_f[:-1]], axis=0)
-        m_pred = _bmv(a_l, m_prev)
-        p_pred = _bmm(a_l, _bmm(p_prev, _bt(a_l))) + q_l
-        mu = jnp.sum(m_pred * h, axis=-1)
-        sig = jnp.sum(_bmv(p_pred, h) * h, axis=-1) + rr
-        ll = -0.5 * (LOG2PI + jnp.log(sig) + (y_l - mu) ** 2 / sig)
-        return lax.psum(-jnp.sum(jnp.where(obs_l, ll, 0.0)), axis)
+        return _sharded_filter_nll(a_l, q_l, pinf, h, rr, y_l, obs_l,
+                                   axis, n_dev)
 
     # jit handles the scatter of replicated inputs onto the in_specs
     # shardings (a bare eager shard_map call asserts on the sharding
     # override); under an outer jit this inlines into the caller's
-    # program, so the training objective stays ONE compiled SPMD program
-    fn = jax.jit(shard_map(body, mesh=mesh,
-                           in_specs=(P(axis), P(axis), P(axis), P(), P()),
-                           out_specs=P()))
+    # program, so the training objective stays ONE compiled SPMD program.
+    # The jitted fn is cached per (leaves, mesh, axis) — jit's own cache
+    # keys on function identity, so rebuilding it per call would retrace
+    # and RECOMPILE the whole SPMD program on every eager call (compiles
+    # run 20-300s over the hosted tunnel).
+    key = (tuple(leaves), mesh, axis)
+    fn = _sharded_nll_cache.get(key)
+    if fn is None:
+        fn = jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(), P()),
+            out_specs=P()))
+        _sharded_nll_cache[key] = fn
     params_j = {k: jnp.asarray(v) for k, v in params.items()}
     return fn(jnp.asarray(dt), jnp.asarray(y), obs, params_j,
               jnp.asarray(r, dt.dtype))
+
+
+def sharded_ssm_nll_multi(leaf_sets, params, dt, idx, y, mix_fn,
+                          obs=None, mesh=None, axis="dp"):
+    """Time-axis-sharded exact NLL for the LMC-mixed MULTI-OUTPUT
+    state-space GP (:class:`~g3py_tpu.models.statespace
+    .MultiStateSpaceGP`): the per-row-emission form of
+    :func:`sharded_ssm_nll`.  Each device builds the block-diagonal
+    latent stack for ITS rows (``ssm_blocks_multi`` over the local dt
+    slice) and its rows' emission vectors ``h_k = sum_q W[p_k, q] Hq[q]``
+    / noise ``r_vec[p_k]`` from the local index shard — collective
+    traffic is unchanged (one all_gather of D (S, S) monoid totals +
+    scalar psum).
+
+    ``idx`` (n,) int32 output index per time-sorted row; ``mix_fn`` maps
+    the params dict to ``(w (P, Q), r_vec (P,))`` and must be a stable
+    per-model callable (it keys the jit cache alongside the leaf sets).
+    Fully differentiable w.r.t. ``params``."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.cholesky import _resolve_mesh
+
+    mesh = _resolve_mesh(mesh, axis)
+    n_dev = mesh.shape[axis]
+    n = y.shape[0]
+    if obs is None:
+        obs = jnp.ones(n, bool)
+    idx = jnp.asarray(idx, jnp.int32)
+    mrows = -(-n // n_dev)
+    pad = mrows * n_dev - n
+    if pad:
+        dt = jnp.concatenate([dt, jnp.zeros(pad, dt.dtype)])
+        y = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
+        obs = jnp.concatenate([obs, jnp.zeros(pad, bool)])
+        idx = jnp.concatenate([idx, jnp.zeros(pad, jnp.int32)])
+
+    def body(dt_l, y_l, obs_l, idx_l, p):
+        a_l, q_l, pinf, hq = ssm_blocks_multi(leaf_sets, p, dt_l,
+                                              stationary_first=False)
+        w, r_vec = mix_fn(p)
+        h = jnp.sum(w[idx_l][:, :, None] * hq[None], axis=1)
+        rr = r_vec[idx_l]
+        return _sharded_filter_nll(a_l, q_l, pinf, h, rr, y_l, obs_l,
+                                   axis, n_dev)
+
+    key = (tuple(tuple(ls) for ls in leaf_sets), mix_fn, mesh, axis)
+    fn = _sharded_nll_cache.get(key)
+    if fn is None:
+        fn = jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+            out_specs=P()))
+        _sharded_nll_cache[key] = fn
+    params_j = {k: jnp.asarray(v) for k, v in params.items()}
+    return fn(jnp.asarray(dt), jnp.asarray(y), obs, idx, params_j)
 
 
 def _smoother_combine(e1, e2):

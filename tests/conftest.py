@@ -24,3 +24,15 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Cap single-process accumulation: ~270 tests compile hundreds of
+    XLA CPU programs into one process, and the compiler has twice
+    SEGFAULTED late in a full-suite run (inside backend_compile of
+    fresh programs) while the same tests pass in fresh processes.
+    Dropping jit caches between modules bounds the resident compiled
+    state; programs recompile on next use, so behavior is unchanged."""
+    yield
+    jax.clear_caches()
