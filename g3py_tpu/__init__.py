@@ -242,6 +242,8 @@ from .models import (
     SSGP,
     MultiStateSpaceGP,
     LMCSSGP,
+    SpatioTemporalSSGP,
+    STSSGP,
     GP,
     WGP,
     TP,

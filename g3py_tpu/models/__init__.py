@@ -68,6 +68,7 @@ from .lmc import (
     stack_outputs,
 )
 from .statespace import StateSpaceGP, SSGP, MultiStateSpaceGP, LMCSSGP
+from .spatiotemporal import SpatioTemporalSSGP, STSSGP
 
 # aliases (reference processes/__init__.py:9-16)
 GP = GaussianProcess
@@ -139,6 +140,8 @@ __all__ = [
     "SSGP",
     "MultiStateSpaceGP",
     "LMCSSGP",
+    "SpatioTemporalSSGP",
+    "STSSGP",
     "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP", "SGP", "SWGP",
     "SVP",
 ]
