@@ -227,6 +227,51 @@ def main():
     except Exception as e:
         notes.append(f"ssgp bench skipped: {e}")
 
+    # ---- exact MULTI-OUTPUT time series: 2-channel LMC-mixed Kalman -------
+    # Two channels at different irregular times, mixed from two latent
+    # Markovian GPs (models/statespace.MultiStateSpaceGP) — the
+    # reference's only multi-output exact story is the dense ICM index
+    # kernel at O((sum n_p)^3) (reference kernels.py:262-290); this is
+    # the same 16k-event workload through the per-row-emission O(n)
+    # scan.  vs_baseline = the CPU LAPACK dense-eval stand-in (206.26 s).
+    try:
+        n0m, n1m = 9830, 6554                      # 16384 total events
+        t0m = np.sort(rng.uniform(0, 327.0, n0m)).astype(np.float32)
+        t1m = np.sort(rng.uniform(0, 327.0, n1m)).astype(np.float32)
+        y0m = (np.sin(2 * np.pi * t0m / 20.0)
+               + 0.2 * rng.standard_normal(n0m)).astype(np.float32)
+        y1m = (-0.8 * np.sin(2 * np.pi * t1m / 20.0) + 0.5
+               + 0.3 * rng.standard_normal(n1m)).astype(np.float32)
+        xm, ym = g3.stack_outputs([t0m[:, None], t1m[:, None]],
+                                  [y0m, y1m])
+        msg = g3.MultiStateSpaceGP(
+            space=xm[:4], kernel=[g3.MAT32(t0m[:4, None]),
+                                  g3.OU(t0m[:4, None])],
+            outputs_dim=2, name="BMSG")
+        msg.observed(xm, ym)
+        regms = msg.active
+        prems = msg._logp_pure(prior=False)
+        ums = jnp.asarray(regms.dict_to_array(msg.params_default))
+        xmj, ymj = jnp.asarray(xm), jnp.asarray(ym)
+
+        @jax.jit
+        def ms_nll_grad(u):
+            def nll(uu):
+                return -prems(regms.array_to_dict_jax(uu), xmj, xmj,
+                              ymj, jnp.zeros(0, dtype=uu.dtype))
+
+            return jax.value_and_grad(nll)(u)
+
+        t_ms = _timeit(ms_nll_grad, ums, repeat=20, warmup=3)
+        rows.append({"metric":
+                     "mssgp_exact_nll_grad_evals_per_sec_n16384_p2",
+                     "value": round(1.0 / t_ms, 2), "unit": "evals/sec",
+                     "vs_baseline": round(206.26 / t_ms, 1)})
+        notes.append(f"t_mssgp_nll_grad_n16384_p2={t_ms*1e3:.2f}ms "
+                     "(exact multi-output O(n) path)")
+    except Exception as e:
+        notes.append(f"mssgp bench skipped: {e}")
+
     # ---- sparse family at production scale: SGPR ELBO+grad at N=100k -------
     # The reference's only big-N strategy was subsampling (data.py:129-190
     # p-fractions); the sparse family trains on ALL rows in O(n m^2).

@@ -60,6 +60,15 @@ class Settings:
     # (n, s) tensors).  Values are static-shape thresholds.
     ssm_chunk_threshold: int = 1_048_576
     ssm_chunk: int = 262_144
+    # State dim at/above which the batched tiny-matrix products in the
+    # Kalman scans go to the MXU (6-pass exact-f32 matmul) instead of
+    # the VPU multiply-reduce (ops/ssm._bmm).  MEASURED NEGATIVE at
+    # every S on this runtime (benchmarks/ssm_state_dim_ab.py, n=16k
+    # filter: S=4 6.6 vs 1207ms, S=16 20.5 vs 706ms, S=64 692 vs
+    # 4698ms) — the emulated MXU dispatches tiny batched matmuls
+    # poorly, so the default keeps everything on the VPU; lower this on
+    # runtimes where batched small matmuls are healthy.
+    ssm_mxu_state_dim: int = 10_000
     plot_big: bool = False
     # Fused Pallas gram kernels on ARD_L2 (TPU only, tile-aligned shapes;
     # transparent XLA fallback otherwise).  True = families measured at

@@ -394,7 +394,20 @@ def _bmm(x, y):
     ``precision='highest'`` triggers the 6-pass f32 MXU emulation —
     measured 160x slower at these shapes (6.8ms -> 1077ms for the n=16k
     filter scan).  Broadcast-multiply-reduce runs on the VPU in native
-    full f32: accurate AND fast."""
+    full f32: accurate AND fast.
+
+    In theory LARGE states (the spatio-temporal family, S = m_sites *
+    s_t) should flip the verdict — the multiply-reduce materializes an
+    (n, s, s, s) intermediate, O(n s^3) HBM traffic, vs O(n s^2) reads
+    for the MXU — but MEASURED on this runtime the VPU wins at every S
+    (benchmarks/ssm_state_dim_ab.py: S=64 n=16k filter 692ms VPU vs
+    4698ms MXU; tiny batched matmuls dispatch poorly on the emulated
+    MXU, same pathology as the slow XLA matrix TRSM).  The dispatch
+    stays behind ``settings.ssm_mxu_state_dim`` (default off at 10_000)
+    for runtimes with healthy small-matmul paths; both branches are
+    exact f32 ('highest' = the 6-pass exact emulation)."""
+    if x.shape[-1] >= settings.ssm_mxu_state_dim:
+        return jnp.matmul(x, y, precision="highest")
     return jnp.sum(x[..., :, :, None] * y[..., None, :, :], axis=-2)
 
 
