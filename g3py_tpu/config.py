@@ -51,6 +51,15 @@ class Settings:
     # (exp-sin^2 periodic) kernel (ops/ssm.py PeriodicLeaf); truncation
     # tail is sum_{j>J} 2 e^{-r} I_j(r) — keep J >= rate + ~8.
     ssm_harmonics: int = 7
+    # Taylor order of the SE kernel's state-space approximation
+    # (ops/ssm.py SELeaf, Hartikainen & Sarkka 2010): max kernel error
+    # relative to var is 4.3e-3 / 9.1e-4 / 2.1e-4 at order 6 / 8 / 10 in
+    # f32.  Order 10 is the f32 CEILING: the eigen-form constants grow
+    # ~13x per +2 (2.5e5 at order 12) and their cancellation noise
+    # swamps the method error beyond 10; >=12 only pays under
+    # floatx='float64' (4.7e-5 method error at 12).  Cost is an
+    # order-dim state in the Kalman scans.
+    ssm_se_order: int = 8
     # Above this many rows, StateSpaceGP switches from the plain parallel
     # Kalman programs to the chunked monoid scans: loglike ->
     # ops/ssm.chunked_kalman_nll (O(ssm_chunk) activation memory, so the

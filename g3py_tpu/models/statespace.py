@@ -125,13 +125,20 @@ class StateSpaceGP(StochasticProcess):
         order = jnp.argsort(t_all)
         ts, ys, os_ = t_all[order], y_all[order], obs[order]
         dt = jnp.concatenate([jnp.zeros(1, settings.dtype), jnp.diff(ts)])
-        a, q, _pinf, h = ssm_blocks(self._leaves, params, dt)
         r = self._noise_var(params)
         if ts.shape[0] > settings.ssm_chunk_threshold:
-            # beyond-HBM serving: O(chunk)-memory two-pass smoother
-            mean, var = chunked_smoother_diag(a, q, h, r, ys, os_,
-                                              chunk=settings.ssm_chunk)
+            # beyond-HBM serving: O(chunk)-memory two-pass smoother with
+            # per-block (A, Q) construction — the (n, s, s) transition
+            # stacks never materialize
+            _a0, _q0, pinf, h = ssm_blocks(self._leaves, params,
+                                           jnp.zeros(1, settings.dtype))
+            mean, var = chunked_smoother_diag(
+                None, None, h, r, ys, os_, chunk=settings.ssm_chunk,
+                blocks_fn=lambda d: ssm_blocks(
+                    self._leaves, params, d, stationary_first=False)[:2],
+                dt=dt, pinf=pinf)
         else:
+            a, q, _pinf, h = ssm_blocks(self._leaves, params, dt)
             _nll, m_f, p_f = parallel_kalman_nll(a, q, h, r, ys, os_)
             m_s, p_s = parallel_smoother(a, q, m_f, p_f)
             # tiny-axis reductions stay on the VPU in full f32 (ssm._bmm)
@@ -158,13 +165,22 @@ class StateSpaceGP(StochasticProcess):
                   - self.f_location(params, inputs))[order]
             dt = jnp.concatenate([jnp.zeros(1, settings.dtype),
                                   jnp.diff(ts)])
-            a, q, _pinf, h = ssm_blocks(self._leaves, params, dt)
             if ts.shape[0] > settings.ssm_chunk_threshold:
                 # beyond-HBM training path: chunked monoid scan keeps
-                # backward memory at O(ssm_chunk) (ops/ssm.py docstring)
-                nll = chunked_kalman_nll(a, q, h, self._noise_var(params),
-                                         ys, chunk=settings.ssm_chunk)
+                # backward memory at O(ssm_chunk), and per-block (A, Q)
+                # construction keeps the forward there too (the
+                # (n, s, s) stacks never materialize)
+                _a0, _q0, pinf, h = ssm_blocks(
+                    self._leaves, params, jnp.zeros(1, settings.dtype))
+                nll = chunked_kalman_nll(
+                    None, None, h, self._noise_var(params), ys,
+                    chunk=settings.ssm_chunk,
+                    blocks_fn=lambda d: ssm_blocks(
+                        self._leaves, params, d,
+                        stationary_first=False)[:2],
+                    dt=dt, pinf=pinf)
             else:
+                a, q, _pinf, h = ssm_blocks(self._leaves, params, dt)
                 nll, _, _ = parallel_kalman_nll(a, q, h,
                                                 self._noise_var(params), ys)
             ll = -nll
@@ -533,8 +549,9 @@ class MultiStateSpaceGP(StateSpaceGP):
         return x[:, 0], jnp.clip(jnp.asarray(jnp.rint(x[:, 1]), jnp.int32),
                                  0, None)
 
-    def _blocks(self, params, dt):
-        return ssm_blocks_multi(self._leaf_sets, params, dt)
+    def _blocks(self, params, dt, stationary_first=True):
+        return ssm_blocks_multi(self._leaf_sets, params, dt,
+                                stationary_first=stationary_first)
 
     def _h_rows(self, params, hq, idx):
         """Per-row emission vectors (n, S): h_k = sum_q W[p_k, q] Hq[q].
@@ -565,17 +582,23 @@ class MultiStateSpaceGP(StateSpaceGP):
             ys = self._residual(params, inputs, outputs)[order]
             dt = jnp.concatenate([jnp.zeros(1, settings.dtype),
                                   jnp.diff(ts)])
-            a, q, _pinf, hq = self._blocks(params, dt)
             if ts.shape[0] > settings.ssm_chunk_threshold:
                 # beyond-HBM training: the per-row-emission chunked scan;
                 # only the layout-safe (n,) index rides the blocks, h/r
-                # are built inside each scan body (ops/ssm._rows_hr)
+                # are built inside each scan body (ops/ssm._rows_hr) and
+                # the (n, S, S) transition stacks are built per block
+                _a0, _q0, pinf, hq = self._blocks(
+                    params, jnp.zeros(1, settings.dtype))
                 w, _b = self.f_mixing.values(params)
                 r_vec = self.f_likelihood._vars(params)
-                nll = chunked_kalman_nll(a, q, None, None, ys,
-                                         chunk=settings.ssm_chunk,
-                                         rows=(idxs, w, hq, r_vec))
+                nll = chunked_kalman_nll(
+                    None, None, None, None, ys,
+                    chunk=settings.ssm_chunk, rows=(idxs, w, hq, r_vec),
+                    blocks_fn=lambda d: self._blocks(
+                        params, d, stationary_first=False)[:2],
+                    dt=dt, pinf=pinf)
             else:
+                a, q, _pinf, hq = self._blocks(params, dt)
                 h = self._h_rows(params, hq, idxs)
                 r = self._r_rows(params, idxs)
                 nll, _, _ = parallel_kalman_nll(a, q, h, r, ys)
@@ -638,15 +661,21 @@ class MultiStateSpaceGP(StateSpaceGP):
         ts, ys, os_ = t_all[order], y_all[order], obs[order]
         idxs = idx_all[order]
         dt = jnp.concatenate([jnp.zeros(1, settings.dtype), jnp.diff(ts)])
-        a, q, _pinf, hq = self._blocks(params, dt)
         if ts.shape[0] > settings.ssm_chunk_threshold:
-            # beyond-HBM serving: per-row-emission two-pass smoother
+            # beyond-HBM serving: per-row-emission two-pass smoother,
+            # per-block (A, Q) construction
+            _a0, _q0, pinf, hq = self._blocks(
+                params, jnp.zeros(1, settings.dtype))
             w, _b = self.f_mixing.values(params)
             r_vec = self.f_likelihood._vars(params)
             mean, var = chunked_smoother_diag(
-                a, q, None, None, ys, os_, chunk=settings.ssm_chunk,
-                rows=(idxs, w, hq, r_vec))
+                None, None, None, None, ys, os_,
+                chunk=settings.ssm_chunk, rows=(idxs, w, hq, r_vec),
+                blocks_fn=lambda d: self._blocks(
+                    params, d, stationary_first=False)[:2],
+                dt=dt, pinf=pinf)
         else:
+            a, q, _pinf, hq = self._blocks(params, dt)
             h = self._h_rows(params, hq, idxs)
             # query rows are masked out of the filter, but their r still
             # enters s = hQh' + r divisions — keep it the row's own

@@ -27,6 +27,10 @@ Kernel parametrization matches this library's dense forms exactly
 * ``SIN``    (exp-sin^2): k = v exp(-2 r sin^2(pi f t))
              = v e^{-r} [I_0(r) + 2 sum_j I_j(r) cos(2 pi f j t)]
              (EXACT Bessel identity; truncated at ``harmonics`` J)
+* ``SE``     (ARD_L2): k = v exp(-0.5 r^2 t^2) — the one APPROXIMATE
+             leaf (non-rational spectrum): order-``ssm_se_order`` Taylor
+             spectral factorization, kernel error <= 9.1e-4 var at the
+             default order 8 (see :class:`SELeaf`)
 * products of the above (KernelProd): Kronecker state composition —
   H(A1 (x) A2)(P1 (x) P2)H' = k1 k2, the quasi-periodic construction.
 
@@ -141,6 +145,104 @@ class MaternLeaf(SSMLeaf):
             jnp.stack([k13, z, v * l2 * l2]),
         ])
         h = np.zeros(3, settings.floatx)
+        h[0] = 1.0
+        return a, pinf, h
+
+
+def _se_unit_system(order, _cache={}):
+    """Host-side f64 precompute of the unit-lengthscale SE state-space
+    approximation (Hartikainen & Sarkka 2010): truncate the Taylor series
+    of 1/S(w) (S = sqrt(2 pi) e^{-w^2/2}) at ``order`` terms, spectrally
+    factor the resulting all-pole density (left-half-plane roots of
+    ``sum_k (-s^2/2)^k / k!``), and solve the stationary Lyapunov
+    equation of the companion-form SDE.  Returned in BALANCED state
+    coordinates (Pinf has unit diagonal — the raw companion Pinf spans
+    ~1e6 at order 8, which would put f32 filter updates in cancellation
+    territory) and EIGEN form, so the runtime discretization is just
+
+        A(dt)[j, k] = Re sum_i W[j, k, i] exp(mu_i * dt / l)
+
+    with fixed complex constants (mu, W): exactly differentiable in the
+    lengthscale, no matrix exponential at trace time.  Returns numpy f64
+    ``(mu_re, mu_im, w_re, w_im, pinf)``; max kernel error vs the true
+    SE is 4.3e-3 / 9.1e-4 / 2.0e-4 / 4.7e-5 of var at order 6/8/10/12
+    in f64, uniformly in the lengthscale (the system scales exactly).
+    In f32, order 10 is the practical CEILING (2.1e-4 measured): the
+    balanced eigen constants grow ~13x per +2 orders (1.4e3 at 8,
+    1.8e4 at 10, 2.5e5 at 12) and their f32 cancellation noise swamps
+    the method error beyond order 10."""
+    if order in _cache:
+        return _cache[order]
+    import math
+    from scipy.linalg import solve_lyapunov
+
+    n = int(order)
+    coeffs = np.zeros(2 * n + 1)
+    for k in range(n + 1):
+        coeffs[2 * k] = (-0.5) ** k / math.factorial(k)
+    roots = np.roots(coeffs[::-1])
+    lhp = roots[roots.real < 0]
+    if len(lhp) != n:                                  # pragma: no cover
+        raise ValueError(f"SE spectral factorization failed at order {n}")
+    d_poly = np.poly(lhp).real                         # monic, stable
+    f_mat = np.zeros((n, n))
+    f_mat[:-1, 1:] = np.eye(n - 1)
+    f_mat[-1, :] = -d_poly[::-1][:n]
+    l_vec = np.zeros(n)
+    l_vec[-1] = 1.0
+    q_c = np.sqrt(2.0 * np.pi) * (2.0 ** n) * math.factorial(n)
+    pinf = solve_lyapunov(f_mat, -q_c * np.outer(l_vec, l_vec))
+    pinf = 0.5 * (pinf + pinf.T)
+    pinf = pinf / pinf[0, 0]                           # k(0) = var exactly
+    mu, v_eig = np.linalg.eig(f_mat)
+    w_full = np.einsum("ji,ik->jki", v_eig, np.linalg.inv(v_eig))
+    # balance: unit-diagonal Pinf (t[0] = 1, so H = e_0 is unchanged)
+    t_bal = 1.0 / np.sqrt(np.diag(pinf))
+    pinf = pinf * np.outer(t_bal, t_bal)
+    w_full = w_full * (t_bal[:, None, None] / t_bal[None, :, None])
+    _cache[order] = (np.ascontiguousarray(mu.real),
+                     np.ascontiguousarray(mu.imag),
+                     np.ascontiguousarray(w_full.real),
+                     np.ascontiguousarray(w_full.imag), pinf)
+    return _cache[order]
+
+
+class SELeaf(SSMLeaf):
+    """SE kernel (kernels.py SE: v exp(-0.5 r^2 tau^2)) as an order-``s``
+    Taylor state-space APPROXIMATION — the one non-exact leaf (the SE
+    spectrum is not rational, so no finite-state form exists; Hartikainen
+    & Sarkka 2010).  Kernel error <= 9.1e-4 of var at the default order 8
+    (``settings.ssm_se_order``; 2.1e-4 at 10 — the f32 ceiling, see
+    :func:`_se_unit_system`), uniform in the lengthscale.  The unit system is precomputed on the host in f64;
+    at runtime ``A(dt) = Re sum_i W_i e^{mu_i r dt}`` (l = 1/r for this
+    library's ARD_L2 rate parametrization) — a VPU broadcast-reduce over
+    the order axis, differentiable in both hypers."""
+
+    def __init__(self, kernel, order):
+        self.kernel = kernel
+        self.dim = int(order)
+
+    def blocks(self, params, dt):
+        v = jnp.asarray(hval(self.kernel.var, params),
+                        settings.dtype).reshape(())
+        r = jnp.asarray(hval(self.kernel.metric.rate, params),
+                        settings.dtype).reshape(())
+        mu_re, mu_im, w_re, w_im, pinf_u = _se_unit_system(self.dim)
+        mu_re = jnp.asarray(mu_re, settings.dtype)
+        mu_im = jnp.asarray(mu_im, settings.dtype)
+        w_re = jnp.asarray(w_re, settings.dtype)
+        w_im = jnp.asarray(w_im, settings.dtype)
+        c = r * dt                                     # dt / lengthscale
+        decay = jnp.exp(c[:, None] * mu_re[None])      # (n, s)
+        phase = c[:, None] * mu_im[None]
+        re_part = decay * jnp.cos(phase)
+        im_part = decay * jnp.sin(phase)
+        # Re(W e^{mu c}) summed over the eigen axis: VPU multiply-reduce
+        # (see _bmm — 'highest' batched matmuls are pathological here)
+        a = (jnp.sum(re_part[:, None, None, :] * w_re[None], axis=-1)
+             - jnp.sum(im_part[:, None, None, :] * w_im[None], axis=-1))
+        pinf = v * jnp.asarray(pinf_u, settings.dtype)
+        h = np.zeros(self.dim, settings.floatx)
         h[0] = 1.0
         return a, pinf, h
 
@@ -264,7 +366,7 @@ class ProductLeaf(SSMLeaf):
 
 def _leaf_of(k, harmonics):
     """One non-composite kernel -> SSMLeaf, or raise naming the part."""
-    from ..hypers.kernels import OU, MAT32, MAT52, COS, SIN, KernelProd
+    from ..hypers.kernels import OU, MAT32, MAT52, COS, SIN, SE, KernelProd
     from ..hypers.metrics import ARD_L1, ARD_L2
 
     if isinstance(k, KernelProd):
@@ -284,15 +386,21 @@ def _leaf_of(k, harmonics):
                 "OU needs its default ARD_L1 metric for the "
                 "state-space form")
         return MaternLeaf("ou", k, 1.0, 1)
+    if isinstance(k, SE):
+        if type(k.metric) is not ARD_L2:
+            raise ValueError(
+                "SE needs its default ARD_L2 metric for the "
+                "state-space form")
+        return SELeaf(k, getattr(settings, "ssm_se_order", 8))
     if isinstance(k, COS):
         return CosLeaf(k)
     if isinstance(k, SIN):
         return PeriodicLeaf(k, harmonics)
     raise ValueError(
         f"kernel part {type(k).__name__} has no state-space "
-        "form (supported: OU, MAT32, MAT52, COS, SIN and their sums/"
-        "products; SE is not Markovian — approximate it with MAT52 or "
-        "use the dense/sparse families)")
+        "form (supported: OU, MAT32, MAT52, SE — approximate, order "
+        "settings.ssm_se_order — COS, SIN and their sums/products; "
+        "use the dense/sparse families otherwise)")
 
 
 def ssm_leaves(kernel, harmonics=None):
@@ -589,7 +697,8 @@ def _rows_hr(idxb, rows):
     return hb, r_vec[idxb]
 
 
-def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144, rows=None):
+def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144, rows=None,
+                       blocks_fn=None, dt=None, pinf=None):
     """Exact LGSSM NLL with O(chunk) activation memory: ``lax.scan``
     over blocks of ``chunk`` rows, a rematerialized associative scan
     inside each block, the running prefix element carried across blocks
@@ -618,11 +727,21 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144, rows=None):
     ``r_vec`` (P,) per-output noise variances.  ``h``/``r`` are ignored;
     each block's h/r are built inside the scan body (``_rows_hr``) so
     the (n, s) per-row tensor never materializes — only the layout-safe
-    (n,) index rides the scan."""
+    (n,) index rides the scan.
+
+    ``blocks_fn=(dt_block -> (A, Q))`` with ``dt`` (n,) and ``pinf``
+    (s, s) is the BLOCKS-ON-THE-FLY form for LARGE state dims (the
+    spatio-temporal families, S = m * s_t): the (n, S, S) transition
+    stacks — 16 GB at S=64, n=1e6 — are never materialized; each block
+    builds its own from the layout-safe step vector (typically
+    ``lambda d: ssm_blocks(leaves, params, d, stationary_first=False)
+    [:2]``).  The global first row's stationary prior and the pad rows'
+    identity elements are applied here, so ``blocks_fn`` stays the
+    plain per-row discretization."""
     n = y.shape[0]
     if obs is None:
         obs = jnp.ones(n, bool)
-    s = a.shape[-1]
+    s = a.shape[-1] if blocks_fn is None else pinf.shape[-1]
     chunk = int(min(chunk, n))
     nc = -(-n // chunk)
     pad = nc * chunk - n
@@ -631,27 +750,50 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144, rows=None):
         # TRUE identity-element padding (A=I, Q=0, obs=False -> filter
         # element (I, 0, 0, 0, 0)): pads cannot perturb any prefix, and
         # their masked NLL terms stay finite (sig = h'P_prev h + r > 0)
-        a = jnp.concatenate([a, jnp.broadcast_to(
-            jnp.eye(s, dtype=a.dtype), (pad, s, s))])
-        q = jnp.concatenate([q, jnp.zeros((pad, s, s), q.dtype)])
+        if blocks_fn is None:
+            a = jnp.concatenate([a, jnp.broadcast_to(
+                jnp.eye(s, dtype=a.dtype), (pad, s, s))])
+            q = jnp.concatenate([q, jnp.zeros((pad, s, s), q.dtype)])
+        else:
+            dt = jnp.concatenate([dt, jnp.zeros(pad, dt.dtype)])
         y = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
         obs = jnp.concatenate([obs, jnp.zeros(pad, bool)])
         if idx is not None:
             idx = jnp.concatenate([idx, jnp.zeros(pad, jnp.int32)])
-    aq_blocks = (a.reshape(nc, chunk, s, s), q.reshape(nc, chunk, s, s),
-                 y.reshape(nc, chunk), obs.reshape(nc, chunk))
+    if blocks_fn is None:
+        aq_blocks = (a.reshape(nc, chunk, s, s),
+                     q.reshape(nc, chunk, s, s),
+                     y.reshape(nc, chunk), obs.reshape(nc, chunk))
+    else:
+        aq_blocks = (dt.reshape(nc, chunk), jnp.arange(nc),
+                     y.reshape(nc, chunk), obs.reshape(nc, chunk))
     if idx is not None:
         aq_blocks = aq_blocks + (idx.reshape(nc, chunk),)
 
     @jax.checkpoint
     def body(carry, xs):
         prev, nll_acc = carry                    # prefix at block start
+        if blocks_fn is None:
+            ab, qb, yb, ob = xs[:4]
+        else:
+            dtb, bi, yb, ob = xs[:4]
+            ab, qb = blocks_fn(dtb)
+            # pad rows (last block only) -> the monoid identity
+            valid = ((bi * chunk + jnp.arange(chunk))
+                     < n)[:, None, None]
+            eye_s = jnp.eye(s, dtype=ab.dtype)
+            ab = jnp.where(valid, ab, eye_s[None])
+            qb = jnp.where(valid, qb, jnp.zeros_like(qb))
+            # only the GLOBAL first row starts from the stationary prior
+            fb = bi == 0
+            ab = ab.at[0].set(jnp.where(fb, jnp.zeros_like(ab[0]),
+                                        ab[0]))
+            qb = qb.at[0].set(jnp.where(fb, jnp.asarray(
+                pinf, qb.dtype), qb[0]))
         if rows is None:
-            ab, qb, yb, ob = xs
             hb, rb = h, r
         else:
-            ab, qb, yb, ob, ib = xs
-            hb, rb = _rows_hr(ib, rows[1:])
+            hb, rb = _rows_hr(xs[4], rows[1:])
         eb = _filter_elements(ab, qb, hb, rb, yb, ob)
         pref = lax.associative_scan(_filter_combine, eb)
         carry_b = jax.tree.map(
@@ -672,14 +814,14 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144, rows=None):
         return (new_prev, nll_acc + nll_b), None
 
     init = (jax.tree.map(lambda x: x[0],
-                         _filter_identity(s, 1, a.dtype)),
+                         _filter_identity(s, 1, y.dtype)),
             jnp.zeros((), y.dtype))
     (_, nll), _ = lax.scan(body, init, aq_blocks)
     return nll
 
 
 def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144,
-                          rows=None):
+                          rows=None, blocks_fn=None, dt=None, pinf=None):
     """H-projected smoothed posterior (mean, var), each (n,), with
     O(chunk) live memory — the beyond-HBM SERVING path.
 
@@ -707,37 +849,79 @@ def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144,
 
     ``rows=(idx, w, hq, r_vec)``: per-row-emission (multi-output) form,
     see :func:`chunked_kalman_nll` — the returned mean/var are then the
-    per-row MIXED projections h_k' m_s / h_k' P_s h_k."""
+    per-row MIXED projections h_k' m_s / h_k' P_s h_k.
+
+    ``blocks_fn``/``dt``/``pinf``: blocks-on-the-fly form for large
+    state dims, see :func:`chunked_kalman_nll` — (n, S, S) transition
+    stacks never materialize; the pad convention (A=0, Q=I) and the
+    global first row's stationary prior are applied here."""
     n = y.shape[0]
     if obs is None:
         obs = jnp.ones(n, bool)
-    s = a.shape[-1]
+    s = a.shape[-1] if blocks_fn is None else pinf.shape[-1]
     chunk = int(min(chunk, n))
     nc = -(-n // chunk)
     pad = nc * chunk - n
     idx = None if rows is None else jnp.asarray(rows[0], jnp.int32)
     if pad:
-        a = jnp.concatenate([a, jnp.zeros((pad, s, s), a.dtype)])
-        q = jnp.concatenate([q, jnp.broadcast_to(
-            jnp.eye(s, dtype=q.dtype), (pad, s, s))])
+        if blocks_fn is None:
+            a = jnp.concatenate([a, jnp.zeros((pad, s, s), a.dtype)])
+            q = jnp.concatenate([q, jnp.broadcast_to(
+                jnp.eye(s, dtype=q.dtype), (pad, s, s))])
+        else:
+            dt = jnp.concatenate([dt, jnp.zeros(pad, dt.dtype)])
         y = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
         obs = jnp.concatenate([obs, jnp.zeros(pad, bool)])
         if idx is not None:
             idx = jnp.concatenate([idx, jnp.zeros(pad, jnp.int32)])
-    blocks = (a.reshape(nc, chunk, s, s), q.reshape(nc, chunk, s, s),
-              y.reshape(nc, chunk), obs.reshape(nc, chunk))
+    if blocks_fn is None:
+        blocks = (a.reshape(nc, chunk, s, s), q.reshape(nc, chunk, s, s),
+                  y.reshape(nc, chunk), obs.reshape(nc, chunk))
+    else:
+        blocks = (dt.reshape(nc, chunk), jnp.arange(nc),
+                  y.reshape(nc, chunk), obs.reshape(nc, chunk))
     if idx is not None:
         blocks = blocks + (idx.reshape(nc, chunk),)
     # each block's smoothing tail needs the NEXT block's first (A, Q);
     # the last block gets the pad convention (A=0, Q=I) so the global
     # final smoothing element reduces to (0, m_f, P_f)
-    a_next = jnp.concatenate([blocks[0][1:, 0],
-                              jnp.zeros((1, s, s), a.dtype)])
-    q_next = jnp.concatenate([blocks[1][1:, 0],
-                              jnp.eye(s, dtype=q.dtype)[None]])
+    if blocks_fn is None:
+        a_next = jnp.concatenate([blocks[0][1:, 0],
+                                  jnp.zeros((1, s, s), a.dtype)])
+        q_next = jnp.concatenate([blocks[1][1:, 0],
+                                  jnp.eye(s, dtype=q.dtype)[None]])
+    else:
+        # next-first rows are always REAL rows (pads only ever pad the
+        # last block's tail, and nc*chunk - n < chunk)
+        an_r, qn_r = blocks_fn(blocks[0][1:, 0])
+        a_next = jnp.concatenate([an_r,
+                                  jnp.zeros((1, s, s), an_r.dtype)])
+        q_next = jnp.concatenate([qn_r,
+                                  jnp.eye(s, dtype=qn_r.dtype)[None]])
 
     def _block_hr(ib):
         return (h, r) if rows is None else _rows_hr(ib, rows[1:])
+
+    def _block_aq(xs):
+        """(ab, qb, yb, ob, ib) from one block's scan slice, building
+        A/Q on the fly (with pad + global-prior fixes) when asked."""
+        if blocks_fn is None:
+            ab, qb, yb, ob = xs[:4]
+        else:
+            dtb, bi, yb, ob = xs[:4]
+            ab, qb = blocks_fn(dtb)
+            valid = ((bi * chunk + jnp.arange(chunk))
+                     < n)[:, None, None]
+            eye_s = jnp.eye(s, dtype=ab.dtype)
+            ab = jnp.where(valid, ab, jnp.zeros_like(ab))
+            qb = jnp.where(valid, qb, eye_s[None])
+            fb = bi == 0
+            ab = ab.at[0].set(jnp.where(fb, jnp.zeros_like(ab[0]),
+                                        ab[0]))
+            qb = qb.at[0].set(jnp.where(fb, jnp.asarray(
+                pinf, qb.dtype), qb[0]))
+        ib = xs[4] if rows is not None else None
+        return ab, qb, yb, ob, ib
 
     def local_filter(start_c, ab, qb, yb, ob, ib=None):
         hb, rb = _block_hr(ib)
@@ -749,17 +933,17 @@ def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144,
         return _filter_combine(carry_b, pref)
 
     def fwd(carry, xs):
-        full = local_filter(carry, *xs)
+        full = local_filter(carry, *_block_aq(xs))
         return jax.tree.map(lambda x: x[-1], full), carry
 
-    ident_f = jax.tree.map(lambda x: x[0], _filter_identity(s, 1, a.dtype))
+    ident_f = jax.tree.map(lambda x: x[0],
+                           _filter_identity(s, 1, y.dtype))
     _, starts = lax.scan(fwd, ident_f, blocks)      # (nc, ...) tiny
 
     def bwd(suffix, xs):
         start_c, *rest = xs
         an, qn = rest[-2:]
-        ab, qb, yb, ob = rest[:4]
-        ib = rest[4] if rows is not None else None
+        ab, qb, yb, ob, ib = _block_aq(tuple(rest[:-2]))
         hb, _rb = _block_hr(ib)
         full = local_filter(start_c, ab, qb, yb, ob, ib)
         m_f, p_f = full[1], full[2]
@@ -782,8 +966,8 @@ def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144,
         new_suffix = jax.tree.map(lambda x: x[0], total)
         return new_suffix, (mean_b, var_b)
 
-    ident_s = (jnp.eye(s, dtype=a.dtype), jnp.zeros(s, a.dtype),
-               jnp.zeros((s, s), a.dtype))
+    ident_s = (jnp.eye(s, dtype=y.dtype), jnp.zeros(s, y.dtype),
+               jnp.zeros((s, s), y.dtype))
     _, (mean, var) = lax.scan(bwd, ident_s,
                               (starts,) + blocks + (a_next, q_next),
                               reverse=True)

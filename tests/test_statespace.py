@@ -306,6 +306,82 @@ class TestOpsLevel:
         g2 = float(jax.grad(f_chunk)(jnp.float32(1.0)))
         np.testing.assert_allclose(g2, g1, rtol=2e-5)
 
+    def test_chunked_blocks_on_the_fly_matches_plain(self, rng):
+        """blocks_fn form (per-block A/Q construction from the step
+        vector — the (n, s, s) stacks never materialize) == the
+        materialized form, NLL value + params-gradient and smoother
+        projections, across dividing/non-dividing chunk sizes."""
+        from g3py_tpu.config import settings
+        n = 500
+        t = np.sort(rng.uniform(0, 30, n)).reshape(-1, 1).astype(
+            np.float32)
+        y = (np.sin(t[:, 0]) + 0.1 * rng.standard_normal(n)).astype(
+            np.float32)
+        ss = g3.StateSpaceGP(space=t, kernel=g3.MAT32(t) + g3.OU(t),
+                             name="S")
+        ss.observed(t, y)
+        p = {k: jnp.asarray(v) for k, v in ss.params.items()}
+        dt = jnp.concatenate([jnp.zeros(1, jnp.float32),
+                              jnp.diff(jnp.asarray(t[:, 0]))])
+        yj = jnp.asarray(y)
+        r = jnp.float32(0.2)
+        obs = jnp.asarray(rng.random(n) > 0.15)
+
+        def mat(pp):
+            return ssm_blocks(ss._leaves, pp, dt)
+
+        a, q, pinf, h = mat(p)
+        nll_plain, _, _ = parallel_kalman_nll(a, q, h, r, yj, obs)
+        for chunk in (128, 200, 1024):
+            nll_f = chunked_kalman_nll(
+                None, None, h, r, yj, obs, chunk=chunk,
+                blocks_fn=lambda d: ssm_blocks(
+                    ss._leaves, p, d, stationary_first=False)[:2],
+                dt=dt, pinf=pinf)
+            np.testing.assert_allclose(float(nll_f), float(nll_plain),
+                                       rtol=2e-6)
+
+        # gradient w.r.t. the actual kernel hypers flows through the
+        # per-block construction identically
+        def f_plain(pp):
+            aa, qq, _pi, hh = mat(pp)
+            nll, _, _ = parallel_kalman_nll(aa, qq, hh, r, yj, obs)
+            return nll
+
+        def f_fly(pp):
+            _a0, _q0, pi, hh = ssm_blocks(ss._leaves, pp,
+                                          jnp.zeros(1, jnp.float32))
+            return chunked_kalman_nll(
+                None, None, hh, r, yj, obs, chunk=128,
+                blocks_fn=lambda d: ssm_blocks(
+                    ss._leaves, pp, d, stationary_first=False)[:2],
+                dt=dt, pinf=pi)
+
+        g1 = jax.grad(lambda pp: f_plain(pp))(p)
+        g2 = jax.grad(lambda pp: f_fly(pp))(p)
+        for k in g1:
+            np.testing.assert_allclose(np.asarray(g2[k]),
+                                       np.asarray(g1[k]),
+                                       rtol=2e-4, atol=1e-5)
+
+        # smoother projections
+        from g3py_tpu.ops.ssm import chunked_smoother_diag
+        m_f, p_f = parallel_kalman_filter(a, q, h, r, yj, obs)
+        m_s, p_s = parallel_smoother(a, q, m_f, p_f)
+        mean_p = np.asarray(jnp.sum(m_s * h, axis=-1))
+        var_p = np.asarray(jnp.sum(jnp.sum(p_s * h, axis=-1) * h,
+                                   axis=-1))
+        for chunk in (128, 200):
+            mean_c, var_c = chunked_smoother_diag(
+                None, None, h, r, yj, obs, chunk=chunk,
+                blocks_fn=lambda d: ssm_blocks(
+                    ss._leaves, p, d, stationary_first=False)[:2],
+                dt=dt, pinf=pinf)
+            np.testing.assert_allclose(np.asarray(mean_c), mean_p,
+                                       atol=2e-4)
+            np.testing.assert_allclose(np.asarray(var_c), var_p,
+                                       atol=2e-4)
+
     def test_model_routes_through_chunked_path(self, rng):
         """StateSpaceGP.loglike above settings.ssm_chunk_threshold ==
         the plain-path value (same params, threshold toggled)."""
@@ -432,7 +508,7 @@ class TestOpsLevel:
     def test_ssm_leaves_rejects_non_markovian(self):
         t = np.linspace(0, 1, 8).reshape(-1, 1).astype(np.float32)
         with pytest.raises(ValueError, match="state-space"):
-            ssm_leaves(g3.SE(t))
+            ssm_leaves(g3.RQ(t))
         leaves = ssm_leaves(g3.MAT32(t) + (g3.OU(t) + g3.MAT52(t)))
         assert [lf.family for lf in leaves] == ["mat32", "ou", "mat52"]
         assert sum(lf.dim for lf in leaves) == 6
@@ -495,3 +571,81 @@ class TestPeriodic:
             errs.append(abs(float(ss.loglike(p)) - l_d))
         assert errs[2] <= errs[1] <= errs[0] + 1e-5
         assert errs[2] < 1e-3
+
+
+class TestSE:
+    """SE kernel's Taylor state-space approximation (ops/ssm.SELeaf):
+    the one non-exact leaf — errors must sit at the documented order-
+    dependent bounds (9.1e-4 var at order 8, shrinking ~5x per +2), and
+    the model surface must carry it like any exact leaf."""
+
+    def test_blocks_reproduce_kernel_curve(self, rng):
+        from g3py_tpu.ops.ssm import SELeaf
+        from g3py_tpu.hypers import hval
+
+        t, y = _series(rng)
+        ss = g3.StateSpaceGP(space=t, kernel=g3.SE(t), name="SEK")
+        ss.observed(t, y)
+        p = {k: jnp.asarray(v) for k, v in ss.params.items()}
+        leaf = ss._leaves[0]
+        assert isinstance(leaf, SELeaf) and leaf.dim == 8
+        v = float(np.asarray(hval(leaf.kernel.var, p)).reshape(()))
+        r = float(np.asarray(hval(leaf.kernel.metric.rate, p)).reshape(()))
+        taus = np.linspace(0.0, 4.0 / r, 80).astype(np.float32)
+        # doc bound + f32 slack; order 12 is EXCLUDED on purpose — its
+        # eigen constants reach 2.5e5 and f32 cancellation (~1.6e-3)
+        # swamps the 4.7e-5 method error (order 10 is the f32 ceiling)
+        bounds = {6: 4.8e-3, 8: 1.2e-3, 10: 3.5e-4}
+        errs = {}
+        for order in bounds:
+            lf = SELeaf(leaf.kernel, order)
+            a, pinf, _h = lf.blocks(p, jnp.asarray(taus))
+            k_ss = np.asarray(a)[:, 0, :] @ np.asarray(pinf)[:, 0]
+            k_true = v * np.exp(-0.5 * (r * taus) ** 2)
+            errs[order] = np.abs(k_ss - k_true).max() / v
+            assert errs[order] < bounds[order], (order, errs[order])
+        assert errs[10] < errs[8] < errs[6]
+        # Q = Pinf - A Pinf A' stays PSD to f32 tolerance (the filter's
+        # stability relies on it; the balanced realization keeps the
+        # cancellation error ~1e-4 of var)
+        a, q, pinf, h = ssm_blocks(ss._leaves, p,
+                                   jnp.asarray(np.maximum(taus, 1e-4)),
+                                   stationary_first=False)
+        mineig = min(np.linalg.eigvalsh(
+            0.5 * (qk + qk.T)).min() for qk in np.asarray(q))
+        assert mineig > -2e-3 * v
+
+    def test_matches_dense_and_orders_converge(self, rng):
+        from g3py_tpu.config import settings
+
+        t, y = _series(rng, n=96)
+        ss, dn = _pair(t, lambda: g3.SE(t))
+        ss.observed(t, y)
+        dn.observed(t, y)
+        assert set(ss.params) == set(dn.params)
+        p = ss.params
+        l_d = float(dn.loglike(p))
+        err8 = abs(float(ss.loglike(p)) - l_d)
+        assert err8 < 1e-3 * max(1.0, abs(l_d))
+        np.testing.assert_allclose(np.asarray(ss.dlogp(p)),
+                                   np.asarray(dn.dlogp(p)),
+                                   rtol=2e-2, atol=2e-2)
+        # posterior moments carry the same approximation quality
+        tq = np.linspace(-1, 11, 25).reshape(-1, 1).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(ss.mean(p, space=tq)),
+                                   np.asarray(dn.mean(p, space=tq)),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(ss.variance(p, space=tq)),
+                                   np.asarray(dn.variance(p, space=tq)),
+                                   atol=5e-3)
+        # raising the order tightens the NLL toward the dense value
+        # (10 is the f32 ceiling — see test_blocks_reproduce_kernel_curve)
+        old = settings.ssm_se_order
+        try:
+            settings.ssm_se_order = 10
+            ss10 = g3.StateSpaceGP(space=t, kernel=g3.SE(t), name="S")
+            ss10.observed(t, y)
+            err10 = abs(float(ss10.loglike(p)) - l_d)
+        finally:
+            settings.ssm_se_order = old
+        assert err10 < 0.5 * err8 + 1e-6
