@@ -244,6 +244,7 @@ from .models import (
     LMCSSGP,
     SpatioTemporalSSGP,
     STSSGP,
+    SparseSpatioTemporalSSGP,
     GP,
     WGP,
     TP,

@@ -68,7 +68,8 @@ from .lmc import (
     stack_outputs,
 )
 from .statespace import StateSpaceGP, SSGP, MultiStateSpaceGP, LMCSSGP
-from .spatiotemporal import SpatioTemporalSSGP, STSSGP
+from .spatiotemporal import (SpatioTemporalSSGP, STSSGP,
+                             SparseSpatioTemporalSSGP)
 
 # aliases (reference processes/__init__.py:9-16)
 GP = GaussianProcess
@@ -142,6 +143,7 @@ __all__ = [
     "LMCSSGP",
     "SpatioTemporalSSGP",
     "STSSGP",
+    "SparseSpatioTemporalSSGP",
     "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP", "SGP", "SWGP",
     "SVP",
 ]

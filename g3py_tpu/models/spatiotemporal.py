@@ -39,13 +39,16 @@ from ..config import settings
 from ..hypers import Hypers, Flat, hval, is_param
 from ..ops.guards import to_cov
 from ..ops.linalg import safe_cholesky, solve_lower_triangular
-from ..ops.ssm import ssm_leaves
+from ..ops.ssm import (ssm_leaves, parallel_kalman_nll,
+                       parallel_kalman_filter, parallel_smoother,
+                       ssm_prior_state_sample)
 from .lmc import MultiGaussianLik
 from .statespace import MultiStateSpaceGP
 from .stochastic import StochasticProcess, zero32
 from .gaussian import GUARD  # noqa: F401  (re-export convenience)
 
-__all__ = ["SpatioTemporalSSGP", "STSSGP", "SpatialMixing"]
+__all__ = ["SpatioTemporalSSGP", "STSSGP", "SpatialMixing",
+           "SparseSpatioTemporalSSGP"]
 
 
 class SpatialMixing(Hypers):
@@ -56,15 +59,21 @@ class SpatialMixing(Hypers):
     Drop-in for :class:`~g3py_tpu.models.lmc.Mixing` on the
     MultiStateSpaceGP machinery."""
 
-    def __init__(self, kernel, sites, name=None):
+    def __init__(self, kernel, sites, name=None, bias=True):
         self.kernel = kernel
         self.sites = np.asarray(sites, settings.floatx)
         self.P = int(self.sites.shape[0])
         self.Q = self.P
         self.b = None
+        self.bias = bool(bias)
         super().__init__(name=name if name is not None else "SpaceMix")
 
     def check_hypers(self, parent=""):
+        if not self.bias:
+            # inducing-site mixing (SparseSpatioTemporalSSGP): rows are
+            # arbitrary coordinates, a per-SITE bias has no meaning
+            self.b = np.zeros((self.P,), settings.floatx)
+            return
         if self.b is None:
             self.b = self._param(None, parent + self.name + "_b",
                                  prior=Flat(), shape=(self.P,))
@@ -72,6 +81,8 @@ class SpatialMixing(Hypers):
     def default_hypers(self, x=None, y=None):
         """Per-site bias defaults to the site's target mean (rows are
         (t, site_index) as in the LMC row format)."""
+        if not self.bias:
+            return {}
         b0 = np.zeros((self.P,), settings.floatx)
         if x is not None and y is not None and np.ndim(x) == 2:
             idx = np.asarray(np.rint(np.asarray(x)[:, -1]), np.int64)
@@ -288,3 +299,336 @@ class SpatioTemporalSSGP(MultiStateSpaceGP):
 
 
 STSSGP = SpatioTemporalSSGP
+
+
+class SparseSpatioTemporalSSGP(SpatioTemporalSSGP):
+    """Spatio-temporal GP at ARBITRARY spatial locations: sparse in
+    SPACE (m inducing sites), exact in TIME (O(n) parallel Kalman).
+
+    :class:`SpatioTemporalSSGP` needs every observation to sit on one of
+    m fixed sites; here rows are ``(t, x_1..x_ds)`` with free spatial
+    coordinates.  The model keeps the m-site latent field
+    ``u(t) = f(t, Z)`` over INDUCING sites Z as the Markovian state and
+    projects every row onto it by kernel interpolation,
+
+        f(t, x) = a(x)' u(t) + r(t, x),
+        a(x) = K_s(Z, Z)^{-1} k_s(Z, x),
+
+    with the interpolation residual ``r`` — variance
+    ``k_t(0) (k_s(x, x) - k' K_s^{-1} k)`` — folded into the per-row
+    observation noise (the FITC approximation in space; Nyström/DTC
+    projection plus exact marginal variances).  Time stays EXACT: with
+    ``Z`` ⊇ the distinct observed locations the residual vanishes and
+    the model equals the exact :class:`SpatioTemporalSSGP` / dense
+    product-kernel GP (tested).  The temporal structure is never
+    approximated — only the spatial cross-section is, the opposite
+    trade to LMCSVP (sparse in ALL axes).
+
+    >>> st = g3.SparseSpatioTemporalSSGP(
+    ...         space=x, kernel=g3.MAT32(x[:, :1]),
+    ...         space_kernel=g3.SE(x[:, 1:]), inducing=16)
+    >>> st.observed(x, y); p = st.find_MAP()
+    >>> st.mean(p, xq)                     # statistics at any (t, x...)
+    >>> m, v = st.field(tq, xq_space, params=p)
+
+    ``inducing``: (m, d_s) site array, or an int m — k-means centers of
+    the observed spatial coordinates.  State dim S = m * s_t; the plain
+    parallel scans materialize (n, S, S) transitions, so keep
+    n * (m * s_t)^2 within HBM (~1e5 rows at m=32, MAT32).  Per-site
+    biases and the per-site noise of the exact family become a single
+    global noise variance here (and ``location``, e.g. ``g3.Bias()``,
+    for the mean); ``nll_distributed`` and the chunked beyond-HBM paths
+    are not wired for interpolated emissions yet.
+
+    Reference baseline: the dense product kernel over all rows at
+    O(n^3) (reference kernels.py:51-75) — this family is the only route
+    in either library to n ~ 1e5 scattered space-time observations."""
+
+    def __init__(self, space=None, location=None, kernel=None,
+                 space_kernel=None, inducing=None, harmonics=None,
+                 *args, **kwargs):
+        from ..hypers.means import Zero
+        from .sparse import select_inducing
+
+        if space_kernel is None or inducing is None:
+            raise ValueError(
+                "SparseSpatioTemporalSSGP needs space_kernel= and "
+                "inducing= (an (m, d_s) site array, or an int m for "
+                "k-means of the observed spatial coordinates)")
+        if np.ndim(inducing) == 0:
+            if space is None:
+                raise ValueError(
+                    "inducing=<int> needs space= rows (t, x...) to "
+                    "place the k-means sites")
+            xs = np.asarray(space, settings.floatx)
+            if xs.ndim != 2 or xs.shape[1] < 2:
+                raise ValueError(
+                    "rows must be (t, x_1..x_ds) — got shape "
+                    f"{xs.shape}")
+            sites = select_inducing(xs[:, 1:], int(inducing))
+        else:
+            sites = np.asarray(inducing, settings.floatx)
+            if sites.ndim == 1:
+                sites = sites[:, None]
+        m = int(sites.shape[0])
+        self.n_outputs = 1
+        self.n_latents = m
+        self._shared_kernel = True
+        self.f_kernels = (kernel,)
+        shared = ssm_leaves(kernel, harmonics=harmonics)
+        self._leaf_sets = [shared] * m
+        self.f_location = location if location is not None else Zero()
+        self.f_space_kernel = space_kernel
+        self.f_mixing = SpatialMixing(space_kernel, sites, bias=False)
+        self.f_likelihood = MultiGaussianLik(1)
+        kwargs["space"] = space
+        if "name" not in kwargs:
+            kwargs["name"] = "SparseST"
+        StochasticProcess.__init__(self, *args, **kwargs)
+
+    # -- row plumbing: (t, x...) instead of (t, site_index) --------------------
+    @staticmethod
+    def _split(x):
+        """(t (n,), spatial coordinates (n, d_s))."""
+        x = jnp.asarray(x, settings.dtype)
+        return x[:, 0], x[:, 1:]
+
+    def observed(self, inputs=None, outputs=None, order=None, index=None,
+                 hidden=None):
+        out = StochasticProcess.observed(self, inputs=inputs,
+                                         outputs=outputs, order=order,
+                                         index=index, hidden=hidden)
+        x = np.asarray(self._inputs)
+        d_s = self.f_mixing.sites.shape[1]
+        if x.ndim != 2 or x.shape[1] != 1 + d_s:
+            raise ValueError(
+                "SparseSpatioTemporalSSGP rows are (t, x_1..x_ds) with "
+                f"d_s={d_s} — expected (n, {1 + d_s}) inputs, got "
+                f"{x.shape}")
+        self.f_likelihood.check_targets(self._outputs)
+        return out
+
+    def default_hypers(self):
+        feats = self._features(self.inputs)
+        out = {}
+        out.update(self.f_location.default_hypers_dims(feats, self.outputs))
+        out.update(self.f_kernels[0].default_hypers_dims(feats,
+                                                         self.outputs))
+        out.update(self.f_space_kernel.default_hypers_dims(
+            self.f_mixing.sites, self.outputs))
+        # one global noise: MultiGaussianLik(1)'s own default would read
+        # the last input column as an output index — rows here end in
+        # spatial coordinates, so set it from the pooled target variance
+        y = np.asarray(self.outputs) if self.outputs is not None else None
+        if is_param(self.f_likelihood.var) and y is not None and y.size > 1:
+            out[self.f_likelihood.var] = np.array(
+                [np.var(y) / 10.0 + 1e-6], settings.floatx)
+        return out
+
+    # -- interpolated emissions ----------------------------------------------------
+    def _wrows(self, params, xs):
+        """Per-row latent weights (n, m) — interpolation onto the
+        inducing sites pushed through the mixing W = chol(K_s) — and the
+        FITC residual variances (n,)."""
+        a, resid = self._interp(params, xs)
+        w, _b = self.f_mixing.values(params)
+        return jnp.matmul(a, w,
+                          precision=settings.matmul_precision), resid
+
+    def _residual(self, params, x, y):
+        t_feats = jnp.asarray(x, settings.dtype)[:, :1]
+        return (jnp.asarray(y, settings.dtype)
+                - self.f_location(params, t_feats))
+
+    def _loc_bias(self, params, space):
+        t_feats = jnp.asarray(space, settings.dtype)[:, :1]
+        return self.f_location(params, t_feats)
+
+    def _r_rows(self, params, xs):
+        """Observation-noise variance per row: one global s2."""
+        s2 = self.f_likelihood._vars(params)[0]
+        return jnp.full((xs.shape[0],), 1.0, settings.dtype) * s2
+
+    # -- exact-in-time marginal likelihood under the FITC spatial noise ------------
+    def th_loglike_fn(self):
+        def fn(params, space, inputs, outputs):
+            x = jnp.asarray(inputs, settings.dtype)
+            t, xs = self._split(x)
+            order = jnp.argsort(t)
+            ys = self._residual(params, x, outputs)[order]
+            dt = jnp.concatenate([jnp.zeros(1, settings.dtype),
+                                  jnp.diff(t[order])])
+            a, q, _pinf, hq = self._blocks(params, dt)
+            wrows, resid = self._wrows(params, xs)
+            wr = wrows[order]
+            h = jnp.sum(wr[:, :, None] * hq[None], axis=1)
+            r = (self.f_likelihood._vars(params)[0] + resid[order])
+            nll, _, _ = parallel_kalman_nll(a, q, h, r, ys)
+            ll = -nll
+            bad = ~jnp.isfinite(ll)
+            return jnp.where(bad, GUARD, jnp.nan_to_num(
+                ll, nan=GUARD, neginf=GUARD, posinf=GUARD))
+
+        return fn
+
+    def nll_distributed(self, params=None, mesh=None, axis="dp"):
+        raise ValueError(
+            "SparseSpatioTemporalSSGP has no sharded objective yet — "
+            "interpolated emissions don't ride sharded_ssm_nll_multi's "
+            "index rows; train through the plain loglike (find_MAP "
+            "default engines)")
+
+    # -- smoothing with interpolated emissions --------------------------------------
+    def _run_smoother_weights(self, params, tq, wrows, inputs, outputs):
+        """Smoothed moments of the SITE-FIELD projection a'u at query
+        times ``tq`` with explicit weight rows ``wrows`` (nq, m); the
+        query rows' residual variance is NOT added here (callers own
+        it).  Observed rows emit through their own interpolated weights
+        with FITC-inflated noise."""
+        x = jnp.asarray(inputs, settings.dtype)
+        tobs, xsobs = self._split(x)
+        wobs, resid_obs = self._wrows(params, xsobs)
+        yres = self._residual(params, x, outputs)
+        n_obs = tobs.shape[0]
+        t_all = jnp.concatenate([tobs, tq])
+        y_all = jnp.concatenate([yres, jnp.zeros_like(tq)])
+        obs = jnp.concatenate([jnp.ones(n_obs, bool),
+                               jnp.zeros(tq.shape[0], bool)])
+        order = jnp.argsort(t_all)
+        ts, ys, os_ = t_all[order], y_all[order], obs[order]
+        dt = jnp.concatenate([jnp.zeros(1, settings.dtype), jnp.diff(ts)])
+        a, q, _pinf, hq = self._blocks(params, dt)
+        wall = jnp.concatenate([wobs, wrows])[order]
+        h = jnp.sum(wall[:, :, None] * hq[None], axis=1)
+        s2 = self.f_likelihood._vars(params)[0]
+        r_all = jnp.concatenate([
+            s2 + resid_obs,
+            jnp.full(tq.shape, 1.0, settings.dtype)])[order]
+        m_f, p_f = parallel_kalman_filter(a, q, h, r_all, ys, os_)
+        m_s, p_s = parallel_smoother(a, q, m_f, p_f)
+        mean = jnp.sum(m_s * h, axis=-1)
+        var = jnp.sum(jnp.sum(p_s * h[:, None, :], axis=-1) * h, axis=-1)
+        inv = jnp.argsort(order)
+        qpos = inv[n_obs:]
+        return mean[qpos], jnp.maximum(var[qpos], zero32)
+
+    def _run_smoother(self, params, xq, inputs, outputs):
+        """Posterior (mean, var) of the latent field f(t, x) at query
+        rows — projection moments plus the rows' own residual
+        variances."""
+        tq, xsq = self._split(xq)
+        wq, residq = self._wrows(params, xsq)
+        m, v = self._run_smoother_weights(params, tq, wq, inputs, outputs)
+        return m, jnp.maximum(v + residq, zero32)
+
+    def _prior_diag(self, params, space):
+        _tq, xsq = self._split(space)
+        wq, residq = self._wrows(params, xsq)
+        dt0 = jnp.zeros(1, settings.dtype)
+        _a, _q, pinf, hq = self._blocks(params, dt0)
+        vq = jnp.sum(jnp.sum(pinf[None] * hq[:, None, :], axis=-1) * hq,
+                     axis=-1)                           # (m,)
+        return (jnp.sum(wq ** 2 * vq[None, :], axis=1) + residq)
+
+    # -- joint draws (simulation smoother over interpolated emissions) --------------
+    def _joint_draws(self, params, xq, inputs, outputs, samples, seed,
+                     prior=False):
+        key = jax.random.PRNGKey(seed)
+        tq, xsq = self._split(xq)
+        wq, residq = self._wrows(params, xsq)
+        key, kres = jax.random.split(key)
+        res_draws = (jnp.sqrt(jnp.maximum(residq, zero32))[:, None]
+                     * jax.random.normal(kres,
+                                         (tq.shape[0], int(samples)),
+                                         dtype=settings.dtype))
+        if prior:
+            order = jnp.argsort(tq)
+            dt = jnp.concatenate([jnp.zeros(1, settings.dtype),
+                                  jnp.diff(tq[order])])
+            a, q, _pinf, hq = self._blocks(params, dt)
+            h = jnp.sum(wq[order][:, :, None] * hq[None], axis=1)
+            keys = jax.random.split(key, samples)
+            xs = jax.vmap(lambda k: ssm_prior_state_sample(a, q, k))(keys)
+            f = jnp.sum(xs * h[None], axis=-1).T
+            return f[jnp.argsort(order)] + res_draws
+        x = jnp.asarray(inputs, settings.dtype)
+        tobs, xsobs = self._split(x)
+        wobs, resid_obs = self._wrows(params, xsobs)
+        yres = self._residual(params, x, outputs)
+        n_obs = tobs.shape[0]
+        t_all = jnp.concatenate([tobs, tq])
+        y_all = jnp.concatenate([yres, jnp.zeros_like(tq)])
+        obs = jnp.concatenate([jnp.ones(n_obs, bool),
+                               jnp.zeros(tq.shape[0], bool)])
+        order = jnp.argsort(t_all)
+        ts, ys, os_ = t_all[order], y_all[order], obs[order]
+        dt = jnp.concatenate([jnp.zeros(1, settings.dtype), jnp.diff(ts)])
+        a, q, _pinf, hq = self._blocks(params, dt)
+        wall = jnp.concatenate([wobs, wq])[order]
+        h = jnp.sum(wall[:, :, None] * hq[None], axis=1)
+        s2 = self.f_likelihood._vars(params)[0]
+        r = jnp.concatenate([s2 + resid_obs,
+                             jnp.full(tq.shape, 1.0,
+                                      settings.dtype)])[order]
+        m_f, p_f = parallel_kalman_filter(a, q, h, r, ys, os_)
+        m_s, _ = parallel_smoother(a, q, m_f, p_f)
+
+        def one(k):
+            k1, k2 = jax.random.split(k)
+            xdraw = ssm_prior_state_sample(a, q, k1)
+            yprime = (jnp.sum(xdraw * h, axis=-1)
+                      + jnp.sqrt(r) * jax.random.normal(
+                          k2, ys.shape, dtype=ys.dtype))
+            mfp, pfp = parallel_kalman_filter(a, q, h, r, yprime, os_)
+            msp, _ = parallel_smoother(a, q, mfp, pfp)
+            return jnp.sum((m_s + xdraw - msp) * h, axis=-1)
+
+        draws = jax.vmap(one)(jax.random.split(key, samples))
+        inv = jnp.argsort(order)
+        return draws[:, inv[n_obs:]].T + res_draws
+
+    # -- host-side sampling / quantiles ----------------------------------------------
+    def sampler(self, params=None, space=None, inputs=None, outputs=None,
+                samples=1, prior=False, noise=False, rng=None, seed=0):
+        if params is None:
+            params = self.params
+        if space is None:
+            space = self.space
+        if inputs is None:
+            inputs = self._inputs
+        if outputs is None:
+            outputs = self._outputs
+        pj = {k: jnp.asarray(v) for k, v in params.items()}
+        xq = np.asarray(space, settings.floatx)
+        f = np.asarray(self._joint_draws(pj, jnp.asarray(
+            xq, settings.dtype), inputs, outputs, int(samples), int(seed),
+            prior=prior))
+        f = f + np.asarray(self._loc_bias(pj, jnp.asarray(
+            xq, settings.dtype)))[:, None]
+        if noise:
+            if rng is None:
+                rng = np.random.default_rng(seed + 1)
+            s2 = float(np.asarray(self.f_likelihood._vars(pj))[0])
+            f = f + np.sqrt(s2) * rng.standard_normal(f.shape).astype(
+                settings.floatx)
+        return f
+
+    def quantiler(self, params=None, space=None, inputs=None,
+                  outputs=None, q=0.975, prior=False, noise=False,
+                  simulations=None):
+        from scipy import stats
+
+        if params is None:
+            params = self.params
+        if space is None:
+            space = self.space
+        m = np.asarray(self.location(params, space, inputs, outputs,
+                                     prior=prior))
+        v = np.maximum(np.asarray(
+            self.kernel_diag(params, space, inputs, outputs, prior=prior)),
+            0.0)
+        if noise:
+            pj = {k: jnp.asarray(vv) for k, vv in params.items()}
+            v = v + float(np.asarray(self.f_likelihood._vars(pj))[0])
+        return stats.norm.ppf(q, loc=m, scale=np.sqrt(np.maximum(v,
+                                                                 1e-12)))

@@ -37,6 +37,7 @@ MODULES = [
     "tut11_distributed_training",
     "tut12_likelihoods",
     "tut13_time_series",
+    "tut14_spatiotemporal",
 ]
 
 

@@ -186,3 +186,127 @@ class TestModelAPI:
         x = with_output(t, 0)
         with pytest.raises(ValueError, match="space_kernel"):
             g3.SpatioTemporalSSGP(space=x, kernel=g3.MAT32(t))
+
+
+class TestSparse:
+    """SparseSpatioTemporalSSGP: sparse in SPACE (m inducing sites),
+    exact in TIME.  The pinning claim: with Z covering every distinct
+    observed location the FITC residual vanishes and the model EQUALS
+    the dense product-kernel MVN — NLL and posterior moments — while a
+    strict subset Z degrades gracefully and still trains."""
+
+    def _scattered(self, rng, n=120):
+        xs = rng.uniform(0, 4, n).astype(np.float32)
+        t = np.sort(rng.uniform(0, 10, n)).astype(np.float32)
+        x = np.column_stack([t, xs]).astype(np.float32)
+        y = (np.sin(t) * np.exp(-xs / 3.0)
+             + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        return x, y
+
+    def _onsite(self, rng):
+        rows, ys = [], []
+        for p in range(len(SITES)):
+            n_p = 20 + 3 * p
+            t = np.sort(rng.uniform(0, 10, n_p)).astype(np.float32)
+            f = np.sin(t) * np.exp(-SITES[p, 0] / 3.0)
+            ys.append((f + 0.1 * rng.standard_normal(n_p)).astype(
+                np.float32))
+            rows.append(np.column_stack([t, np.full(n_p, SITES[p, 0])]))
+        return (np.concatenate(rows).astype(np.float32),
+                np.concatenate(ys).astype(np.float32))
+
+    def _sparse(self, x, inducing, **kw):
+        return g3.SparseSpatioTemporalSSGP(
+            space=x, kernel=g3.MAT32(x[:, :1]),
+            space_kernel=g3.SE(x[:, 1:]), inducing=inducing,
+            name="SST", **kw)
+
+    def test_complete_sites_equal_dense_oracle(self, rng):
+        x, y = self._onsite(rng)
+        st = self._sparse(x, SITES)
+        st.observed(x, y)
+        p = st.params
+        pj = {k: jnp.asarray(v) for k, v in p.items()}
+        K = _product_gram(st, p, x[:, 0], x[:, 1])
+        s2 = float(np.asarray(st.f_likelihood._vars(pj))[0])
+        n = len(y)
+        ll_oracle = stats.multivariate_normal.logpdf(
+            np.asarray(y, np.float64), mean=np.zeros(n),
+            cov=K + s2 * np.eye(n))
+        ll = float(st.loglike(p))
+        assert abs(ll - ll_oracle) < 5e-4 * max(1.0, abs(ll_oracle))
+        # posterior moments at rows ON inducing sites == dense posterior
+        tq = np.linspace(0.5, 9.5, 8).astype(np.float32)
+        xq = np.column_stack([tq, np.full(8, SITES[2, 0])]).astype(
+            np.float32)
+        Kq = _product_gram(st, p, np.concatenate([x[:, 0], tq]),
+                           np.concatenate([x[:, 1], xq[:, 1]]))
+        Koo = Kq[:n, :n] + s2 * np.eye(n)
+        sol = np.linalg.solve(Koo, np.asarray(y, np.float64))
+        mean_d = Kq[n:, :n] @ sol
+        cov_d = (Kq[n:, n:]
+                 - Kq[n:, :n] @ np.linalg.solve(Koo, Kq[n:, :n].T))
+        np.testing.assert_allclose(np.asarray(st.mean(p, space=xq)),
+                                   mean_d, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(st.variance(p, space=xq)),
+                                   np.diagonal(cov_d), atol=3e-4)
+        # prior marginals: k_t(0) k_s(x, x) at on-site rows
+        vp = np.asarray(st.variance(p, space=xq, prior=True))
+        Kp = _product_gram(st, p, tq, xq[:, 1])
+        np.testing.assert_allclose(vp, np.diagonal(Kp), rtol=3e-4)
+
+    def test_subset_sites_train_and_serve(self, rng):
+        x, y = self._scattered(rng, n=150)
+        st = self._sparse(x, 8)
+        st.observed(x, y)
+        assert st.f_mixing.sites.shape == (8, 1)
+        lp0 = float(st.logp(st.params))
+        p = st.find_MAP(points=1, display=False)
+        assert float(st.logp(p)) >= lp0 - 1e-3
+        m = np.asarray(st.mean(p, space=x))
+        truth = np.sin(x[:, 0]) * np.exp(-x[:, 1] / 3.0)
+        rmse = float(np.sqrt(np.mean((m - truth) ** 2)))
+        assert rmse < 0.12        # noise level is 0.1
+        # FITC residual inflates marginals at rows far from Z: variance
+        # stays positive and finite everywhere
+        v = np.asarray(st.variance(p, space=x, noise=True))
+        assert np.all(np.isfinite(v)) and np.all(v > 0)
+        # field() works with scattered observations
+        tq = np.linspace(1, 9, 6).astype(np.float32)
+        xqs = np.linspace(0.2, 3.8, 6).astype(np.float32)
+        mq, vq = st.field(tq, xqs, params=p)
+        assert np.all(np.isfinite(mq)) and np.all(vq > 0)
+
+    def test_sampler_quantiler_logpredictive(self, rng):
+        x, y = self._onsite(rng)
+        st = self._sparse(x, SITES)
+        st.observed(x, y)
+        p = st.params
+        tq = np.linspace(1, 9, 6).astype(np.float32)
+        xq = np.column_stack([tq, np.full(6, 1.0)]).astype(np.float32)
+        draws = st.sampler(p, space=xq, samples=600, seed=2)
+        m = np.asarray(st.mean(p, space=xq))
+        v = np.asarray(st.variance(p, space=xq))
+        assert draws.shape == (6, 600)
+        np.testing.assert_allclose(draws.mean(axis=1), m,
+                                   atol=6 * np.sqrt(v.max() / 600))
+        np.testing.assert_allclose(draws.var(axis=1), v,
+                                   rtol=0.35, atol=1e-4)
+        qh = st.quantiler(p, space=xq, q=0.975, noise=True)
+        ql = st.quantiler(p, space=xq, q=0.025, noise=True)
+        assert np.all(qh > ql)
+        lp = float(st.logpredictive(p, space=xq,
+                                    vector=np.sin(tq).astype(np.float32)))
+        assert np.isfinite(lp)
+
+    def test_constructor_and_guards(self, rng):
+        x, y = self._scattered(rng, n=40)
+        with pytest.raises(ValueError, match="inducing"):
+            g3.SparseSpatioTemporalSSGP(space=x, kernel=g3.MAT32(x[:, :1]),
+                                        space_kernel=g3.SE(x[:, 1:]))
+        st = self._sparse(x, 6)
+        with pytest.raises(ValueError, match="rows"):
+            st.observed(x[:, :1], y)
+        st.observed(x, y)
+        with pytest.raises(ValueError, match="sharded"):
+            st.nll_distributed(st.params)
