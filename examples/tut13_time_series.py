@@ -43,7 +43,8 @@ def main(quick=True, plot=True):
 
     ll0, ll1 = float(ssgp.logp(start)), float(ssgp.logp(params))
     assert ll1 >= ll0 - 1e-3
-    freq = float(np.asarray(params[ssgp.name + "_Cycle_freq"]))
+    freq = float(np.asarray(
+        params[ssgp.name + "_Cycle_freq"]).reshape(-1)[0])
     print(f"logp {ll0:.1f} -> {ll1:.1f}; learned cycle "
           f"{1.0 / max(freq, 1e-6):.1f} years")
 
@@ -68,6 +69,37 @@ def main(quick=True, plot=True):
         plt.legend()
         plt.title("Sunspots: quasi-periodic state-space GP (exact O(n))")
         save_fig("tut13_sunspots.png")
+
+    # ---- count data: Poisson observations on the exact O(n) prior ------
+    # (NonGaussianSSGP: Laplace by iterated parallel Kalman smoothing)
+    rng = np.random.default_rng(0)
+    nc = 150 if quick else 600
+    tc = np.sort(rng.uniform(0, 20, nc)).reshape(-1, 1).astype(np.float32)
+    log_rate = 1.0 + np.sin(2 * np.pi * tc[:, 0] / 7.0)
+    counts = rng.poisson(np.exp(log_rate)).astype(np.float32)
+    ng = g3.NonGaussianSSGP(space=tc, kernel=g3.MAT32(tc),
+                            likelihood=g3.PoissonLik(), name="Counts")
+    ng.observed(tc, counts)
+    p_ng = ng.find_MAP(points=1, display=False)
+    rate = np.asarray(ng.mean(p_ng, space=tc))
+    rmse_rate = float(np.sqrt(np.mean((rate - np.exp(log_rate)) ** 2)))
+    print(f"Poisson series: posterior rate rmse {rmse_rate:.2f} "
+          f"(rate scale ~{np.exp(log_rate).mean():.1f})")
+    assert rmse_rate < 1.5
+
+    if plot:
+        import matplotlib.pyplot as plt
+
+        q_hi = ng.quantiler(p_ng, space=tc, q=0.975)
+        q_lo = ng.quantiler(p_ng, space=tc, q=0.025)
+        plt.figure(figsize=(10, 3.5))
+        plt.plot(tc[:, 0], counts, "k.", ms=3, label="counts")
+        plt.plot(tc[:, 0], rate, "C1", lw=1.2, label="posterior rate")
+        plt.fill_between(tc[:, 0], q_lo, q_hi, color="C1", alpha=0.2,
+                         label="rate 95%")
+        plt.legend()
+        plt.title("Poisson counts: Laplace on the state-space GP")
+        save_fig("tut13_poisson.png")
 
     return params
 

@@ -245,6 +245,8 @@ from .models import (
     SpatioTemporalSSGP,
     STSSGP,
     SparseSpatioTemporalSSGP,
+    NonGaussianSSGP,
+    NGSSGP,
     GP,
     WGP,
     TP,

@@ -60,6 +60,11 @@ class Settings:
     # floatx='float64' (4.7e-5 method error at 12).  Cost is an
     # order-dim state in the Kalman scans.
     ssm_se_order: int = 8
+    # Newton iterations for the Laplace mode of the non-Gaussian
+    # state-space family (models/ngssm.py); each is one parallel
+    # smoothing pass.  Log-concave likelihoods converge in ~5; 15 leaves
+    # slack for Student-t's clamped curvature.
+    ssm_laplace_iters: int = 15
     # Above this many rows, StateSpaceGP switches from the plain parallel
     # Kalman programs to the chunked monoid scans: loglike ->
     # ops/ssm.chunked_kalman_nll (O(ssm_chunk) activation memory, so the

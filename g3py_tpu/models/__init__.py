@@ -68,6 +68,7 @@ from .lmc import (
     stack_outputs,
 )
 from .statespace import StateSpaceGP, SSGP, MultiStateSpaceGP, LMCSSGP
+from .ngssm import NonGaussianSSGP, NGSSGP
 from .spatiotemporal import (SpatioTemporalSSGP, STSSGP,
                              SparseSpatioTemporalSSGP)
 
@@ -144,6 +145,8 @@ __all__ = [
     "SpatioTemporalSSGP",
     "STSSGP",
     "SparseSpatioTemporalSSGP",
+    "NonGaussianSSGP",
+    "NGSSGP",
     "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP", "SGP", "SWGP",
     "SVP",
 ]

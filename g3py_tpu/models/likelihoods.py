@@ -577,3 +577,39 @@ class CategoricalLik(Likelihood):
                 f"CategoricalLik targets must lie in [0, {self.classes - 1}]"
                 f" (got range [{ya.min()}, {ya.max()}]); pass classes="
                 f"{int(ya.max()) + 1} if you have more classes")
+
+
+def sample_conditional(lik, params, f, rng):
+    """Draw y | f through a likelihood, elementwise over a latent-draw
+    array ``f`` (numpy host-side, shared by the variational family's
+    sampler and the state-space Laplace family's joint sampler).  Raises
+    for likelihoods with no conditional sampler."""
+    from scipy import stats
+
+    from ..config import settings
+    from ..hypers import hval
+
+    pj = {k: np.asarray(v) for k, v in params.items()}
+    if isinstance(lik, BernoulliLik):
+        p = stats.norm.cdf(f)
+        return (rng.uniform(size=f.shape) < p).astype(settings.floatx)
+    if isinstance(lik, PoissonLik):
+        return rng.poisson(np.exp(np.clip(f, -30, 30))).astype(
+            settings.floatx)
+    if isinstance(lik, OrdinalLik):
+        b = np.asarray(lik._cuts(pj))                     # (C-1,)
+        g = f + rng.standard_normal(f.shape).astype(settings.floatx)
+        return np.sum(g[..., None] > b, axis=-1).astype(settings.floatx)
+    if isinstance(lik, StudentTLik):
+        s2 = float(np.maximum(hval(lik.var, pj), 1e-10))
+        nu = float(np.maximum(hval(lik.nu, pj), 1.0))
+        return f + np.sqrt(s2) * stats.t.rvs(
+            nu, size=f.shape, random_state=rng).astype(settings.floatx)
+    if not isinstance(lik, GaussianLik):
+        raise ValueError(
+            f"no conditional sampler for {type(lik).__name__}; draw "
+            "latent paths with noise=False and push through the "
+            "likelihood")
+    s2 = float(np.maximum(hval(lik.var, pj), 1e-10))
+    return f + np.sqrt(s2) * rng.standard_normal(f.shape).astype(
+        settings.floatx)

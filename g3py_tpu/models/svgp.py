@@ -449,34 +449,9 @@ class SparseVariationalProcess(StochasticProcess):
             (len(mf), samples)).astype(settings.floatx)
         if not noise:
             return f
-        lik = self.f_likelihood
-        pj = {k: np.asarray(v) for k, v in params.items()}
-        if isinstance(lik, BernoulliLik):
-            p = stats.norm.cdf(f)
-            return (rng.uniform(size=f.shape) < p).astype(settings.floatx)
-        if isinstance(lik, PoissonLik):
-            return rng.poisson(np.exp(np.clip(f, -30, 30))).astype(
-                settings.floatx)
-        if isinstance(lik, OrdinalLik):
-            # y | f: count how many interior cutpoints the latent-plus-
-            # probit-noise draw clears (equivalent to categorical sampling
-            # from the bin probabilities, but one uniform per draw)
-            b = np.asarray(lik._cuts(pj))                     # (C-1,)
-            g = f + rng.standard_normal(f.shape).astype(settings.floatx)
-            return np.sum(g[..., None] > b, axis=-1).astype(
-                settings.floatx)
-        if isinstance(lik, StudentTLik):
-            s2 = float(np.maximum(hval(lik.var, pj), 1e-10))
-            nu = float(np.maximum(hval(lik.nu, pj), 1.0))
-            return f + np.sqrt(s2) * stats.t.rvs(
-                nu, size=f.shape, random_state=rng).astype(settings.floatx)
-        if not isinstance(lik, GaussianLik):
-            raise ValueError(
-                f"no noise sampler for {type(lik).__name__}; draw latent "
-                "paths with noise=False and push through the likelihood")
-        s2 = float(np.maximum(hval(lik.var, pj), 1e-10))
-        return f + np.sqrt(s2) * rng.standard_normal(f.shape).astype(
-            settings.floatx)
+        from .likelihoods import sample_conditional
+
+        return sample_conditional(self.f_likelihood, params, f, rng)
 
     def quantiler(self, params=None, space=None, inputs=None, outputs=None,
                   q=0.975, prior=False, noise=False, simulations=None):
