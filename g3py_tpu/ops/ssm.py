@@ -31,6 +31,9 @@ Kernel parametrization matches this library's dense forms exactly
              leaf (non-rational spectrum): order-``ssm_se_order`` Taylor
              spectral factorization, kernel error <= 9.1e-4 var at the
              default order 8 (see :class:`SELeaf`)
+* ``SM``     (spectral-mixture component): v exp(-2 pi^2 r^2 t^2)
+             cos(2 pi f t) = SE-envelope (rate 2 pi r) x cosine — rides
+             :class:`SELeaf`'s approximation via Kronecker composition
 * products of the above (KernelProd): Kronecker state composition —
   H(A1 (x) A2)(P1 (x) P2)H' = k1 k2, the quasi-periodic construction.
 
@@ -227,23 +230,64 @@ class SELeaf(SSMLeaf):
                         settings.dtype).reshape(())
         r = jnp.asarray(hval(self.kernel.metric.rate, params),
                         settings.dtype).reshape(())
-        mu_re, mu_im, w_re, w_im, pinf_u = _se_unit_system(self.dim)
-        mu_re = jnp.asarray(mu_re, settings.dtype)
-        mu_im = jnp.asarray(mu_im, settings.dtype)
-        w_re = jnp.asarray(w_re, settings.dtype)
-        w_im = jnp.asarray(w_im, settings.dtype)
-        c = r * dt                                     # dt / lengthscale
-        decay = jnp.exp(c[:, None] * mu_re[None])      # (n, s)
-        phase = c[:, None] * mu_im[None]
-        re_part = decay * jnp.cos(phase)
-        im_part = decay * jnp.sin(phase)
-        # Re(W e^{mu c}) summed over the eigen axis: VPU multiply-reduce
-        # (see _bmm — 'highest' batched matmuls are pathological here)
-        a = (jnp.sum(re_part[:, None, None, :] * w_re[None], axis=-1)
-             - jnp.sum(im_part[:, None, None, :] * w_im[None], axis=-1))
-        pinf = v * jnp.asarray(pinf_u, settings.dtype)
+        a, pinf_u = _se_discretize(self.dim, r * dt)   # c = dt/lengthscale
+        pinf = v * pinf_u
         h = np.zeros(self.dim, settings.floatx)
         h[0] = 1.0
+        return a, pinf, h
+
+
+def _se_discretize(order, c):
+    """(A (n, s, s), Pinf_unit (s, s)) of the balanced SE unit system at
+    scaled steps ``c = rate * dt``: A = Re(W e^{mu c}) as a VPU
+    multiply-reduce over the eigen axis (see _bmm — 'highest' batched
+    matmuls are pathological on this runtime)."""
+    mu_re, mu_im, w_re, w_im, pinf_u = _se_unit_system(order)
+    mu_re = jnp.asarray(mu_re, settings.dtype)
+    mu_im = jnp.asarray(mu_im, settings.dtype)
+    w_re = jnp.asarray(w_re, settings.dtype)
+    w_im = jnp.asarray(w_im, settings.dtype)
+    decay = jnp.exp(c[:, None] * mu_re[None])          # (n, s)
+    phase = c[:, None] * mu_im[None]
+    re_part = decay * jnp.cos(phase)
+    im_part = decay * jnp.sin(phase)
+    a = (jnp.sum(re_part[:, None, None, :] * w_re[None], axis=-1)
+         - jnp.sum(im_part[:, None, None, :] * w_im[None], axis=-1))
+    return a, jnp.asarray(pinf_u, settings.dtype)
+
+
+class SMLeaf(SSMLeaf):
+    """Spectral-mixture component (kernels.py SM:
+    v exp(-2 pi^2 r^2 tau^2) cos(2 pi f tau)) as the Kronecker product
+    of the SE envelope leaf and the exact 2-D rotation state — the SM
+    envelope is an SE at rate 2 pi r (0.5 r_se^2 = 2 pi^2 r^2), so the
+    approximation quality is exactly :class:`SELeaf`'s at the same
+    order.  A full spectral-mixture kernel ``SM + SM + ...`` then rides
+    the additive block-diagonal stack like any kernel sum — giving the
+    Wilson-Adams spectral mixture an O(n) exact-inference path."""
+
+    def __init__(self, kernel, order):
+        self.kernel = kernel
+        self.order = int(order)
+        self.dim = 2 * self.order
+
+    def blocks(self, params, dt):
+        v = jnp.asarray(hval(self.kernel.var, params),
+                        settings.dtype).reshape(())
+        r = jnp.asarray(hval(self.kernel.rate, params),
+                        settings.dtype).reshape(())
+        f = jnp.asarray(hval(self.kernel.freq, params),
+                        settings.dtype).reshape(())
+        a1, p1 = _se_discretize(self.order, (TWOPI * r) * dt)
+        a2 = _rotation_stack(TWOPI * f, dt)
+        p2 = jnp.eye(2, dtype=settings.dtype)
+        n = dt.shape[0]
+        a = (a1[:, :, None, :, None] * a2[:, None, :, None, :]).reshape(
+            n, self.dim, self.dim)
+        pinf = v * (p1[:, None, :, None] * p2[None, :, None, :]).reshape(
+            self.dim, self.dim)
+        h = np.zeros(self.dim, settings.floatx)
+        h[0] = 1.0                       # kron(e0_se, e0_rot)
         return a, pinf, h
 
 
@@ -366,7 +410,8 @@ class ProductLeaf(SSMLeaf):
 
 def _leaf_of(k, harmonics):
     """One non-composite kernel -> SSMLeaf, or raise naming the part."""
-    from ..hypers.kernels import OU, MAT32, MAT52, COS, SIN, SE, KernelProd
+    from ..hypers.kernels import (OU, MAT32, MAT52, COS, SIN, SE, SM,
+                                  KernelProd)
     from ..hypers.metrics import ARD_L1, ARD_L2
 
     if isinstance(k, KernelProd):
@@ -392,13 +437,15 @@ def _leaf_of(k, harmonics):
                 "SE needs its default ARD_L2 metric for the "
                 "state-space form")
         return SELeaf(k, getattr(settings, "ssm_se_order", 8))
+    if isinstance(k, SM):
+        return SMLeaf(k, getattr(settings, "ssm_se_order", 8))
     if isinstance(k, COS):
         return CosLeaf(k)
     if isinstance(k, SIN):
         return PeriodicLeaf(k, harmonics)
     raise ValueError(
         f"kernel part {type(k).__name__} has no state-space "
-        "form (supported: OU, MAT32, MAT52, SE — approximate, order "
+        "form (supported: OU, MAT32, MAT52, SE/SM — approximate, order "
         "settings.ssm_se_order — COS, SIN and their sums/products; "
         "use the dense/sparse families otherwise)")
 

@@ -649,3 +649,26 @@ class TestSE:
         finally:
             settings.ssm_se_order = old
         assert err10 < 0.5 * err8 + 1e-6
+
+    def test_spectral_mixture_matches_dense(self, rng):
+        """SM (SE envelope x cosine) carries SELeaf's order-8 accuracy;
+        a 2-component mixture (kernel sum) rides the block-diagonal
+        stack."""
+        t, y = _series(rng, n=90)
+        ss, dn = _pair(t, lambda: g3.SM(t))
+        ss.observed(t, y)
+        dn.observed(t, y)
+        assert set(ss.params) == set(dn.params)
+        p = ss.params
+        l_d = float(dn.loglike(p))
+        assert abs(float(ss.loglike(p)) - l_d) < 2e-3 * max(1.0, abs(l_d))
+        tq = np.linspace(0, 10, 20).reshape(-1, 1).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(ss.mean(p, space=tq)),
+                                   np.asarray(dn.mean(p, space=tq)),
+                                   atol=5e-3)
+        ss2 = g3.StateSpaceGP(space=t, kernel=g3.SM(t, name="A")
+                              + g3.SM(t, name="B"), name="S2")
+        ss2.observed(t, y)
+        assert ss2._leaves[0].dim == 16 and len(ss2._leaves) == 2
+        assert np.isfinite(float(ss2.loglike(ss2.params)))
+        assert np.all(np.isfinite(np.asarray(ss2.dlogp(ss2.params))))
