@@ -41,7 +41,8 @@ from ..ops.guards import to_cov
 from ..ops.linalg import safe_cholesky, solve_lower_triangular
 from ..ops.ssm import (ssm_leaves, parallel_kalman_nll,
                        parallel_kalman_filter, parallel_smoother,
-                       ssm_prior_state_sample)
+                       ssm_prior_state_sample, chunked_kalman_nll,
+                       chunked_smoother_diag)
 from .lmc import MultiGaussianLik
 from .statespace import MultiStateSpaceGP
 from .stochastic import StochasticProcess, zero32
@@ -49,6 +50,12 @@ from .gaussian import GUARD  # noqa: F401  (re-export convenience)
 
 __all__ = ["SpatioTemporalSSGP", "STSSGP", "SpatialMixing",
            "SparseSpatioTemporalSSGP"]
+
+
+def _kernel_diag(kernel, params, xs):
+    """k(x, x) per row WITHOUT the (n, n) gram (vmapped 1x1 covs) —
+    the residual-variance term of the interpolated emissions."""
+    return jax.vmap(lambda row: kernel.cov(params, row[None, :])[0, 0])(xs)
 
 
 class SpatialMixing(Hypers):
@@ -188,6 +195,14 @@ class SpatioTemporalSSGP(MultiStateSpaceGP):
         return out
 
     # -- off-site (field) prediction ---------------------------------------------
+    def _kt0(self, params):
+        """k_t(0): stationary variance of ONE latent = H Pinf H'."""
+        from ..ops.ssm import ssm_blocks
+
+        dt0 = jnp.zeros(1, settings.dtype)
+        _a0, _q0, pinf_t, h_t = ssm_blocks(self._leaf_sets[0], params, dt0)
+        return jnp.sum(jnp.sum(pinf_t * h_t, axis=-1) * h_t)
+
     def _interp(self, params, xq):
         """Interpolation weights a (nq, m) with a_q = K_s^{-1} k_s(S, x*)
         and the per-query residual variance
@@ -201,14 +216,9 @@ class SpatioTemporalSSGP(MultiStateSpaceGP):
         kxs = self.f_space_kernel.cov(params, z, xq)        # (m, nq)
         v = solve_lower_triangular(l, kxs)                  # (m, nq)
         a = jax.scipy.linalg.solve_triangular(l.T, v, lower=False).T
-        kqq = jnp.diagonal(self.f_space_kernel.cov(params, xq))
+        kqq = _kernel_diag(self.f_space_kernel, params, xq)
         resid_s = jnp.maximum(kqq - jnp.sum(v * v, axis=0), zero32)
-        # k_t(0): stationary variance of ONE latent = H Pinf H'
-        from ..ops.ssm import ssm_blocks
-        dt0 = jnp.zeros(1, settings.dtype)
-        _a0, _q0, pinf_t, h_t = ssm_blocks(self._leaf_sets[0], params, dt0)
-        kt0 = jnp.sum(jnp.sum(pinf_t * h_t, axis=-1) * h_t)
-        return a, kt0 * resid_s
+        return a, self._kt0(params) * resid_s
 
     def field(self, t, x, params=None, inputs=None,
               outputs=None, prior=False, noise=None):
@@ -332,13 +342,16 @@ class SparseSpatioTemporalSSGP(SpatioTemporalSSGP):
     >>> m, v = st.field(tq, xq_space, params=p)
 
     ``inducing``: (m, d_s) site array, or an int m — k-means centers of
-    the observed spatial coordinates.  State dim S = m * s_t; the plain
-    parallel scans materialize (n, S, S) transitions, so keep
-    n * (m * s_t)^2 within HBM (~1e5 rows at m=32, MAT32).  Per-site
-    biases and the per-site noise of the exact family become a single
-    global noise variance here (and ``location``, e.g. ``g3.Bias()``,
-    for the mean); ``nll_distributed`` and the chunked beyond-HBM paths
-    are not wired for interpolated emissions yet.
+    the observed spatial coordinates.  State dim S = m * s_t; past
+    ``settings.ssm_chunk_threshold`` rows, training and the posterior
+    smoother switch to the chunked monoid scans with per-block (A, Q)
+    construction AND per-block interpolated emissions (transposed-
+    coordinate payload, one triangular solve per block) — neither the
+    (n, S, S) transitions nor the (n, m) weight rows ever materialize.
+    Per-site biases and the per-site noise of the exact family become a
+    single global noise variance here (and ``location``, e.g.
+    ``g3.Bias()``, for the mean); ``nll_distributed`` is not wired for
+    interpolated emissions yet.
 
     Reference baseline: the dense product kernel over all rows at
     O(n^3) (reference kernels.py:51-75) — this family is the only route
@@ -426,14 +439,28 @@ class SparseSpatioTemporalSSGP(SpatioTemporalSSGP):
         return out
 
     # -- interpolated emissions ----------------------------------------------------
+    def _vrows(self, params, l, kt0, xs):
+        """Latent-weight rows and FITC residuals from one triangular
+        solve: the weights are a' W with a = K_s^{-1} k and W = L =
+        chol(K_s), and a' L = k' (L L')^{-1} L = k' L^{-T} = v' with
+        v = L^{-1} k — so the mixing-pushed interpolation rows ARE the
+        solve output transposed (no second solve, no matmul)."""
+        z = jnp.asarray(self.f_mixing.sites, settings.dtype)
+        xs = jnp.asarray(xs, settings.dtype)
+        if xs.ndim == 1:
+            xs = xs[:, None]
+        kxs = self.f_space_kernel.cov(params, z, xs)        # (m, c)
+        v = solve_lower_triangular(l, kxs)
+        kqq = _kernel_diag(self.f_space_kernel, params, xs)
+        resid = kt0 * jnp.maximum(kqq - jnp.sum(v * v, axis=0), zero32)
+        return v.T, resid
+
     def _wrows(self, params, xs):
         """Per-row latent weights (n, m) — interpolation onto the
         inducing sites pushed through the mixing W = chol(K_s) — and the
         FITC residual variances (n,)."""
-        a, resid = self._interp(params, xs)
-        w, _b = self.f_mixing.values(params)
-        return jnp.matmul(a, w,
-                          precision=settings.matmul_precision), resid
+        l = safe_cholesky(self.f_mixing.spatial_cov(params))
+        return self._vrows(params, l, self._kt0(params), xs)
 
     def _residual(self, params, x, y):
         t_feats = jnp.asarray(x, settings.dtype)[:, :1]
@@ -449,6 +476,22 @@ class SparseSpatioTemporalSSGP(SpatioTemporalSSGP):
         s2 = self.f_likelihood._vars(params)[0]
         return jnp.full((xs.shape[0],), 1.0, settings.dtype) * s2
 
+    def _rows_fn(self, params, hq):
+        """(payload rows_fn, s2) for the chunked scans: the payload is
+        the TRANSPOSED spatial coordinates (d_s, n) — layout-safe — and
+        each block's emissions are built from one triangular solve
+        inside the scan body (ops/ssm.chunked_* payload form)."""
+        l = safe_cholesky(self.f_mixing.spatial_cov(params))
+        kt0 = self._kt0(params)
+        s2 = self.f_likelihood._vars(params)[0]
+
+        def rows_fn(pb):                         # pb (d_s, c)
+            vb, residb = self._vrows(params, l, kt0, pb.T)
+            hb = jnp.sum(vb[:, :, None] * hq[None], axis=1)
+            return hb, s2 + residb
+
+        return rows_fn, s2
+
     # -- exact-in-time marginal likelihood under the FITC spatial noise ------------
     def th_loglike_fn(self):
         def fn(params, space, inputs, outputs):
@@ -458,12 +501,26 @@ class SparseSpatioTemporalSSGP(SpatioTemporalSSGP):
             ys = self._residual(params, x, outputs)[order]
             dt = jnp.concatenate([jnp.zeros(1, settings.dtype),
                                   jnp.diff(t[order])])
-            a, q, _pinf, hq = self._blocks(params, dt)
-            wrows, resid = self._wrows(params, xs)
-            wr = wrows[order]
-            h = jnp.sum(wr[:, :, None] * hq[None], axis=1)
-            r = (self.f_likelihood._vars(params)[0] + resid[order])
-            nll, _, _ = parallel_kalman_nll(a, q, h, r, ys)
+            if t.shape[0] > settings.ssm_chunk_threshold:
+                # beyond-HBM training: per-block (A, Q) construction
+                # AND per-block interpolated emissions (payload form)
+                _a0, _q0, pinf, hq = self._blocks(
+                    params, jnp.zeros(1, settings.dtype))
+                rows_fn, _s2 = self._rows_fn(params, hq)
+                nll = chunked_kalman_nll(
+                    None, None, None, None, ys,
+                    chunk=settings.ssm_chunk,
+                    rows=(xs[order].T, rows_fn),
+                    blocks_fn=lambda d: self._blocks(
+                        params, d, stationary_first=False)[:2],
+                    dt=dt, pinf=pinf)
+            else:
+                a, q, _pinf, hq = self._blocks(params, dt)
+                wrows, resid = self._wrows(params, xs)
+                wr = wrows[order]
+                h = jnp.sum(wr[:, :, None] * hq[None], axis=1)
+                r = (self.f_likelihood._vars(params)[0] + resid[order])
+                nll, _, _ = parallel_kalman_nll(a, q, h, r, ys)
             ll = -nll
             bad = ~jnp.isfinite(ll)
             return jnp.where(bad, GUARD, jnp.nan_to_num(
@@ -476,7 +533,8 @@ class SparseSpatioTemporalSSGP(SpatioTemporalSSGP):
             "SparseSpatioTemporalSSGP has no sharded objective yet — "
             "interpolated emissions don't ride sharded_ssm_nll_multi's "
             "index rows; train through the plain loglike (find_MAP "
-            "default engines)")
+            "default engines; the chunked payload path carries "
+            "beyond-HBM n on one chip)")
 
     # -- smoothing with interpolated emissions --------------------------------------
     def _run_smoother_weights(self, params, tq, wrows, inputs, outputs):
@@ -515,8 +573,41 @@ class SparseSpatioTemporalSSGP(SpatioTemporalSSGP):
     def _run_smoother(self, params, xq, inputs, outputs):
         """Posterior (mean, var) of the latent field f(t, x) at query
         rows — projection moments plus the rows' own residual
-        variances."""
+        variances.  Beyond ``settings.ssm_chunk_threshold`` total rows
+        the two-pass chunked smoother runs with per-block (A, Q) AND
+        per-block interpolated emissions (payload form) — no (n, S, S)
+        or (n, m) tensor ever materializes."""
         tq, xsq = self._split(xq)
+        x = jnp.asarray(inputs, settings.dtype)
+        tobs, xsobs = self._split(x)
+        n_obs = tobs.shape[0]
+        if n_obs + tq.shape[0] > settings.ssm_chunk_threshold:
+            yres = self._residual(params, x, outputs)
+            t_all = jnp.concatenate([tobs, tq])
+            xs_all = jnp.concatenate([xsobs, xsq])
+            y_all = jnp.concatenate([yres, jnp.zeros_like(tq)])
+            obs = jnp.concatenate([jnp.ones(n_obs, bool),
+                                   jnp.zeros(tq.shape[0], bool)])
+            order2 = jnp.argsort(t_all)
+            ys, os_ = y_all[order2], obs[order2]
+            dt = jnp.concatenate([jnp.zeros(1, settings.dtype),
+                                  jnp.diff(t_all[order2])])
+            _a0, _q0, pinf, hq = self._blocks(
+                params, jnp.zeros(1, settings.dtype))
+            rows_fn, _s2 = self._rows_fn(params, hq)
+            # query rows' r rides the same (positive) formula; the obs
+            # mask keeps them out of the filter
+            mean, var = chunked_smoother_diag(
+                None, None, None, None, ys, os_,
+                chunk=settings.ssm_chunk,
+                rows=(xs_all[order2].T, rows_fn),
+                blocks_fn=lambda d: self._blocks(
+                    params, d, stationary_first=False)[:2],
+                dt=dt, pinf=pinf)
+            inv = jnp.argsort(order2)
+            qpos = inv[n_obs:]
+            _wq, residq = self._wrows(params, xsq)
+            return mean[qpos], jnp.maximum(var[qpos] + residq, zero32)
         wq, residq = self._wrows(params, xsq)
         m, v = self._run_smoother_weights(params, tq, wq, inputs, outputs)
         return m, jnp.maximum(v + residq, zero32)

@@ -784,7 +784,16 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144, rows=None,
     ``lambda d: ssm_blocks(leaves, params, d, stationary_first=False)
     [:2]``).  The global first row's stationary prior and the pad rows'
     identity elements are applied here, so ``blocks_fn`` stays the
-    plain per-row discretization."""
+    plain per-row discretization.
+
+    ``rows=(payload_T, rows_fn)`` with a CALLABLE second element is the
+    PAYLOAD form of per-row emissions (interpolated emissions — the
+    sparse spatio-temporal family): ``payload_T`` (k, n) carries each
+    row's features TRANSPOSED (n on the 128-lane axis — the (n, k)
+    layout would pad k up to 128 lanes, the same T(8, 128) blowup as
+    the (n, s) element tensors), and ``rows_fn(payload_block (k, c))
+    -> (h (c, s), r (c,))`` builds the block's emissions inside the
+    scan body."""
     n = y.shape[0]
     if obs is None:
         obs = jnp.ones(n, bool)
@@ -792,7 +801,13 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144, rows=None,
     chunk = int(min(chunk, n))
     nc = -(-n // chunk)
     pad = nc * chunk - n
-    idx = None if rows is None else jnp.asarray(rows[0], jnp.int32)
+    payload_mode = rows is not None and callable(rows[1])
+    if rows is None:
+        feed = None
+    elif payload_mode:
+        feed = jnp.asarray(rows[0])
+    else:
+        feed = jnp.asarray(rows[0], jnp.int32)
     if pad:
         # TRUE identity-element padding (A=I, Q=0, obs=False -> filter
         # element (I, 0, 0, 0, 0)): pads cannot perturb any prefix, and
@@ -805,8 +820,13 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144, rows=None,
             dt = jnp.concatenate([dt, jnp.zeros(pad, dt.dtype)])
         y = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
         obs = jnp.concatenate([obs, jnp.zeros(pad, bool)])
-        if idx is not None:
-            idx = jnp.concatenate([idx, jnp.zeros(pad, jnp.int32)])
+        if payload_mode:
+            # replicate a REAL row's payload: rows_fn stays in-domain
+            # (r > 0), the obs mask removes the padded terms
+            feed = jnp.concatenate([feed, jnp.broadcast_to(
+                feed[:, :1], (feed.shape[0], pad))], axis=1)
+        elif feed is not None:
+            feed = jnp.concatenate([feed, jnp.zeros(pad, jnp.int32)])
     if blocks_fn is None:
         aq_blocks = (a.reshape(nc, chunk, s, s),
                      q.reshape(nc, chunk, s, s),
@@ -814,8 +834,10 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144, rows=None,
     else:
         aq_blocks = (dt.reshape(nc, chunk), jnp.arange(nc),
                      y.reshape(nc, chunk), obs.reshape(nc, chunk))
-    if idx is not None:
-        aq_blocks = aq_blocks + (idx.reshape(nc, chunk),)
+    if feed is not None:
+        fb = (jnp.moveaxis(feed.reshape(-1, nc, chunk), 1, 0)
+              if payload_mode else feed.reshape(nc, chunk))
+        aq_blocks = aq_blocks + (fb,)
 
     @jax.checkpoint
     def body(carry, xs):
@@ -839,6 +861,8 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144, rows=None,
                 pinf, qb.dtype), qb[0]))
         if rows is None:
             hb, rb = h, r
+        elif payload_mode:
+            hb, rb = rows[1](xs[4])
         else:
             hb, rb = _rows_hr(xs[4], rows[1:])
         eb = _filter_elements(ab, qb, hb, rb, yb, ob)
@@ -899,9 +923,8 @@ def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144,
     per-row MIXED projections h_k' m_s / h_k' P_s h_k.
 
     ``blocks_fn``/``dt``/``pinf``: blocks-on-the-fly form for large
-    state dims, see :func:`chunked_kalman_nll` — (n, S, S) transition
-    stacks never materialize; the pad convention (A=0, Q=I) and the
-    global first row's stationary prior are applied here."""
+    state dims; ``rows=(payload_T, rows_fn)``: payload form of per-row
+    emissions — see :func:`chunked_kalman_nll` for both."""
     n = y.shape[0]
     if obs is None:
         obs = jnp.ones(n, bool)
@@ -909,7 +932,13 @@ def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144,
     chunk = int(min(chunk, n))
     nc = -(-n // chunk)
     pad = nc * chunk - n
-    idx = None if rows is None else jnp.asarray(rows[0], jnp.int32)
+    payload_mode = rows is not None and callable(rows[1])
+    if rows is None:
+        feed = None
+    elif payload_mode:
+        feed = jnp.asarray(rows[0])
+    else:
+        feed = jnp.asarray(rows[0], jnp.int32)
     if pad:
         if blocks_fn is None:
             a = jnp.concatenate([a, jnp.zeros((pad, s, s), a.dtype)])
@@ -919,16 +948,21 @@ def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144,
             dt = jnp.concatenate([dt, jnp.zeros(pad, dt.dtype)])
         y = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
         obs = jnp.concatenate([obs, jnp.zeros(pad, bool)])
-        if idx is not None:
-            idx = jnp.concatenate([idx, jnp.zeros(pad, jnp.int32)])
+        if payload_mode:
+            feed = jnp.concatenate([feed, jnp.broadcast_to(
+                feed[:, :1], (feed.shape[0], pad))], axis=1)
+        elif feed is not None:
+            feed = jnp.concatenate([feed, jnp.zeros(pad, jnp.int32)])
     if blocks_fn is None:
         blocks = (a.reshape(nc, chunk, s, s), q.reshape(nc, chunk, s, s),
                   y.reshape(nc, chunk), obs.reshape(nc, chunk))
     else:
         blocks = (dt.reshape(nc, chunk), jnp.arange(nc),
                   y.reshape(nc, chunk), obs.reshape(nc, chunk))
-    if idx is not None:
-        blocks = blocks + (idx.reshape(nc, chunk),)
+    if feed is not None:
+        fb = (jnp.moveaxis(feed.reshape(-1, nc, chunk), 1, 0)
+              if payload_mode else feed.reshape(nc, chunk))
+        blocks = blocks + (fb,)
     # each block's smoothing tail needs the NEXT block's first (A, Q);
     # the last block gets the pad convention (A=0, Q=I) so the global
     # final smoothing element reduces to (0, m_f, P_f)
@@ -947,7 +981,11 @@ def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144,
                                   jnp.eye(s, dtype=qn_r.dtype)[None]])
 
     def _block_hr(ib):
-        return (h, r) if rows is None else _rows_hr(ib, rows[1:])
+        if rows is None:
+            return h, r
+        if payload_mode:
+            return rows[1](ib)
+        return _rows_hr(ib, rows[1:])
 
     def _block_aq(xs):
         """(ab, qb, yb, ob, ib) from one block's scan slice, building

@@ -310,3 +310,35 @@ class TestSparse:
         st.observed(x, y)
         with pytest.raises(ValueError, match="sharded"):
             st.nll_distributed(st.params)
+
+    def test_chunked_payload_path_matches_plain(self, rng):
+        """Beyond-threshold routing (per-block A/Q + per-block
+        interpolated emissions from the transposed-coordinate payload)
+        == the plain path: loglike value, gradient finiteness, and
+        posterior moments."""
+        from g3py_tpu.config import settings
+
+        x, y = self._scattered(rng, n=300)
+        st = self._sparse(x, 6)
+        st.observed(x, y)
+        p = st.params
+        sites = st.f_mixing.sites
+        ll_plain = float(st.loglike(p))
+        xq = x[:40]
+        m_plain = np.asarray(st.mean(p, space=xq))
+        v_plain = np.asarray(st.variance(p, space=xq))
+        old = (settings.ssm_chunk_threshold, settings.ssm_chunk)
+        try:
+            settings.ssm_chunk_threshold, settings.ssm_chunk = 100, 128
+            st2 = self._sparse(x, sites)
+            st2.observed(x, y)
+            ll_chunk = float(st2.loglike(p))
+            g = np.asarray(st2.dlogp(p))
+            m_chunk = np.asarray(st2.mean(p, space=xq))
+            v_chunk = np.asarray(st2.variance(p, space=xq))
+        finally:
+            settings.ssm_chunk_threshold, settings.ssm_chunk = old
+        np.testing.assert_allclose(ll_chunk, ll_plain, rtol=2e-5)
+        assert np.all(np.isfinite(g)) and np.any(g != 0)
+        np.testing.assert_allclose(m_chunk, m_plain, atol=3e-4)
+        np.testing.assert_allclose(v_chunk, v_plain, atol=3e-4)
