@@ -279,6 +279,8 @@ from .bayesian import (
     fit_flow,
     neutra_logp,
     neutra_nuts,
+    fit_advi,
+    advi_draws,
     chains_to_datatrace,
     datatrace_to_chains,
     datatrace_to_kde,

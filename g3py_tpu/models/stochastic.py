@@ -1100,7 +1100,8 @@ class StochasticProcess(PlotModel):
                       clusters=None, prior=False, parallel=False, threads=1,
                       plot=False, file=None, load=True, seed=0, method="ensemble",
                       nuts_warmup=200, max_depth=8, target_accept=0.8,
-                      nuts_mass="diag", neutra_warmup=500):
+                      nuts_mass="diag", neutra_warmup=500, advi_steps=2000,
+                      advi_mc=8, advi_lr=0.02, advi_full_rank=True):
         """MCMC over the hyperparameter posterior (reference :676-800).
 
         ``method='ensemble'`` (default) is the reference's affine-invariant
@@ -1111,8 +1112,15 @@ class StochasticProcess(PlotModel):
         ``neutra_warmup`` iterations of ensemble warmup — the cure for
         funnel-shaped hyper posteriors where plain/dense-mass NUTS leaves
         divergences or silently under-explores the neck (bayesian/neutra.py).
-        Chains run vmapped (and device-sharded when ``parallel``) inside one
-        jitted sampler instead of multiprocessing pools."""
+        ``method='advi'`` fits a Gaussian variational approximation by
+        reparameterized-gradient ELBO ascent (one jitted scan) and fills
+        the datatrace with iid draws from it — fast approximate model
+        averaging; draws are from q, not the exact posterior
+        (bayesian/advi.py; the reference's sandbox-only
+        ``pm.advi`` at reference sandbox/tgp.py:590-609 made
+        first-class).  Chains run vmapped (and device-sharded when
+        ``parallel``) inside one jitted sampler instead of
+        multiprocessing pools."""
         reg = self.active
         ndim = len(reg.sampling_dims)
         if chains is None:
@@ -1144,7 +1152,22 @@ class StochasticProcess(PlotModel):
         logp_tr, loglike_tr, logprior_tr = self._sampling_logps(prior=prior,
                                                                 tempered=ntemps is not None)
 
-        if method in ("nuts", "neutra"):
+        if method == "advi":
+            from ..bayesian.advi import fit_advi, advi_draws
+
+            if logp_tr is None:
+                logp_tr = lambda p: loglike_tr(p) + logprior_tr(p)
+            center = start if start.ndim == 1 else np.mean(
+                start.reshape(-1, ndim), axis=0)
+            fit = fit_advi(logp_tr, center, steps=advi_steps, mc=advi_mc,
+                           lr=advi_lr, full_rank=advi_full_rank, seed=seed)
+            if not fit.converged:
+                print("sample_hypers(method='advi'): ELBO still improving "
+                      "at the last decile — consider more advi_steps")
+            echain = advi_draws(fit, chains, samples, seed=seed + 1)
+            lnprob = np.asarray(jax.vmap(jax.vmap(logp_tr))(
+                jnp.asarray(echain)), settings.floatx)
+        elif method in ("nuts", "neutra"):
             from ..bayesian.nuts import nuts_sampler
 
             if logp_tr is None:
