@@ -350,8 +350,10 @@ class SparseSpatioTemporalSSGP(SpatioTemporalSSGP):
     (n, S, S) transitions nor the (n, m) weight rows ever materialize.
     Per-site biases and the per-site noise of the exact family become a
     single global noise variance here (and ``location``, e.g.
-    ``g3.Bias()``, for the mean); ``nll_distributed`` is not wired for
-    interpolated emissions yet.
+    ``g3.Bias()``, for the mean).  ``nll_distributed`` /
+    ``find_MAP(engine='distributed')`` shard the time axis over a
+    device mesh with per-device interpolated-emission construction
+    (``ops/ssm.sharded_ssm_nll_payload``).
 
     Reference baseline: the dense product kernel over all rows at
     O(n^3) (reference kernels.py:51-75) — this family is the only route
@@ -528,13 +530,49 @@ class SparseSpatioTemporalSSGP(SpatioTemporalSSGP):
 
         return fn
 
+    def _build_fn_cached(self):
+        """Stable per-instance ``(params, dt_l, payload_l) -> (a, q,
+        pinf, h, r)`` callable for the payload-form sharded NLL — it
+        keys ops/ssm's sharded-program jit cache (rebuilding it per call
+        would recompile the SPMD program every eager call)."""
+        fn = getattr(self, "_sharded_build_fn", None)
+        if fn is None:
+            def fn(p, dt_l, pay_l):
+                a_l, q_l, pinf, hq = self._blocks(p, dt_l,
+                                                  stationary_first=False)
+                rows_fn, _s2 = self._rows_fn(p, hq)
+                h_l, r_l = rows_fn(pay_l)
+                return a_l, q_l, pinf, h_l, r_l
+
+            self._sharded_build_fn = fn
+        return fn
+
     def nll_distributed(self, params=None, mesh=None, axis="dp"):
-        raise ValueError(
-            "SparseSpatioTemporalSSGP has no sharded objective yet — "
-            "interpolated emissions don't ride sharded_ssm_nll_multi's "
-            "index rows; train through the plain loglike (find_MAP "
-            "default engines; the chunked payload path carries "
-            "beyond-HBM n on one chip)")
+        """Time-axis-sharded exact NLL with INTERPOLATED emissions
+        (``ops/ssm.sharded_ssm_nll_payload``): each device builds its
+        own rows' (A, Q) blocks from the local dt slice and its
+        emission rows from the local spatial-coordinate shard (one
+        replicated m x m triangular solve per device) — neither the
+        (n, S, S) transitions nor the (n, m) weight rows ever exist
+        unsharded; collective traffic stays one all_gather of D (S, S)
+        monoid totals + a scalar psum.  Matches ``-loglike(params)``
+        to f32 rounding; rides ``find_MAP(engine='distributed')``
+        unchanged."""
+        from ..ops.ssm import sharded_ssm_nll_payload
+
+        if params is None:
+            params = self.params
+        params = {k: jnp.asarray(v) for k, v in params.items()}
+        x = jnp.asarray(self.inputs, settings.dtype)
+        t, xs = self._split(x)
+        order = jnp.argsort(t)
+        ys = self._residual(params, x, jnp.asarray(
+            self.outputs, settings.dtype))[order]
+        dt = jnp.concatenate([jnp.zeros(1, settings.dtype),
+                              jnp.diff(t[order])])
+        return sharded_ssm_nll_payload(self._build_fn_cached(), params,
+                                       dt, xs[order].T, ys,
+                                       mesh=mesh, axis=axis)
 
     # -- smoothing with interpolated emissions --------------------------------------
     def _run_smoother_weights(self, params, tq, wrows, inputs, outputs):

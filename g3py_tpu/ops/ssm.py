@@ -710,6 +710,14 @@ def parallel_kalman_nll(a, q, h, r, y, obs=None):
     if obs is None:
         obs = jnp.ones(y.shape, bool)
     m_f, p_f = parallel_kalman_filter(a, q, h, r, y, obs)
+    mu, sig = _innovation_moments(a, q, h, r, m_f, p_f)
+    ll = -0.5 * (LOG2PI + jnp.log(sig) + (y - mu) ** 2 / sig)
+    return -jnp.sum(jnp.where(obs, ll, 0.0)), m_f, p_f
+
+
+def _innovation_moments(a, q, h, r, m_f, p_f):
+    """Per-row one-step-ahead predictive moments (mu_k, sig_k) from the
+    filtered moments shifted by one step; ``h``/``r`` may be per-row."""
     m_prev = jnp.concatenate([jnp.zeros_like(m_f[:1]), m_f[:-1]], axis=0)
     p_prev = jnp.concatenate([jnp.zeros_like(p_f[:1]), p_f[:-1]], axis=0)
     m_pred = _bmv(a, m_prev)
@@ -717,8 +725,26 @@ def parallel_kalman_nll(a, q, h, r, y, obs=None):
     hb = jnp.broadcast_to(h, a.shape[:-1])
     mu = jnp.sum(m_pred * hb, axis=-1)
     sig = jnp.sum(_bmv(p_pred, hb) * hb, axis=-1) + r
-    ll = -0.5 * (LOG2PI + jnp.log(sig) + (y - mu) ** 2 / sig)
-    return -jnp.sum(jnp.where(obs, ll, 0.0)), m_f, p_f
+    return mu, sig
+
+
+def parallel_kalman_quad_logdet(a, q, h, r, y, obs=None):
+    """(quad, logdet) split of the Gaussian NLL's innovation
+    decomposition: ``logdet = sum_k log sig_k = log det(K + diag(r))``
+    and ``quad = sum_k v_k^2 / sig_k = y' (K + diag(r))^{-1} y`` —
+    the Kalman innovations ARE the LDL factorization of the dense
+    marginal covariance, so elliptical (Student-t) and warped densities
+    over the SAME covariance need only these two scalars (the O(n)
+    counterpart of ``ops/linalg.mvn_quad_logdet``'s (beta, logdet_half)
+    pair; note logdet here is the FULL log-determinant, not the
+    half)."""
+    if obs is None:
+        obs = jnp.ones(y.shape, bool)
+    m_f, p_f = parallel_kalman_filter(a, q, h, r, y, obs)
+    mu, sig = _innovation_moments(a, q, h, r, m_f, p_f)
+    quad = jnp.sum(jnp.where(obs, (y - mu) ** 2 / sig, 0.0))
+    logdet = jnp.sum(jnp.where(obs, jnp.log(sig), 0.0))
+    return quad, logdet
 
 
 def _filter_identity(s, n, dtype):
@@ -745,7 +771,7 @@ def _rows_hr(idxb, rows):
 
 
 def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144, rows=None,
-                       blocks_fn=None, dt=None, pinf=None):
+                       blocks_fn=None, dt=None, pinf=None, split=False):
     """Exact LGSSM NLL with O(chunk) activation memory: ``lax.scan``
     over blocks of ``chunk`` rows, a rematerialized associative scan
     inside each block, the running prefix element carried across blocks
@@ -793,7 +819,12 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144, rows=None,
     layout would pad k up to 128 lanes, the same T(8, 128) blowup as
     the (n, s) element tensors), and ``rows_fn(payload_block (k, c))
     -> (h (c, s), r (c,))`` builds the block's emissions inside the
-    scan body."""
+    scan body.
+
+    ``split=True`` returns the ``(quad, logdet)`` innovation split
+    instead of the folded NLL (see
+    :func:`parallel_kalman_quad_logdet`) — the elliptical/warped
+    families' beyond-HBM path."""
     n = y.shape[0]
     if obs is None:
         obs = jnp.ones(n, bool)
@@ -879,16 +910,24 @@ def chunked_kalman_nll(a, q, h, r, y, obs=None, chunk=262_144, rows=None,
         p_pred = _bmm(ab, _bmm(p_prev, _bt(ab))) + qb
         mu = jnp.sum(m_pred * hb, axis=-1)
         sig = jnp.sum(_bmv(p_pred, hb) * hb, axis=-1) + rb
+        new_prev = jax.tree.map(lambda x: x[-1], full)
+        if split:
+            # (quad, logdet) split — separate sums, same per-row terms
+            quad_b = jnp.sum(jnp.where(ob, (yb - mu) ** 2 / sig, 0.0))
+            ld_b = jnp.sum(jnp.where(ob, jnp.log(sig), 0.0))
+            return (new_prev,
+                    nll_acc + jnp.stack([quad_b, ld_b])), None
         ll = -0.5 * (LOG2PI + jnp.log(sig) + (yb - mu) ** 2 / sig)
         nll_b = -jnp.sum(jnp.where(ob, ll, 0.0))
-        new_prev = jax.tree.map(lambda x: x[-1], full)
         return (new_prev, nll_acc + nll_b), None
 
     init = (jax.tree.map(lambda x: x[0],
                          _filter_identity(s, 1, y.dtype)),
-            jnp.zeros((), y.dtype))
-    (_, nll), _ = lax.scan(body, init, aq_blocks)
-    return nll
+            jnp.zeros(2 if split else (), y.dtype))
+    (_, acc), _ = lax.scan(body, init, aq_blocks)
+    if split:
+        return acc[0], acc[1]
+    return acc
 
 
 def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144,
@@ -1062,13 +1101,16 @@ def chunked_smoother_diag(a, q, h, r, y, obs=None, chunk=262_144,
 _sharded_nll_cache = {}
 
 
-def _sharded_filter_nll(a_l, q_l, pinf, h, rr, y_l, obs_l, axis, n_dev):
+def _sharded_filter_nll(a_l, q_l, pinf, h, rr, y_l, obs_l, axis, n_dev,
+                        split=False):
     """Per-shard tail of the time-axis-sharded NLL (runs INSIDE
     shard_map): local associative filter scan, all_gather of the D tiny
     per-shard monoid totals, static fold of the earlier shards' totals
     into this shard's carry, per-row predictive NLL terms, scalar psum.
     ``h`` may be shared (s,) or per-row (m_loc, s); ``rr`` scalar or
-    per-row (m_loc,) — the multi-output (LMC-mixed) form."""
+    per-row (m_loc,) — the multi-output (LMC-mixed) form.
+    ``split=True`` psums the (quad, logdet) innovation pair instead of
+    the folded NLL (elliptical/warped families)."""
     idx = lax.axis_index(axis)
     first = idx == 0
     # only the GLOBAL first row starts from the stationary prior
@@ -1100,12 +1142,16 @@ def _sharded_filter_nll(a_l, q_l, pinf, h, rr, y_l, obs_l, axis, n_dev):
     hb = jnp.broadcast_to(h, a_l.shape[:-1])
     mu = jnp.sum(m_pred * hb, axis=-1)
     sig = jnp.sum(_bmv(p_pred, hb) * hb, axis=-1) + rr
+    if split:
+        quad = jnp.sum(jnp.where(obs_l, (y_l - mu) ** 2 / sig, 0.0))
+        ld = jnp.sum(jnp.where(obs_l, jnp.log(sig), 0.0))
+        return lax.psum(jnp.stack([quad, ld]), axis)
     ll = -0.5 * (LOG2PI + jnp.log(sig) + (y_l - mu) ** 2 / sig)
     return lax.psum(-jnp.sum(jnp.where(obs_l, ll, 0.0)), axis)
 
 
 def sharded_ssm_nll(leaves, params, dt, r, y, obs=None, mesh=None,
-                    axis="dp"):
+                    axis="dp", split=False):
     """Time-axis-sharded exact LGSSM NLL over a device mesh (SPMD).
 
     The filtering elements form a monoid (Sarkka & Garcia-Fernandez
@@ -1226,6 +1272,69 @@ def sharded_ssm_nll_multi(leaf_sets, params, dt, idx, y, mix_fn,
         _sharded_nll_cache[key] = fn
     params_j = {k: jnp.asarray(v) for k, v in params.items()}
     return fn(jnp.asarray(dt), jnp.asarray(y), obs, idx, params_j)
+
+
+def sharded_ssm_nll_payload(build_fn, params, dt, payload_T, y, obs=None,
+                            mesh=None, axis="dp"):
+    """Time-axis-sharded exact NLL with PAYLOAD-FORM per-row emissions —
+    the sharded counterpart of :func:`chunked_kalman_nll`'s
+    ``rows=(payload_T, rows_fn)`` form (the sparse spatio-temporal
+    family, interpolated emissions): each device builds its (A, Q)
+    blocks from its LOCAL dt slice and its rows' emission vectors /
+    noise variances from the LOCAL payload shard, so neither the
+    (n, S, S) transition stacks nor the (n, m) weight rows ever exist
+    unsharded.  Collective traffic is unchanged from
+    :func:`sharded_ssm_nll`: one all_gather of D tiny (S, S) monoid
+    totals + the final scalar psum.
+
+    ``payload_T`` (k, n) carries per-row features TRANSPOSED (n on the
+    128-lane axis — see chunked_kalman_nll's layout note) and shards
+    along its second axis.  ``build_fn(params, dt_l (m,), payload_l
+    (k, m)) -> (a_l, q_l, pinf, h_l (m, s), r_l (m,))`` must be a STABLE
+    per-model callable (it keys the jit cache; rebuilding it per call
+    would recompile the SPMD program every eager call).  Replicated
+    per-device setup inside build_fn (e.g. the m x m spatial Cholesky)
+    is fine — it is O(m^3) against the O(n/D) row work.
+
+    Rows must arrive time-sorted with ``dt[0] == 0``.  n not divisible
+    by D pads with dt=0 / obs=False rows whose payload replicates a real
+    row (build_fn stays in-domain, r > 0; the obs mask removes their
+    NLL terms and zeros their gain, and A(0)=I, Q(0)=0 make them monoid
+    identities).  Fully differentiable w.r.t. ``params``."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.cholesky import _resolve_mesh
+
+    mesh = _resolve_mesh(mesh, axis)
+    n_dev = mesh.shape[axis]
+    n = y.shape[0]
+    if obs is None:
+        obs = jnp.ones(n, bool)
+    payload_T = jnp.asarray(payload_T)
+    mrows = -(-n // n_dev)
+    pad = mrows * n_dev - n
+    if pad:
+        dt = jnp.concatenate([dt, jnp.zeros(pad, dt.dtype)])
+        y = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
+        obs = jnp.concatenate([obs, jnp.zeros(pad, bool)])
+        payload_T = jnp.concatenate([payload_T, jnp.broadcast_to(
+            payload_T[:, :1], (payload_T.shape[0], pad))], axis=1)
+
+    def body(dt_l, y_l, obs_l, pay_l, p):
+        a_l, q_l, pinf, h_l, r_l = build_fn(p, dt_l, pay_l)
+        return _sharded_filter_nll(a_l, q_l, pinf, h_l, r_l, y_l, obs_l,
+                                   axis, n_dev)
+
+    key = (build_fn, mesh, axis)
+    fn = _sharded_nll_cache.get(key)
+    if fn is None:
+        fn = jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(None, axis), P()),
+            out_specs=P()))
+        _sharded_nll_cache[key] = fn
+    params_j = {k: jnp.asarray(v) for k, v in params.items()}
+    return fn(jnp.asarray(dt), jnp.asarray(y), obs, payload_T, params_j)
 
 
 def _smoother_combine(e1, e2):

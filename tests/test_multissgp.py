@@ -226,8 +226,10 @@ class TestModelAPI:
     def test_guards_and_errors(self, rng):
         x, y, _ = _two_channel_data(rng, n0=12, n1=12)
         t = x[:, :1]
+        # LIN (dot kernel, non-stationary) has no state-space form; SE
+        # DOES since the order-N Taylor leaf (ops/ssm.SELeaf) landed
         with pytest.raises(ValueError, match="state-space"):
-            g3.MultiStateSpaceGP(space=x, kernel=g3.SE(t), outputs_dim=2)
+            g3.MultiStateSpaceGP(space=x, kernel=g3.LIN(t), outputs_dim=2)
         with pytest.raises(ValueError, match="kernel list"):
             g3.MultiStateSpaceGP(space=x, kernel=[g3.OU(t), g3.OU(t),
                                                   g3.OU(t)],

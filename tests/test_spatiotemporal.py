@@ -307,9 +307,6 @@ class TestSparse:
         st = self._sparse(x, 6)
         with pytest.raises(ValueError, match="rows"):
             st.observed(x[:, :1], y)
-        st.observed(x, y)
-        with pytest.raises(ValueError, match="sharded"):
-            st.nll_distributed(st.params)
 
     def test_chunked_payload_path_matches_plain(self, rng):
         """Beyond-threshold routing (per-block A/Q + per-block
@@ -342,3 +339,38 @@ class TestSparse:
         assert np.all(np.isfinite(g)) and np.any(g != 0)
         np.testing.assert_allclose(m_chunk, m_plain, atol=3e-4)
         np.testing.assert_allclose(v_chunk, v_plain, atol=3e-4)
+
+    def test_sharded_payload_nll_matches_plain(self, rng):
+        """nll_distributed (time-axis-sharded, per-device interpolated
+        emissions, 8-device mesh) == -loglike, value AND gradient, at an
+        n that does NOT divide over the mesh (payload-replicating pad
+        path), and find_MAP(engine='distributed') improves the logp."""
+        import jax
+
+        x, y = self._scattered(rng, n=157)
+        st = self._sparse(x, 6)
+        st.observed(x, y)
+        p = st.params
+        v_plain = -float(st.loglike(p))
+        v_shard = float(st.nll_distributed(p))
+        np.testing.assert_allclose(v_shard, v_plain, rtol=1e-5)
+
+        reg = st.active
+        u = jnp.asarray(reg.dict_to_array(p))
+        xj = jnp.asarray(x)
+        yj = jnp.asarray(y)
+        vec0 = jnp.zeros(0, jnp.float32)
+        pure = st._logp_pure(prior=False)
+        g1 = np.asarray(jax.grad(
+            lambda w: -pure(reg.array_to_dict_jax(w), xj, xj, yj,
+                            vec0))(u))
+        g2 = np.asarray(jax.grad(
+            lambda w: st.nll_distributed(reg.array_to_dict_jax(w)))(u))
+        np.testing.assert_allclose(g2, g1, rtol=1e-4,
+                                   atol=1e-5 * np.max(np.abs(g1)))
+
+        lp0 = float(st.logp(st.params))
+        pd = st.find_MAP(engine="distributed", points=1, max_iters=10,
+                         display=False)
+        lp1 = float(st.logp(pd))
+        assert np.isfinite(lp1) and lp1 > lp0
