@@ -45,8 +45,9 @@ from jax.scipy.special import logsumexp
 
 from ..config import settings
 from ..ops.ssm import (ssm_blocks, parallel_kalman_nll, parallel_smoother,
-                       parallel_kalman_filter, ssm_prior_state_sample,
-                       _bmm, _bmv, _bt)
+                       parallel_kalman_filter, parallel_kalman_quad_logdet,
+                       ssm_prior_state_sample, chunked_kalman_nll,
+                       chunked_smoother_diag, sharded_ssm_laplace)
 from .gaussian import GUARD
 from .likelihoods import (GaussianLik, BernoulliLik, PoissonLik,
                           OrdinalLik, sample_conditional)
@@ -74,9 +75,12 @@ class NonGaussianSSGP(StateSpaceGP):
     ``logpredictive`` = Gauss-Hermite log E[p(y|f)]), so `scores`,
     `Experiment`, serving and `sample_hypers` all work unchanged.
     Newton iteration count: ``settings.ssm_laplace_iters`` (default 15;
-    log-concave likelihoods converge in ~5).  The chunked/sharded
-    beyond-HBM paths are not wired for the Laplace loop yet — the plain
-    parallel scans carry n ~ 1e6 at small state dims."""
+    log-concave likelihoods converge in ~5).  Scaling paths: past
+    ``settings.ssm_chunk_threshold`` rows every Newton pass and the
+    evidence run as the O(ssm_chunk)-memory chunked block scans
+    (beyond-HBM single-chip training/serving), and ``nll_distributed``
+    / ``find_MAP(engine='distributed')`` run the whole Laplace loop as
+    one time-axis-sharded SPMD program over a device mesh."""
 
     def __init__(self, space=None, location=None, kernel=None,
                  likelihood=None, harmonics=None, *args, **kwargs):
@@ -137,9 +141,37 @@ class NonGaussianSSGP(StateSpaceGP):
         d2 = jax.vmap(jax.grad(jax.grad(ll, argnums=1), argnums=1))(y, g)
         return d1, d2
 
+    def _chunked_pieces(self, params):
+        """(pinf, h, blocks_fn, rows_of) for the beyond-HBM scans:
+        per-block (A, Q) from the layout-safe dt vector and PAYLOAD-form
+        per-row pseudo-noise (the Laplace pseudo-observations carry a
+        different noise 1/W_k on every row, which the shared-``r`` form
+        cannot express) — ``rows_of(r_vec)`` wraps an (n,) noise vector
+        as ``(payload_T, rows_fn)`` for the chunked scans."""
+        _a0, _q0, pinf, h = ssm_blocks(self._leaves, params,
+                                       jnp.zeros(1, settings.dtype))
+
+        def blocks_fn(d):
+            return ssm_blocks(self._leaves, params, d,
+                              stationary_first=False)[:2]
+
+        def rows_of(r_vec):
+            def rows_fn(pb):
+                return (jnp.broadcast_to(h, (pb.shape[1],) + h.shape),
+                        pb[0])
+
+            return (r_vec[None], rows_fn)
+
+        return pinf, h, blocks_fn, rows_of
+
     def _mode(self, params, inputs, outputs):
         """Newton mode of the latent (sorted time order): returns
-        ``(order, ts, a, q, h, loc_s, ys, f_hat, w, ytil)``."""
+        ``(order, ts, dt, h, loc_s, ys, f_hat, w, ytil)``.  Each Newton
+        step is one linear-Gaussian smoothing pass; past
+        ``settings.ssm_chunk_threshold`` rows the pass runs as the
+        O(ssm_chunk)-memory two-pass block smoother with per-block
+        (A, Q) construction (beyond-HBM training — only (n,) vectors
+        ever materialize full-length)."""
         x = jnp.asarray(inputs, settings.dtype)
         t = x[:, 0]
         order = jnp.argsort(t)
@@ -148,7 +180,23 @@ class NonGaussianSSGP(StateSpaceGP):
         loc_s = self.f_location(params, x)[order]
         dt = jnp.concatenate([jnp.zeros(1, settings.dtype),
                               jnp.diff(ts)])
-        a, q, _pinf, h = ssm_blocks(self._leaves, params, dt)
+        if ts.shape[0] > settings.ssm_chunk_threshold:
+            pinf, h, blocks_fn, rows_of = self._chunked_pieces(params)
+
+            def pass_mean(w, ytil):
+                mean, _var = chunked_smoother_diag(
+                    None, None, None, None, ytil,
+                    chunk=settings.ssm_chunk, rows=rows_of(1.0 / w),
+                    blocks_fn=blocks_fn, dt=dt, pinf=pinf)
+                return mean
+        else:
+            a, q, _pinf, h = ssm_blocks(self._leaves, params, dt)
+
+            def pass_mean(w, ytil):
+                _nll, m_f, p_f = parallel_kalman_nll(a, q, h, 1.0 / w,
+                                                     ytil)
+                m_s, _p_s = parallel_smoother(a, q, m_f, p_f)
+                return jnp.sum(m_s * h, axis=-1)
 
         def newton(f, _):
             d1, d2 = self._d12(params, ys, loc_s + f)
@@ -157,9 +205,7 @@ class NonGaussianSSGP(StateSpaceGP):
             # clamped — the standard Laplace safeguard
             w = jnp.clip(-d2, 1e-6, 1e8)
             ytil = f + d1 / w
-            _nll, m_f, p_f = parallel_kalman_nll(a, q, h, 1.0 / w, ytil)
-            m_s, _p_s = parallel_smoother(a, q, m_f, p_f)
-            return jnp.sum(m_s * h, axis=-1), None
+            return pass_mean(w, ytil), None
 
         iters = int(getattr(settings, "ssm_laplace_iters", 15))
         f_hat, _ = lax.scan(jax.checkpoint(newton),
@@ -167,29 +213,32 @@ class NonGaussianSSGP(StateSpaceGP):
         d1, d2 = self._d12(params, ys, loc_s + f_hat)
         w = jnp.clip(-d2, 1e-6, 1e8)
         ytil = f_hat + d1 / w
-        return order, ts, a, q, h, loc_s, ys, f_hat, w, ytil
+        return order, ts, dt, h, loc_s, ys, f_hat, w, ytil
 
     # -- the Laplace evidence (the model's loglike) --------------------------------
     def th_loglike_fn(self):
         def fn(params, space, inputs, outputs):
-            (order, _ts, a, q, h, loc_s, ys, f_hat, w,
+            (order, ts, dt, h, loc_s, ys, f_hat, w,
              ytil) = self._mode(params, inputs, outputs)
-            _nll, m_f, p_f = parallel_kalman_nll(a, q, h, 1.0 / w, ytil)
-            s_dim = a.shape[-1]
-            m_prev = jnp.concatenate(
-                [jnp.zeros((1, s_dim), m_f.dtype), m_f[:-1]], axis=0)
-            p_prev = jnp.concatenate(
-                [jnp.zeros((1, s_dim, s_dim), p_f.dtype), p_f[:-1]],
-                axis=0)
-            # row 0 has A=0 / Q=Pinf (stationary prior), so the zero
-            # prev-moment rows are exact
-            p_pred = _bmm(a, _bmm(p_prev, _bt(a))) + q
-            s_k = jnp.sum(_bmv(p_pred, h) * h, axis=-1) + 1.0 / w
+            # log|I + K W| = sum_k log s_k + sum_k log w_k with s_k the
+            # pseudo-model's innovation variances — the Kalman filter's
+            # own LDL factorization of det(K + W^{-1})
+            if ts.shape[0] > settings.ssm_chunk_threshold:
+                pinf, _h, blocks_fn, rows_of = self._chunked_pieces(
+                    params)
+                _quad_pm, logdet = chunked_kalman_nll(
+                    None, None, None, None, ytil,
+                    chunk=settings.ssm_chunk, rows=rows_of(1.0 / w),
+                    blocks_fn=blocks_fn, dt=dt, pinf=pinf, split=True)
+            else:
+                a, q, _pinf, h = ssm_blocks(self._leaves, params, dt)
+                _quad_pm, logdet = parallel_kalman_quad_logdet(
+                    a, q, h, 1.0 / w, ytil)
             quad = jnp.sum(f_hat * w * (ytil - f_hat))
             ll_data = jnp.sum(self.f_likelihood.logp_elem(
                 params, ys, loc_s + f_hat))
             ll = (ll_data - 0.5 * quad
-                  - 0.5 * (jnp.sum(jnp.log(s_k)) + jnp.sum(jnp.log(w))))
+                  - 0.5 * (logdet + jnp.sum(jnp.log(w))))
             bad = ~jnp.isfinite(ll)
             return jnp.where(bad, GUARD, jnp.nan_to_num(
                 ll, nan=GUARD, neginf=GUARD, posinf=GUARD))
@@ -197,16 +246,45 @@ class NonGaussianSSGP(StateSpaceGP):
         return fn
 
     def nll_distributed(self, params=None, mesh=None, axis="dp"):
-        raise ValueError(
-            "NonGaussianSSGP has no sharded objective yet (the Laplace "
-            "loop is iterative); train through the plain loglike")
+        """Device-sharded Laplace objective over the TIME axis
+        (``ops/ssm.sharded_ssm_laplace``): the whole iterated-smoothing
+        Newton loop runs as ONE SPMD program — each device holds its own
+        row shard, every Newton step is a sharded filter+smoother pass
+        (all_gather of D tiny monoid totals forward AND backward), and
+        the evidence reduces by psum.  The multi-chip counterpart of the
+        Gaussian family's ``nll_distributed`` for non-Gaussian
+        observations; rides ``find_MAP(engine='distributed')``
+        unchanged."""
+        if params is None:
+            params = self.params
+        params = {k: jnp.asarray(v) for k, v in params.items()}
+        x = jnp.asarray(self.inputs, settings.dtype)
+        t = x[:, 0]
+        order = jnp.argsort(t)
+        ts = t[order]
+        ys = jnp.asarray(self.outputs, settings.dtype)[order]
+        loc_s = self.f_location(params, x)[order]
+        dt = jnp.concatenate([jnp.zeros(1, settings.dtype),
+                              jnp.diff(ts)])
+
+        # bound methods compare/hash by (instance, function), so they
+        # are stable jit-cache keys across calls on the same model
+        ll = sharded_ssm_laplace(
+            self._leaves, params, dt, ys, loc_s,
+            self._d12, self.f_likelihood.logp_elem,
+            iters=int(getattr(settings, "ssm_laplace_iters", 15)),
+            mesh=mesh, axis=axis)
+        return -ll
 
     # -- Laplace posterior at queries ------------------------------------------------
     def _run_smoother(self, params, tq, inputs, outputs):
         """Smoothed Laplace-posterior latent (mean, var) at query times:
         one extra smoothing pass over pseudo-observations at the mode,
-        with the query rows merged in unobserved."""
-        (order, ts, _a, _q, _h, _loc, _ys, _f, w,
+        with the query rows merged in unobserved.  Past
+        ``settings.ssm_chunk_threshold`` merged rows this pass (like the
+        mode search itself) runs as the chunked two-pass block smoother
+        — beyond-HBM serving."""
+        (_order, ts, _dt, _h, _loc, _ys, _f, w,
          ytil) = self._mode(params, inputs, outputs)
         tq = jnp.asarray(tq, settings.dtype)
         n_obs = ts.shape[0]
@@ -221,11 +299,18 @@ class NonGaussianSSGP(StateSpaceGP):
                               r_all[order2], obs[order2])
         dt = jnp.concatenate([jnp.zeros(1, settings.dtype),
                               jnp.diff(ts2)])
-        a, q, _pinf, h = ssm_blocks(self._leaves, params, dt)
-        m_f, p_f = parallel_kalman_filter(a, q, h, rs2, ys2, os2)
-        m_s, p_s = parallel_smoother(a, q, m_f, p_f)
-        mean = jnp.sum(m_s * h, axis=-1)
-        var = jnp.sum(jnp.sum(p_s * h, axis=-1) * h, axis=-1)
+        if ts2.shape[0] > settings.ssm_chunk_threshold:
+            pinf, _h2, blocks_fn, rows_of = self._chunked_pieces(params)
+            mean, var = chunked_smoother_diag(
+                None, None, None, None, ys2, os2,
+                chunk=settings.ssm_chunk, rows=rows_of(rs2),
+                blocks_fn=blocks_fn, dt=dt, pinf=pinf)
+        else:
+            a, q, _pinf, h = ssm_blocks(self._leaves, params, dt)
+            m_f, p_f = parallel_kalman_filter(a, q, h, rs2, ys2, os2)
+            m_s, p_s = parallel_smoother(a, q, m_f, p_f)
+            mean = jnp.sum(m_s * h, axis=-1)
+            var = jnp.sum(jnp.sum(p_s * h, axis=-1) * h, axis=-1)
         inv = jnp.argsort(order2)
         qpos = inv[n_obs:]
         return mean[qpos], jnp.maximum(var[qpos], zero32)
@@ -294,7 +379,9 @@ class NonGaussianSSGP(StateSpaceGP):
                      prior=False):
         """JOINT latent draws (nq, samples) under the Laplace posterior:
         the simulation smoother on the pseudo-observation model at the
-        mode (prior=True: exact prior paths, no approximation)."""
+        mode (prior=True: exact prior paths, no approximation).  Plain
+        scans only — joint path draws are a serving-size statistic (the
+        training/marginal paths are the chunked ones)."""
         key = jax.random.PRNGKey(seed)
         tq = jnp.asarray(tq, settings.dtype)
         if prior:
@@ -306,7 +393,7 @@ class NonGaussianSSGP(StateSpaceGP):
             xs = jax.vmap(lambda k: ssm_prior_state_sample(a, q, k))(keys)
             f = jnp.sum(xs * h[None], axis=-1).T
             return f[jnp.argsort(order)]
-        (order, ts, _a, _q, _h, _loc, _ys, _f, w,
+        (_order, ts, _dt, _h, _loc, _ys, _f, w,
          ytil) = self._mode(params, inputs, outputs)
         n_obs = ts.shape[0]
         t_all = jnp.concatenate([ts, tq])

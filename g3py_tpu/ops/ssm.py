@@ -60,7 +60,8 @@ from ..hypers import hval
 
 __all__ = ["ssm_leaves", "ssm_blocks", "parallel_kalman_nll",
            "chunked_kalman_nll", "chunked_smoother_diag", "sharded_ssm_nll",
-           "parallel_smoother", "parallel_kalman_filter", "SSMLeaf",
+           "sharded_ssm_laplace", "parallel_smoother",
+           "parallel_kalman_filter", "SSMLeaf",
            "periodic_coefficients", "small_inv", "small_chol",
            "ssm_prior_state_sample"]
 
@@ -1196,7 +1197,7 @@ def sharded_ssm_nll(leaves, params, dt, r, y, obs=None, mesh=None,
         a_l, q_l, pinf, h = ssm_blocks(leaves, p, dt_l,
                                        stationary_first=False)
         return _sharded_filter_nll(a_l, q_l, pinf, h, rr, y_l, obs_l,
-                                   axis, n_dev)
+                                   axis, n_dev, split=split)
 
     # jit handles the scatter of replicated inputs onto the in_specs
     # shardings (a bare eager shard_map call asserts on the sharding
@@ -1206,7 +1207,7 @@ def sharded_ssm_nll(leaves, params, dt, r, y, obs=None, mesh=None,
     # keys on function identity, so rebuilding it per call would retrace
     # and RECOMPILE the whole SPMD program on every eager call (compiles
     # run 20-300s over the hosted tunnel).
-    key = (tuple(leaves), mesh, axis)
+    key = (tuple(leaves), mesh, axis, bool(split))
     fn = _sharded_nll_cache.get(key)
     if fn is None:
         fn = jax.jit(shard_map(
@@ -1335,6 +1336,157 @@ def sharded_ssm_nll_payload(build_fn, params, dt, payload_T, y, obs=None,
         _sharded_nll_cache[key] = fn
     params_j = {k: jnp.asarray(v) for k, v in params.items()}
     return fn(jnp.asarray(dt), jnp.asarray(y), obs, payload_T, params_j)
+
+
+def sharded_ssm_laplace(leaves, params, dt, y, loc, d12_fn, ll_fn,
+                        iters=15, mesh=None, axis="dp"):
+    """Time-axis-sharded LAPLACE evidence for non-Gaussian observations
+    on the exact SSM prior — the multi-chip training objective of
+    :class:`~g3py_tpu.models.ngssm.NonGaussianSSGP`.
+
+    The whole iterated-Kalman-smoothing Newton loop (Nickisch, Solin &
+    Grigorievskiy, ICML 2018 — see models/ngssm.py) runs as ONE SPMD
+    program over the mesh: each device builds the (A, Q) blocks for its
+    own row shard, and every Newton step is a sharded filter+smoother
+    pass whose only cross-device traffic is one ``all_gather`` of the D
+    tiny per-device FILTER monoid totals (forward) plus one of the D
+    SMOOTHER monoid totals (backward) and a ``ppermute`` handing each
+    device its successor's first (A, Q) for the local smoothing tail —
+    the sharded counterpart of :func:`chunked_smoother_diag`'s two-pass
+    block structure, numerically identical combines.  The evidence
+    (data term, quadratic, and the innovation log-determinant
+    ``log|I + K W| = sum log s_k + sum log w_k``) reduces by ``psum``.
+
+    ``d12_fn(params, y_l, g_l) -> (d1, d2)`` gives the per-element
+    likelihood gradient/curvature at g = loc + f and ``ll_fn(params,
+    y_l, g_l)`` the per-element log-likelihood; both must be STABLE
+    per-model callables (they key the jit cache — bound methods are
+    fine, they compare by (instance, function)).  Rows must arrive
+    time-sorted with ``dt[0] == 0``; n not divisible by D pads with
+    dt=0 / obs=False rows (monoid identities forward, and their
+    smoothing elements reduce to the identity because A(0)=I, Q(0)=0).
+    Fully differentiable w.r.t. ``params``."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.cholesky import _resolve_mesh
+
+    mesh = _resolve_mesh(mesh, axis)
+    n_dev = mesh.shape[axis]
+    n = y.shape[0]
+    obs = jnp.ones(n, bool)
+    mrows = -(-n // n_dev)
+    pad = mrows * n_dev - n
+    if pad:
+        dt = jnp.concatenate([dt, jnp.zeros(pad, dt.dtype)])
+        y = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
+        loc = jnp.concatenate([loc, jnp.zeros(pad, loc.dtype)])
+        obs = jnp.concatenate([obs, jnp.zeros(pad, bool)])
+    iters = int(iters)
+
+    def body(dt_l, y_l, loc_l, obs_l, p):
+        a_l, q_l, pinf, h = ssm_blocks(leaves, p, dt_l,
+                                       stationary_first=False)
+        idx = lax.axis_index(axis)
+        first = idx == 0
+        # only the GLOBAL first row starts from the stationary prior
+        a_l = a_l.at[0].set(jnp.where(first, jnp.zeros_like(a_l[0]),
+                                      a_l[0]))
+        q_l = q_l.at[0].set(jnp.where(first, pinf, q_l[0]))
+        s = a_l.shape[-1]
+        m_loc = y_l.shape[0]
+        # successor's first (A, Q) for the local smoothing tail; the
+        # global tail gets the (A=0, Q=I) terminal convention (ppermute
+        # leaves non-destination devices zero, so A=0 is automatic)
+        perm = [(d, d - 1) for d in range(1, n_dev)]
+        a_nf = (lax.ppermute(a_l[0], axis, perm) if perm
+                else jnp.zeros_like(a_l[0]))
+        q_nf = (lax.ppermute(q_l[0], axis, perm) if perm
+                else jnp.zeros_like(q_l[0]))
+        q_nf = jnp.where(idx == n_dev - 1, jnp.eye(s, dtype=q_nf.dtype),
+                         q_nf)
+
+        def smooth_mean(w, ytil):
+            # forward: local filter + fold of the earlier shards' totals
+            elems = _filter_elements(a_l, q_l, h, 1.0 / w, ytil, obs_l)
+            pref = lax.associative_scan(_filter_combine, elems)
+            tot = jax.tree.map(lambda x: lax.all_gather(x[-1:], axis),
+                               pref)
+            carry = _filter_identity(s, 1, a_l.dtype)
+            for j in range(n_dev):                # D static tiny combines
+                ej = jax.tree.map(lambda x: x[j], tot)
+                comb = _filter_combine(carry, ej)
+                use = jnp.asarray(j, idx.dtype) < idx
+                carry = jax.tree.map(
+                    lambda c, nw: jnp.where(use, nw, c), carry, comb)
+            carry_b = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (m_loc,) + x.shape[1:]),
+                carry)
+            full = _filter_combine(carry_b, pref)
+            m_f, p_f = full[1], full[2]
+            # backward: local smoothing elements (chunked_smoother_diag's
+            # block tail, with the successor's first (A, Q) from ICI)
+            a_n = jnp.concatenate([a_l[1:], a_nf[None]], axis=0)
+            q_n = jnp.concatenate([q_l[1:], q_nf[None]], axis=0)
+            p_pred = _bmm(a_n, _bmm(p_f, _bt(a_n))) + q_n
+            e_k = _bmm(p_f, _bmm(_bt(a_n), small_inv(p_pred)))
+            g_k = m_f - _bmv(e_k, _bmv(a_n, m_f))
+            l_k = p_f - _bmm(e_k, _bmm(p_pred, _bt(e_k)))
+            suf = lax.associative_scan(_smoother_combine,
+                                       (e_k, g_k, l_k), reverse=True)
+            tot_s = jax.tree.map(lambda x: lax.all_gather(x[:1], axis),
+                                 suf)
+            carry_s = (jnp.eye(s, dtype=a_l.dtype)[None],
+                       jnp.zeros((1, s), a_l.dtype),
+                       jnp.zeros((1, s, s), a_l.dtype))
+            # fold LATER shards' totals, last-first — the same order the
+            # chunked backward scan composes its block suffixes in
+            for j in range(n_dev - 1, -1, -1):
+                tj = jax.tree.map(lambda x: x[j], tot_s)
+                comb = _smoother_combine(carry_s, tj)
+                use = jnp.asarray(j, idx.dtype) > idx
+                carry_s = jax.tree.map(
+                    lambda c, nw: jnp.where(use, nw, c), carry_s, comb)
+            suffix_b = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (m_loc,) + x.shape[1:]),
+                carry_s)
+            total = _smoother_combine(suffix_b, suf)
+            return jnp.sum(total[1] * h, axis=-1)
+
+        def newton(f, _):
+            d1, d2 = d12_fn(p, y_l, loc_l + f)
+            # same clamp as the single-chip path (models/ngssm.py) so
+            # the two objectives agree exactly
+            w = jnp.clip(-d2, 1e-6, 1e8)
+            ytil = f + d1 / w
+            return smooth_mean(w, ytil), None
+
+        f_hat, _ = lax.scan(jax.checkpoint(newton),
+                            jnp.zeros_like(y_l), None, length=iters)
+        d1, d2 = d12_fn(p, y_l, loc_l + f_hat)
+        w = jnp.clip(-d2, 1e-6, 1e8)
+        ytil = f_hat + d1 / w
+        _quad_pm, logdet = _sharded_filter_nll(
+            a_l, q_l, pinf, h, 1.0 / w, ytil, obs_l, axis, n_dev,
+            split=True)
+        quad = lax.psum(jnp.sum(jnp.where(
+            obs_l, f_hat * w * (ytil - f_hat), 0.0)), axis)
+        ll_data = lax.psum(jnp.sum(jnp.where(
+            obs_l, ll_fn(p, y_l, loc_l + f_hat), 0.0)), axis)
+        logw = lax.psum(jnp.sum(jnp.where(obs_l, jnp.log(w), 0.0)),
+                        axis)
+        return ll_data - 0.5 * quad - 0.5 * (logdet + logw)
+
+    key = (tuple(leaves), d12_fn, ll_fn, iters, mesh, axis)
+    fn = _sharded_nll_cache.get(key)
+    if fn is None:
+        fn = jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+            out_specs=P()))
+        _sharded_nll_cache[key] = fn
+    params_j = {k: jnp.asarray(v) for k, v in params.items()}
+    return fn(jnp.asarray(dt), jnp.asarray(y),
+              jnp.asarray(loc, dt.dtype), obs, params_j)
 
 
 def _smoother_combine(e1, e2):

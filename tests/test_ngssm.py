@@ -155,5 +155,84 @@ class TestLaplace:
         with pytest.raises(ValueError, match="counts"):
             ng.observed(t, -np.ones(len(t), np.float32))
         ng.observed(t, rng.poisson(1.0, len(t)).astype(np.float32))
-        with pytest.raises(ValueError, match="sharded"):
-            ng.nll_distributed(ng.params)
+
+
+class TestScaling:
+    def test_chunked_matches_plain(self, rng):
+        """Above settings.ssm_chunk_threshold every Newton pass and the
+        evidence run as the chunked block scans: evidence, gradient and
+        posterior statistics match the plain-path values."""
+        from g3py_tpu.config import settings
+        t = _times(rng, n=150)
+        f_true = np.sin(t[:, 0]) + 0.5
+        y = rng.poisson(np.exp(f_true)).astype(np.float32)
+        ng = g3.NonGaussianSSGP(space=t, kernel=g3.MAT32(t),
+                                likelihood=g3.PoissonLik(), name="NC")
+        ng.observed(t, y)
+        p = ng.params
+        ll_plain = float(ng.loglike(p))
+        tq = np.linspace(0.5, 9.5, 17).reshape(-1, 1).astype(np.float32)
+        mean_plain = np.asarray(ng.mean(p, space=tq))
+        var_plain = np.asarray(ng.variance(p, space=tq))
+        old_thr, old_chunk = (settings.ssm_chunk_threshold,
+                              settings.ssm_chunk)
+        try:
+            settings.ssm_chunk_threshold, settings.ssm_chunk = 64, 100
+            ng2 = g3.NonGaussianSSGP(space=t, kernel=g3.MAT32(t),
+                                     likelihood=g3.PoissonLik(),
+                                     name="ND")
+            ng2.observed(t, y)
+            p2 = {k.replace("NC", "ND", 1): v for k, v in p.items()}
+            ll_chunk = float(ng2.loglike(p2))
+            g = np.asarray(ng2.dlogp(p2))
+            mean_c = np.asarray(ng2.mean(p2, space=tq))
+            var_c = np.asarray(ng2.variance(p2, space=tq))
+        finally:
+            settings.ssm_chunk_threshold = old_thr
+            settings.ssm_chunk = old_chunk
+        np.testing.assert_allclose(ll_chunk, ll_plain, rtol=2e-5)
+        assert np.all(np.isfinite(g)) and np.any(g != 0)
+        np.testing.assert_allclose(mean_c, mean_plain, atol=2e-4)
+        np.testing.assert_allclose(var_c, var_plain, atol=3e-4)
+
+    def test_sharded_matches_plain(self, rng):
+        """nll_distributed (8-device virtual mesh): the whole Laplace
+        loop as ONE SPMD program == -loglike, value AND gradient, at n
+        that does not divide over the mesh (pad path)."""
+        t = _times(rng, n=117)
+        f_true = np.sin(t[:, 0]) + 0.5
+        y = rng.poisson(np.exp(f_true)).astype(np.float32)
+        ng = g3.NonGaussianSSGP(space=t, kernel=g3.MAT32(t),
+                                likelihood=g3.PoissonLik(), name="NS")
+        ng.observed(t, y)
+        p = dict(ng.params)
+        v_plain = -float(ng.loglike(p))
+        v_shard = float(ng.nll_distributed(p))
+        np.testing.assert_allclose(v_shard, v_plain, rtol=1e-5)
+
+        reg = ng.active
+        pure = ng._logp_pure(prior=False)
+        xj = jnp.asarray(t, jnp.float32)
+        yj = jnp.asarray(y, jnp.float32)
+        vec0 = jnp.zeros(0, jnp.float32)
+        u = jnp.asarray(reg.dict_to_array(p))
+        g1 = np.asarray(jax.grad(
+            lambda ww: -pure(reg.array_to_dict_jax(ww), xj, xj, yj,
+                             vec0))(u))
+        g2 = np.asarray(jax.grad(
+            lambda ww: ng.nll_distributed(
+                reg.array_to_dict_jax(ww)))(u))
+        np.testing.assert_allclose(g2, g1, rtol=1e-4,
+                                   atol=1e-5 * np.max(np.abs(g1)))
+
+    def test_find_map_distributed_improves(self, rng):
+        t = _times(rng, n=60)
+        y = rng.poisson(np.exp(np.sin(t[:, 0]))).astype(np.float32)
+        ng = g3.NonGaussianSSGP(space=t, kernel=g3.MAT32(t),
+                                likelihood=g3.PoissonLik(), name="NF")
+        ng.observed(t, y)
+        lp0 = float(ng.logp(ng.params))
+        p = ng.find_MAP(engine="distributed", points=1, max_iters=10,
+                        display=False)
+        lp1 = float(ng.logp(p))
+        assert np.isfinite(lp1) and lp1 > lp0
