@@ -225,6 +225,7 @@ from .models import (
     StudentTLik,
     BernoulliLik,
     PoissonLik,
+    NegBinomialLik,
     OrdinalLik,
     CategoricalLik,
     HeteroscedasticLik,

@@ -49,6 +49,7 @@ from .likelihoods import (
     StudentTLik,
     BernoulliLik,
     PoissonLik,
+    NegBinomialLik,
     OrdinalLik,
     CategoricalLik,
     HeteroscedasticLik,
@@ -125,6 +126,7 @@ __all__ = [
     "StudentTLik",
     "BernoulliLik",
     "PoissonLik",
+    "NegBinomialLik",
     "OrdinalLik",
     "CategoricalLik",
     "HeteroscedasticLik",

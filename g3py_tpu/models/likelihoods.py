@@ -18,6 +18,8 @@ its Gaussian q(f) with Gauss-Hermite quadrature (ops/quadrature.py):
 * :class:`PoissonLik` — count regression with a log link; expected
   log-likelihood AND predictive moments are analytic (lognormal
   moments), no quadrature at all.
+* :class:`NegBinomialLik` — OVERDISPERSED counts (trainable
+  concentration; Poisson is the r -> inf limit).
 
 Each likelihood is a :class:`~g3py_tpu.hypers.Hypers` component: its
 parameters (noise scale, dof) are ordinary model hypers — trained by
@@ -35,7 +37,7 @@ from ..hypers import Hypers, FlatExp, hval, is_param
 from ..ops.quadrature import hermgauss
 
 __all__ = ["Likelihood", "GaussianLik", "StudentTLik", "BernoulliLik",
-           "PoissonLik", "OrdinalLik", "CategoricalLik",
+           "PoissonLik", "NegBinomialLik", "OrdinalLik", "CategoricalLik",
            "HeteroscedasticLik"]
 
 LOG2PI = np.log(2.0 * np.pi).astype(np.float32)
@@ -255,6 +257,84 @@ class PoissonLik(Likelihood):
         if np.any(ya < 0) or not np.allclose(ya, np.round(ya), atol=1e-6):
             raise ValueError(
                 "PoissonLik targets must be non-negative integer counts")
+
+
+class NegBinomialLik(PoissonLik):
+    """OVERDISPERSED counts with a log link: y ~ NegBinomial with mean
+    ``m = exp(f)`` and trainable concentration ``r`` (``dispersion``), so
+    ``Var[y|f] = m + m^2/r`` — Poisson is the ``r -> inf`` limit.  The
+    standard fix when count data show more variance than a Poisson rate
+    can carry (bursty event streams, biological counts); training the
+    single extra hyper decides the Poisson-vs-overdispersed question
+    from the data.
+
+    log p(y|f) = lgamma(y+r) - lgamma(r) - lgamma(y+1)
+                 + r log r + y f - (y+r) log(r + e^f),
+
+    which is log-concave in f (d2 = -(y+r) s(1-s), s = e^f/(r+e^f)), so
+    the Laplace Newton loop of
+    :class:`~g3py_tpu.models.ngssm.NonGaussianSSGP` converges cleanly.
+    Predictive MOMENTS under Gaussian q(f) stay analytic (lognormal
+    moments + law of total variance); the expected log-lik uses the
+    base-class Gauss-Hermite grid (the ``(y+r) log(r+e^f)`` term has no
+    closed Gaussian integral).  Subclasses :class:`PoissonLik` so every
+    discrete-link special case (exp-link quantiles, no-median, count
+    target validation) applies unchanged."""
+
+    def __init__(self, x=None, dispersion=None, name=None):
+        self.dispersion = dispersion
+        Likelihood.__init__(self, x=x,
+                            name=name if name is not None else "NegBinLik")
+
+    def check_hypers(self, parent=""):
+        self.dispersion = self._param(
+            self.dispersion, parent + self.name + "_dispersion", FlatExp())
+
+    def default_hypers(self, x=None, y=None):
+        """Method-of-moments concentration: r = m^2 / (s^2 - m), clipped
+        to [0.1, 100] (s^2 <= m means no visible overdispersion — start
+        near-Poisson at r=100)."""
+        if is_param(self.dispersion) and y is not None:
+            ya = np.asarray(y, np.float64)
+            m, v = float(ya.mean()), float(ya.var())
+            r0 = m * m / (v - m) if v > m + 1e-6 and m > 0 else 100.0
+            return {self.dispersion: np.asarray(
+                np.clip(r0, 0.1, 100.0), settings.floatx)}
+        return {}
+
+    def _r(self, params):
+        return jnp.maximum(hval(self.dispersion, params),
+                           jnp.asarray(1e-3, settings.dtype))
+
+    def logp_elem(self, params, y, f):
+        r = self._r(params)
+        y = jnp.asarray(y, settings.dtype)
+        # log(r + e^f) = logaddexp(log r, f): overflow-stable both tails
+        lse = jnp.logaddexp(jnp.log(r), f)
+        return (gammaln(y + r) - gammaln(r) - gammaln(y + 1.0)
+                + r * jnp.log(r) + y * f - (y + r) * lse)
+
+    def cond_var(self, params, f):
+        m = jnp.exp(f)
+        return m + m * m / self._r(params)
+
+    # quadrature, NOT Poisson's analytic form (see class docstring)
+    expected_logp = Likelihood.expected_logp
+
+    def predictive_moments(self, params, mu, var):
+        mu = jnp.asarray(mu, settings.dtype)
+        var = jnp.asarray(var, settings.dtype)
+        m = jnp.exp(mu + 0.5 * var)                 # E[e^f]
+        e2 = jnp.exp(2.0 * mu + 2.0 * var)          # E[e^2f]
+        v = m + e2 / self._r(params) + (e2 - m * m)
+        return m, jnp.maximum(v, 0.0)
+
+    def check_targets(self, y):
+        ya = np.asarray(y)
+        if np.any(ya < 0) or not np.allclose(ya, np.round(ya), atol=1e-6):
+            raise ValueError(
+                "NegBinomialLik targets must be non-negative integer "
+                "counts")
 
 
 class BernoulliLik(Likelihood):
@@ -593,6 +673,12 @@ def sample_conditional(lik, params, f, rng):
     if isinstance(lik, BernoulliLik):
         p = stats.norm.cdf(f)
         return (rng.uniform(size=f.shape) < p).astype(settings.floatx)
+    if isinstance(lik, NegBinomialLik):
+        r = float(np.maximum(hval(lik.dispersion, pj), 1e-3))
+        m = np.exp(np.clip(f, -30.0, 30.0))
+        # numpy's (n, p) convention: mean = n (1-p)/p with p = r/(r+m)
+        return rng.negative_binomial(r, r / (r + m)).astype(
+            settings.floatx)
     if isinstance(lik, PoissonLik):
         return rng.poisson(np.exp(np.clip(f, -30, 30))).astype(
             settings.floatx)

@@ -93,8 +93,8 @@ class NonGaussianSSGP(StateSpaceGP):
         if not isinstance(likelihood, Likelihood):
             raise ValueError(
                 "likelihood= must be a Likelihood (GaussianLik, "
-                "StudentTLik, PoissonLik, BernoulliLik, OrdinalLik, ...)"
-                f", got {type(likelihood).__name__}")
+                "StudentTLik, PoissonLik, NegBinomialLik, BernoulliLik, "
+                f"OrdinalLik, ...), got {type(likelihood).__name__}")
         self.f_location = location if location is not None else Zero()
         self.f_kernel = kernel
         self._leaves = ssm_leaves(kernel, harmonics=harmonics)

@@ -157,6 +157,84 @@ class TestLaplace:
         ng.observed(t, rng.poisson(1.0, len(t)).astype(np.float32))
 
 
+class TestNegBinomial:
+    def test_matches_dense_laplace_oracle(self, rng):
+        """NegBinomial evidence vs an independent dense Newton/Laplace
+        in numpy f64 (R&W alg. 3.1 with W = (y+r) s(1-s),
+        d1 = y - (y+r) s, s = m/(r+m))."""
+        t = _times(rng)
+        n = len(t)
+        f_true = np.sin(t[:, 0]) + 0.8
+        r = 2.5
+        m_true = np.exp(f_true)
+        y = rng.negative_binomial(r, r / (r + m_true)).astype(np.float32)
+        ng = g3.NonGaussianSSGP(space=t, kernel=g3.MAT32(t),
+                                likelihood=g3.NegBinomialLik(), name="NB")
+        ng.observed(t, y)
+        p = dict(ng.params)
+        p["NB_NegBinLik_dispersion"] = np.float32(r)
+        pj = {k: jnp.asarray(v) for k, v in p.items()}
+        K = np.asarray(ng.f_kernel.cov(pj, jnp.asarray(t)), np.float64)
+        K += 1e-8 * np.eye(n)
+        y64 = np.asarray(y, np.float64)
+        f = np.zeros(n)
+        for _ in range(80):
+            mm = np.exp(f)
+            s = mm / (r + mm)
+            w = (y64 + r) * s * (1.0 - s)
+            d1 = y64 - (y64 + r) * s
+            b = w * f + d1
+            sq = np.sqrt(w)
+            bmat = np.eye(n) + sq[:, None] * K * sq[None, :]
+            lb = np.linalg.cholesky(bmat)
+            avec = b - sq * np.linalg.solve(
+                lb.T, np.linalg.solve(lb, sq * (K @ b)))
+            f = K @ avec
+        mm = np.exp(f)
+        ll_data = float(np.sum(
+            gammaln(y64 + r) - gammaln(r) - gammaln(y64 + 1.0)
+            + r * np.log(r) + y64 * f - (y64 + r) * np.log(r + mm)))
+        log_z = (ll_data - 0.5 * float(avec @ f)
+                 - float(np.sum(np.log(np.diagonal(lb)))))
+        ll_ng = float(ng.loglike(p))
+        assert abs(ll_ng - log_z) < 2e-4 * max(1.0, abs(log_z))
+        g = np.asarray(ng.dlogp(p))
+        assert np.all(np.isfinite(g)) and np.any(g != 0)
+
+    def test_model_api_and_dispersion_recovery(self, rng):
+        """find_MAP trains the dispersion to a sane value on strongly
+        overdispersed counts; statistics/sampler/quantiler carry the
+        discrete-link conventions (inherited from PoissonLik)."""
+        t = np.sort(rng.uniform(0, 40, 500)).reshape(-1, 1).astype(
+            np.float32)
+        f_true = np.sin(t[:, 0] / 2.0) + 1.2
+        r = 1.5
+        y = rng.negative_binomial(
+            r, r / (r + np.exp(f_true))).astype(np.float32)
+        ng = g3.NonGaussianSSGP(space=t, kernel=g3.MAT32(t),
+                                likelihood=g3.NegBinomialLik(), name="NR")
+        ng.observed(t, y)
+        lp0 = float(ng.logp(ng.params))
+        p = ng.find_MAP(points=1, max_iters=40, display=False)
+        assert float(ng.logp(p)) > lp0
+        r_hat = float(p["NR_NegBinLik_dispersion"])
+        assert 0.5 < r_hat < 6.0           # true 1.5; Poisson limit >> 10
+        tq = np.linspace(1, 39, 25).reshape(-1, 1).astype(np.float32)
+        rate = np.asarray(ng.mean(p, space=tq))
+        assert np.all(np.isfinite(rate)) and np.all(rate > 0)
+        # predictive variance exceeds the rate: overdispersion survives
+        # into the reported moments
+        var = np.asarray(ng.variance(p, space=tq, noise=True))
+        assert np.all(var > rate)
+        q1, q9 = (ng.quantiler(p, space=tq, q=qq) for qq in (0.1, 0.9))
+        assert np.all(q9 >= q1)
+        s = ng.sampler(p, space=tq, samples=3, noise=True)
+        assert s.shape == (25, 3) and np.all(s >= 0)
+        assert np.allclose(s, np.round(s))
+        with pytest.raises(ValueError, match="counts"):
+            g3.NegBinomialLik().check_targets(-np.ones(3, np.float32))
+
+
 class TestScaling:
     def test_chunked_matches_plain(self, rng):
         """Above settings.ssm_chunk_threshold every Newton pass and the
