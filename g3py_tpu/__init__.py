@@ -248,6 +248,10 @@ from .models import (
     SparseSpatioTemporalSSGP,
     NonGaussianSSGP,
     NGSSGP,
+    NonGaussianMultiSSGP,
+    NGMSSGP,
+    NonGaussianSTSSGP,
+    NGSTSSGP,
     GP,
     WGP,
     TP,

@@ -69,7 +69,8 @@ from .lmc import (
     stack_outputs,
 )
 from .statespace import StateSpaceGP, SSGP, MultiStateSpaceGP, LMCSSGP
-from .ngssm import NonGaussianSSGP, NGSSGP
+from .ngssm import (NonGaussianSSGP, NGSSGP, NonGaussianMultiSSGP,
+                    NGMSSGP, NonGaussianSTSSGP, NGSTSSGP)
 from .spatiotemporal import (SpatioTemporalSSGP, STSSGP,
                              SparseSpatioTemporalSSGP)
 
@@ -149,6 +150,10 @@ __all__ = [
     "SparseSpatioTemporalSSGP",
     "NonGaussianSSGP",
     "NGSSGP",
+    "NonGaussianMultiSSGP",
+    "NGMSSGP",
+    "NonGaussianSTSSGP",
+    "NGSTSSGP",
     "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP", "SGP", "SWGP",
     "SVP",
 ]

@@ -102,6 +102,14 @@ class Likelihood(Hypers):
         """Host-side validation of observed targets (subclass hook)."""
         return None
 
+    def latent_guess(self, y):
+        """Host-side map of targets into LATENT (f) space for
+        data-driven hyper defaults (mixing biases/scales start near the
+        latent offsets, not the observation scale).  Identity for
+        additive-noise likelihoods; log-link and probit subclasses
+        override."""
+        return np.asarray(y, settings.floatx)
+
 
 class GaussianLik(Likelihood):
     """y = f + eps, eps ~ N(0, var): the conjugate baseline.  Expected
@@ -258,6 +266,11 @@ class PoissonLik(Likelihood):
             raise ValueError(
                 "PoissonLik targets must be non-negative integer counts")
 
+    def latent_guess(self, y):
+        """Counts -> log rate: log(y + 0.5) (the +0.5 keeps zeros
+        finite without biasing small counts much)."""
+        return np.log(np.asarray(y, settings.floatx) + 0.5)
+
 
 class NegBinomialLik(PoissonLik):
     """OVERDISPERSED counts with a log link: y ~ NegBinomial with mean
@@ -373,6 +386,11 @@ class BernoulliLik(Likelihood):
         p = ndtr(jnp.asarray(mu, settings.dtype)
                  / jnp.sqrt(1.0 + jnp.asarray(var, settings.dtype)))
         return p, jnp.maximum(p * (1.0 - p), 0.0)
+
+    def latent_guess(self, y):
+        """{0, 1} -> +/- 1 (roughly Phi^{-1}(0.84): a confident but
+        unsaturated probit latent)."""
+        return (2.0 * np.asarray(y, settings.floatx) - 1.0)
 
 
 class OrdinalLik(Likelihood):

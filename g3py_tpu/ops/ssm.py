@@ -1339,7 +1339,8 @@ def sharded_ssm_nll_payload(build_fn, params, dt, payload_T, y, obs=None,
 
 
 def sharded_ssm_laplace(leaves, params, dt, y, loc, d12_fn, ll_fn,
-                        iters=15, mesh=None, axis="dp"):
+                        iters=15, mesh=None, axis="dp", build_fn=None,
+                        aux=None):
     """Time-axis-sharded LAPLACE evidence for non-Gaussian observations
     on the exact SSM prior — the multi-chip training objective of
     :class:`~g3py_tpu.models.ngssm.NonGaussianSSGP`.
@@ -1365,7 +1366,17 @@ def sharded_ssm_laplace(leaves, params, dt, y, loc, d12_fn, ll_fn,
     time-sorted with ``dt[0] == 0``; n not divisible by D pads with
     dt=0 / obs=False rows (monoid identities forward, and their
     smoothing elements reduce to the identity because A(0)=I, Q(0)=0).
-    Fully differentiable w.r.t. ``params``."""
+    Fully differentiable w.r.t. ``params``.
+
+    MULTI-OUTPUT form (:class:`~g3py_tpu.models.ngssm
+    .NonGaussianMultiSSGP`): pass ``build_fn(params, dt_l, aux_l) ->
+    (a_l, q_l, pinf, h_l (m, S))`` and ``aux`` (n,) — each device then
+    builds its block-diagonal latent stack AND its rows' mixed emission
+    vectors from the local aux shard (the per-row channel index as a
+    float vector), and ``d12_fn``/``ll_fn`` receive ``aux_l`` as a 4th
+    argument for the per-row likelihood selection.  ``leaves`` may be
+    None in this form; ``build_fn`` keys the jit cache and must be
+    stable per model."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from ..parallel.cholesky import _resolve_mesh
@@ -1376,16 +1387,25 @@ def sharded_ssm_laplace(leaves, params, dt, y, loc, d12_fn, ll_fn,
     obs = jnp.ones(n, bool)
     mrows = -(-n // n_dev)
     pad = mrows * n_dev - n
+    has_aux = aux is not None
+    if not has_aux:
+        aux = jnp.zeros(n, dt.dtype)
+    aux = jnp.asarray(aux, dt.dtype)
     if pad:
         dt = jnp.concatenate([dt, jnp.zeros(pad, dt.dtype)])
         y = jnp.concatenate([y, jnp.zeros(pad, y.dtype)])
         loc = jnp.concatenate([loc, jnp.zeros(pad, loc.dtype)])
         obs = jnp.concatenate([obs, jnp.zeros(pad, bool)])
+        aux = jnp.concatenate([aux, jnp.zeros(pad, aux.dtype)])
     iters = int(iters)
 
-    def body(dt_l, y_l, loc_l, obs_l, p):
-        a_l, q_l, pinf, h = ssm_blocks(leaves, p, dt_l,
-                                       stationary_first=False)
+    def body(dt_l, y_l, loc_l, obs_l, aux_l, p):
+        if build_fn is None:
+            a_l, q_l, pinf, h = ssm_blocks(leaves, p, dt_l,
+                                           stationary_first=False)
+        else:
+            a_l, q_l, pinf, h = build_fn(p, dt_l, aux_l)
+        lik_args = (aux_l,) if has_aux else ()
         idx = lax.axis_index(axis)
         first = idx == 0
         # only the GLOBAL first row starts from the stationary prior
@@ -1453,7 +1473,7 @@ def sharded_ssm_laplace(leaves, params, dt, y, loc, d12_fn, ll_fn,
             return jnp.sum(total[1] * h, axis=-1)
 
         def newton(f, _):
-            d1, d2 = d12_fn(p, y_l, loc_l + f)
+            d1, d2 = d12_fn(p, y_l, loc_l + f, *lik_args)
             # same clamp as the single-chip path (models/ngssm.py) so
             # the two objectives agree exactly
             w = jnp.clip(-d2, 1e-6, 1e8)
@@ -1462,7 +1482,7 @@ def sharded_ssm_laplace(leaves, params, dt, y, loc, d12_fn, ll_fn,
 
         f_hat, _ = lax.scan(jax.checkpoint(newton),
                             jnp.zeros_like(y_l), None, length=iters)
-        d1, d2 = d12_fn(p, y_l, loc_l + f_hat)
+        d1, d2 = d12_fn(p, y_l, loc_l + f_hat, *lik_args)
         w = jnp.clip(-d2, 1e-6, 1e8)
         ytil = f_hat + d1 / w
         _quad_pm, logdet = _sharded_filter_nll(
@@ -1471,22 +1491,23 @@ def sharded_ssm_laplace(leaves, params, dt, y, loc, d12_fn, ll_fn,
         quad = lax.psum(jnp.sum(jnp.where(
             obs_l, f_hat * w * (ytil - f_hat), 0.0)), axis)
         ll_data = lax.psum(jnp.sum(jnp.where(
-            obs_l, ll_fn(p, y_l, loc_l + f_hat), 0.0)), axis)
+            obs_l, ll_fn(p, y_l, loc_l + f_hat, *lik_args), 0.0)), axis)
         logw = lax.psum(jnp.sum(jnp.where(obs_l, jnp.log(w), 0.0)),
                         axis)
         return ll_data - 0.5 * quad - 0.5 * (logdet + logw)
 
-    key = (tuple(leaves), d12_fn, ll_fn, iters, mesh, axis)
+    key = (build_fn if build_fn is not None else tuple(leaves),
+           d12_fn, ll_fn, iters, mesh, axis, has_aux)
     fn = _sharded_nll_cache.get(key)
     if fn is None:
         fn = jax.jit(shard_map(
             body, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
             out_specs=P()))
         _sharded_nll_cache[key] = fn
     params_j = {k: jnp.asarray(v) for k, v in params.items()}
     return fn(jnp.asarray(dt), jnp.asarray(y),
-              jnp.asarray(loc, dt.dtype), obs, params_j)
+              jnp.asarray(loc, dt.dtype), obs, aux, params_j)
 
 
 def _smoother_combine(e1, e2):
