@@ -272,6 +272,49 @@ def main():
     except Exception as e:
         notes.append(f"mssgp bench skipped: {e}")
 
+    # ---- Kronecker grid family: EXACT NLL+grad at 256x256 (N=65,536) -------
+    # Separable MAT52 x SE kernel on a full Cartesian grid
+    # (models/grid.py, ops/kron.py): per-axis eigendecompositions +
+    # tensor contractions, analytic eigh-free custom-VJP backward.
+    # vs_baseline = the CPU LAPACK stand-in's dense exact eval
+    # extrapolated O(N^3) from its measured 206.26 s at 16k to
+    # N=65,536 (x64) — the dense gram alone is 17 GB, beyond the chip.
+    try:
+        ngt, ngx = 256, 256
+        tgr = np.linspace(0, 8, ngt).astype(np.float32)
+        xgr = np.linspace(-2, 2, ngx).astype(np.float32)
+        rows_g = g3.grid_rows([tgr, xgr])
+        fgr = np.sin(rows_g[:, 0]) * np.exp(-0.5 * rows_g[:, 1] ** 2)
+        ygr = (fgr + 0.1 * rng.standard_normal(
+            rows_g.shape[0])).astype(np.float32)
+        ggp = g3.GridGP(axes=[tgr, xgr],
+                        kernel=[g3.MAT52(tgr[:, None]),
+                                g3.SE(xgr[:, None])], name="BGrid")
+        ggp.observed(rows_g, ygr)
+        regg = ggp.active
+        preg = ggp._logp_pure(prior=False)
+        ugr = jnp.asarray(regg.dict_to_array(ggp.params_default))
+        xgj, ygj = jnp.asarray(rows_g), jnp.asarray(ygr)
+
+        @jax.jit
+        def grid_nll_grad(u):
+            def nll(uu):
+                return -preg(regg.array_to_dict_jax(uu), xgj, xgj, ygj,
+                             jnp.zeros(0, dtype=uu.dtype))
+
+            return jax.value_and_grad(nll)(u)
+
+        t_gr = _timeit(grid_nll_grad, ugr, repeat=20, warmup=3)
+        rows.append({"metric": "gridgp_exact_nll_grad_evals_per_sec_"
+                               "n65536_256x256",
+                     "value": round(1.0 / t_gr, 2), "unit": "evals/sec",
+                     "vs_baseline": round(206.26 * 64 / t_gr, 1)})
+        notes.append(f"t_gridgp_nll_grad_256x256={t_gr*1e3:.2f}ms "
+                     "(exact Kronecker path; vs_baseline extrapolates "
+                     "the 16k dense stand-in O(N^3) to N=65,536)")
+    except Exception as e:
+        notes.append(f"gridgp bench skipped: {e}")
+
     # ---- sparse family at production scale: SGPR ELBO+grad at N=100k -------
     # The reference's only big-N strategy was subsampling (data.py:129-190
     # p-fractions); the sparse family trains on ALL rows in O(n m^2).

@@ -252,6 +252,8 @@ from .models import (
     NGMSSGP,
     NonGaussianSTSSGP,
     NGSTSSGP,
+    GridGP,
+    grid_rows,
     GP,
     WGP,
     TP,

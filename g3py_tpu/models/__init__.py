@@ -73,6 +73,7 @@ from .ngssm import (NonGaussianSSGP, NGSSGP, NonGaussianMultiSSGP,
                     NGMSSGP, NonGaussianSTSSGP, NGSTSSGP)
 from .spatiotemporal import (SpatioTemporalSSGP, STSSGP,
                              SparseSpatioTemporalSSGP)
+from .grid import GridGP, grid_rows
 
 # aliases (reference processes/__init__.py:9-16)
 GP = GaussianProcess
@@ -154,6 +155,8 @@ __all__ = [
     "NGMSSGP",
     "NonGaussianSTSSGP",
     "NGSTSSGP",
+    "GridGP",
+    "grid_rows",
     "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP", "SGP", "SWGP",
     "SVP",
 ]

@@ -1,0 +1,248 @@
+"""Kronecker-structured exact GP algebra for Cartesian-product grids.
+
+When the inputs form a full grid ``X = axes_1 x ... x axes_D`` and the
+kernel is separable, ``k(x, x') = prod_i k_i(x_i, x'_i)``, the gram is a
+Kronecker product ``K = K_1 (x) ... (x) K_D`` and exact GP inference
+costs ``O(sum_i n_i^3)`` eigendecompositions plus ``O(N sum_i n_i)``
+tensor contractions (Saatci 2011) instead of the dense ``O(N^3)``
+Cholesky — N = prod n_i points become tractable into the millions.
+
+This is a capability the reference does not have at any cost: its only
+multi-dimensional story is the dense gram over all rows (reference
+kernels.py:51-75), so a 256 x 256 image-sized grid (N = 65,536) is
+simply out of reach.  Here every step is MXU-shaped: per-axis
+eigendecompositions of small (n_i, n_i) grams, then batched matmul
+contractions of the (n_1, ..., n_D) data tensor.
+
+The marginal likelihood :func:`kron_gp_nll` is a ``custom_vjp``
+primitive whose backward pass is EIGH-FREE — the cotangents for the
+per-axis grams are assembled analytically from the forward's
+eigenvectors,
+
+    dNLL/dK_i = 1/2 ( Q_i diag(w_i) Q_i'  -  unfold_i(a) unfold_i(b_i)' ),
+
+with ``w_i`` a tensor reduction of the Kronecker eigenvalue field and
+``b_i`` the alpha tensor contracted with the other factors' grams.  The
+standard eigh JVP/VJP divides by eigenvalue gaps, which blow up on the
+clustered near-zero spectra every smooth kernel gram has; the analytic
+form needs no gap and is pure matmuls.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import settings
+
+__all__ = ["kron_apply", "kron_gp_nll", "kron_eigs", "kron_dinv",
+           "kron_solve_eig", "cross_mean", "cross_var", "cross_cov",
+           "LOG2PI"]
+
+LOG2PI = float(np.log(2.0 * np.pi))
+
+
+def _prec():
+    return jax.lax.Precision(settings.matmul_precision)
+
+
+def _apply_axis(mat, tensor, axis):
+    """Contract ``mat`` (m, n_axis) against ``tensor`` along ``axis``;
+    the result carries m at that axis.  One batched matmul on the MXU."""
+    moved = jnp.moveaxis(tensor, axis, -1)
+    out = jnp.tensordot(moved, mat, axes=[[moved.ndim - 1], [1]],
+                        precision=_prec())
+    return jnp.moveaxis(out, -1, axis)
+
+
+def kron_apply(mats, tensor):
+    """Apply ``(x)_i mats[i]`` to the tensor-shaped vector: one
+    contraction per axis (``mats[i]`` may be rectangular)."""
+    for i, m in enumerate(mats):
+        tensor = _apply_axis(m, tensor, i)
+    return tensor
+
+
+def kron_eigs(ks):
+    """Per-axis symmetric eigendecompositions of the factor grams.
+
+    Returns ``(qs, lams)`` with eigenvalues clamped at zero — smooth
+    kernel grams are numerically rank-deficient and eigh returns tiny
+    negative tails; the noise variance added downstream is the
+    regularizer, exactly as in the dense family's jittered Cholesky."""
+    qs, lams = [], []
+    for k in ks:
+        k = 0.5 * (k + k.T)
+        lam, q = jnp.linalg.eigh(k)
+        lams.append(jnp.maximum(lam, jnp.asarray(0.0, k.dtype)))
+        qs.append(q)
+    return qs, lams
+
+
+def _lam_field(lams, skip=None):
+    """The (n_1, ..., n_D) tensor ``prod_{i != skip} lam_i`` by
+    broadcasting (never by dividing the full product — near-zero
+    eigenvalues make that division meaningless)."""
+    nd = len(lams)
+    out = None
+    for i, lam in enumerate(lams):
+        if i == skip:
+            continue
+        shape = [1] * nd
+        shape[i] = lam.shape[0]
+        piece = lam.reshape(shape)
+        out = piece if out is None else out * piece
+    full = tuple(lam.shape[0] for lam in lams)
+    if out is None:  # D == 1 with skip == 0
+        return jnp.ones(full, lams[0].dtype)
+    return jnp.broadcast_to(out, full)
+
+
+def kron_dinv(lams, sigma2):
+    """1 / (prod_i lam_i + sigma2) as the (n_1, ..., n_D) tensor."""
+    return 1.0 / (_lam_field(lams) + sigma2)
+
+
+def kron_solve_eig(qs, dinv, y):
+    """(K + s2 I)^{-1} y through the eigen representation:
+    Q (D^{-1} (Q' y)) — three rounds of per-axis contractions."""
+    yt = kron_apply([q.T for q in qs], y)
+    return kron_apply(qs, yt * dinv)
+
+
+# ---------------------------------------------------------------------------
+# the marginal likelihood primitive
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def kron_gp_nll(ks, sigma2, y):
+    """Exact negative log marginal likelihood of ``y ~ N(0, (x)K_i +
+    sigma2 I)`` for a tensor-shaped observation ``y`` (n_1, ..., n_D).
+
+    ``ks`` is the tuple of per-axis grams.  Differentiable w.r.t. the
+    grams, the noise variance and ``y`` through an analytic eigh-free
+    backward (module docstring); forward cost O(sum n_i^3 + N sum n_i).
+    """
+    nll, _res = _kron_nll_fwd_impl(ks, sigma2, y)
+    return nll
+
+
+def _kron_nll_fwd_impl(ks, sigma2, y):
+    qs, lams = kron_eigs(ks)
+    dinv = kron_dinv(lams, sigma2)
+    yt = kron_apply([q.T for q in qs], y)
+    at = yt * dinv                                   # D^{-1} Q' y
+    quad = jnp.sum(yt * at)
+    logdet = -jnp.sum(jnp.log(dinv))
+    n = y.size
+    nll = 0.5 * (logdet + quad + n * LOG2PI)
+    return nll, (tuple(qs), tuple(lams), dinv, at, sigma2, ks)
+
+
+def _kron_nll_fwd(ks, sigma2, y):
+    return _kron_nll_fwd_impl(ks, sigma2, y)
+
+
+def _kron_nll_bwd(res, ct):
+    qs, lams, dinv, at, sigma2, ks = res
+    nd = len(qs)
+    # alpha = S^{-1} y in the original basis
+    alpha = kron_apply(list(qs), at)
+    g_y = ct * alpha
+    # d/ds2 [1/2 logdet] = 1/2 tr S^{-1} = 1/2 sum dinv;
+    # d/ds2 [1/2 y'S^{-1}y] = -1/2 ||alpha||^2 (= ||at||^2, Q orthogonal)
+    g_s2 = ct * 0.5 * (jnp.sum(dinv) - jnp.sum(at * at))
+    g_ks = []
+    axes_all = list(range(nd))
+    for i in range(nd):
+        # trace term: w_i[k] = sum_{idx, idx_i = k} prod_{j!=i} lam_j * dinv
+        pi = _lam_field(lams, skip=i) if nd > 1 else jnp.ones_like(dinv)
+        other = [a for a in axes_all if a != i]
+        w = jnp.sum(pi * dinv, axis=tuple(other)) if other else pi * dinv
+        tr_mat = jnp.matmul(qs[i] * w[None, :], qs[i].T, precision=_prec())
+        # quadratic term: beta = alpha contracted with K_j on every other
+        # axis; unfold both at axis i and take the (n_i, n_i) outer product
+        beta = alpha
+        for j in other:
+            beta = _apply_axis(ks[j], beta, j)
+        a_mat = jnp.moveaxis(alpha, i, 0).reshape(alpha.shape[i], -1)
+        b_mat = jnp.moveaxis(beta, i, 0).reshape(alpha.shape[i], -1)
+        quad_mat = jnp.matmul(a_mat, b_mat.T, precision=_prec())
+        g_ks.append(ct * 0.5 * (tr_mat - quad_mat))
+    return tuple(g_ks), g_s2, g_y
+
+
+kron_gp_nll.defvjp(_kron_nll_fwd, _kron_nll_bwd)
+
+
+# ---------------------------------------------------------------------------
+# posterior statistics at arbitrary (paired) query rows
+# ---------------------------------------------------------------------------
+
+def _batched_contract(mats, tensor):
+    """Per-query contraction: mats[i] is (M, n_i); returns (M,) values
+    sum_idx prod_i mats[i][m, idx_i] * tensor[idx].  The first axis
+    becomes the query batch, subsequent axes contract batched."""
+    t = jnp.tensordot(mats[0], tensor, axes=[[1], [0]],
+                      precision=_prec())                 # (M, n_2..n_D)
+    for c in mats[1:]:
+        # (M, n_j, rest...) x (M, n_j) -> (M, rest...)
+        t = jnp.einsum("ma...,ma->m...", t, c, precision=_prec())
+    return t
+
+
+def cross_mean(cs, alpha):
+    """Posterior mean at M query rows: ``k_*' S^{-1} y`` where the cross
+    gram rows are Khatri-Rao products of the per-axis cross grams
+    ``cs[i]`` (M, n_i) and ``alpha`` is the solved (n_1..n_D) tensor."""
+    return _batched_contract(cs, alpha)
+
+
+def cross_var(cs, qs, dinv, kdiag):
+    """Posterior marginal variance at M query rows:
+    ``kdiag - sum_idx (prod_i (C_i Q_i)[m, idx_i])^2 * dinv[idx]``."""
+    gs = [jnp.matmul(c, q, precision=_prec()) for c, q in zip(cs, qs)]
+    red = _batched_contract([g * g for g in gs], dinv)
+    return jnp.maximum(kdiag - red, jnp.asarray(0.0, kdiag.dtype))
+
+
+def cross_cov(cs, qs, dinv, kqq, chunk=65536):
+    """Full (M, M) posterior covariance at the query rows:
+    ``K_** - V D^{-1} V'`` with ``V[m, idx] = prod_i (C_i Q_i)[m,
+    idx_i]`` — assembled in chunks over the (flattened) grid axis so the
+    (M, N) Khatri-Rao field never fully materializes for big grids."""
+    gs = [jnp.matmul(c, q, precision=_prec()) for c, q in zip(cs, qs)]
+    m = gs[0].shape[0]
+    # build V chunk-by-chunk over the flattened eigen index
+    dflat = dinv.reshape(-1)
+    n = dflat.shape[0]
+    shape = dinv.shape
+
+    def v_block(start, size):
+        idx = start + jnp.arange(size)
+        multi = jnp.unravel_index(idx, shape)
+        v = gs[0][:, multi[0]]
+        for g, ix in zip(gs[1:], multi[1:]):
+            v = v * g[:, ix]
+        return v, dflat[idx]
+
+    if n <= chunk:
+        v, d = v_block(0, n)
+        red = jnp.matmul(v * d[None, :], v.T, precision=_prec())
+    else:
+        pad = (-n) % chunk
+        nblk = (n + pad) // chunk
+        dpad = jnp.concatenate([dflat, jnp.zeros(pad, dflat.dtype)])
+
+        def body(carry, s):
+            idx = s * chunk + jnp.arange(chunk)
+            multi = jnp.unravel_index(jnp.minimum(idx, n - 1), shape)
+            v = gs[0][:, multi[0]]
+            for g, ix in zip(gs[1:], multi[1:]):
+                v = v * g[:, ix]
+            d = dpad[idx]  # zero in the padded tail
+            return carry + jnp.matmul(v * d[None, :], v.T,
+                                      precision=_prec()), None
+
+        red, _ = jax.lax.scan(body, jnp.zeros((m, m), dinv.dtype),
+                              jnp.arange(nblk))
+    return kqq - red

@@ -38,6 +38,7 @@ MODULES = [
     "tut12_likelihoods",
     "tut13_time_series",
     "tut14_spatiotemporal",
+    "tut15_grids",
 ]
 
 
