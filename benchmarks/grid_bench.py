@@ -124,3 +124,30 @@ truth = np.sin(xq[:, 0]) * np.exp(-0.5 * xq[:, 1] ** 2)
 print(f"256x256 posterior mean at 512 off-grid queries: cold {t_cold:.1f}s "
       f"warm {t_warm * 1e3:.1f}ms, rmse {np.sqrt(np.mean((m - truth) ** 2)):.4f}",
       flush=True)
+
+# -- INCOMPLETE grid (masked-Kronecker matrix-free path) ----------------------
+# 256 x 256 with 20% of cells missing: NLL+grad through masked_kron_nll
+# (PCG + SLQ + BBMM trace gradient against the scatter->Kronecker->gather
+# matvec).
+axes, rows, y = make_grid(256, 256)
+n = rows.shape[0]
+keep = np.sort(rng.choice(n, int(0.8 * n), replace=False))
+gp = g3.GridGP(axes=axes, kernel=kernels_for(axes), name="GM")
+gp.observed(rows[keep], y[keep])
+reg = gp.active
+u = jnp.asarray(reg.dict_to_array(gp.params))
+xj, yj = jnp.asarray(rows[keep]), jnp.asarray(y[keep])
+vg = nll_grad_fn(gp)
+t0 = time.perf_counter()
+v, g = vg(u, xj, yj)
+np.asarray(jnp.sum(g) + v)
+t_cold = time.perf_counter() - t0
+reps = 5
+t0 = time.perf_counter()
+for _ in range(reps):
+    v, g = vg(u, xj, yj)
+np.asarray(jnp.sum(g) + v)
+t_eval = (time.perf_counter() - t0) / reps
+print(f"masked 256x256 (80% observed, n_obs={len(keep)}): NLL+grad "
+      f"{t_eval * 1e3:.1f} ms/eval (cold {t_cold:.1f}s, nll {float(v):.0f})",
+      flush=True)

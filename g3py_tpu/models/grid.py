@@ -27,6 +27,17 @@ API follows: ``find_MAP`` / ``sample_hypers`` / ``scores`` /
 joint ``sampler`` draws exact posterior field samples by Matheron's
 rule on a per-axis-augmented grid.
 
+INCOMPLETE grids (missing cells — cloud-masked rasters, dead sensors)
+are supported: the observed block of the Kronecker gram is no longer
+eigen-diagonalizable, but its MATVEC still is (scatter -> per-axis
+contractions -> gather), so the NLL/posterior route to the repo's
+matrix-free stack (``ops/kron.masked_kron_nll``: pivoted-Cholesky
+Woodbury preconditioner, PCG quadratic form, SLQ logdet, BBMM
+stochastic-trace gradients — the same estimator family as
+``nll_iterative``; knobs via ``masked_rank`` / ``masked_cg_iters`` /
+``masked_probes`` / ``masked_lanczos``).  Just pass the observed
+subset of rows to ``observed()``.
+
 Observation noise is a :class:`~g3py_tpu.hypers.kernels.KernelNoise`
 hyper named like the dense ``GP(noisy=True)`` wrapper so param dicts
 transfer verbatim (elliptical.py:74 convention).  Statistics semantics
@@ -47,7 +58,8 @@ from ..hypers.kernels import KernelNoise
 from ..hypers.means import Zero
 from ..ops.guards import to_num
 from ..ops.kron import (kron_eigs, kron_dinv, kron_apply, kron_gp_nll,
-                        cross_mean, cross_var, cross_cov, LOG2PI)
+                        cross_mean, cross_var, cross_cov, LOG2PI,
+                        masked_kron_nll, masked_cross_solve)
 from .gaussian import GUARD
 from .stochastic import StochasticProcess, zero32
 
@@ -67,12 +79,20 @@ class GridGP(StochasticProcess):
     eigendecomposition (module docstring)."""
 
     def __init__(self, space=None, location=None, kernel=None, axes=None,
-                 *args, **kwargs):
+                 masked_rank=64, masked_cg_iters=150, masked_probes=8,
+                 masked_lanczos=25, masked_seed=0, *args, **kwargs):
         if kernel is None or not isinstance(kernel, (list, tuple)):
             raise ValueError(
                 "GridGP takes kernel=[k_1, ..., k_D], one separable "
                 "factor per grid axis")
         self.f_kernels = tuple(kernel)
+        # matrix-free knobs for INCOMPLETE grids (missing cells): see
+        # th_loglike_fn's masked branch
+        self._masked = dict(rank=int(masked_rank),
+                            cg_iters=int(masked_cg_iters),
+                            probes=int(masked_probes),
+                            lanczos_iters=int(masked_lanczos),
+                            seed=int(masked_seed))
         self.f_location = location if location is not None else Zero()
         # name matches the dense GP(noisy=True) wrapper (elliptical.py:74)
         self.f_noise = KernelNoise(name="Noise")
@@ -136,17 +156,16 @@ class GridGP(StochasticProcess):
                           for i in range(x.shape[1])]
         shape = tuple(a.shape[0] for a in self._axes)
         n = int(np.prod(shape))
-        if x.shape[0] != n:
+        if x.shape[0] > n:
             raise ValueError(
                 f"inputs are not a complete grid: {x.shape[0]} rows vs "
-                f"prod(axis sizes) = {n} — GridGP needs every grid cell "
-                "observed (use the sparse/iterative families for gappy "
-                "data)")
+                f"prod(axis sizes) = {n} (duplicate rows?)")
         pos = np.ravel_multi_index(self._multi_index_np(x), shape)
-        if len(np.unique(pos)) != n:
+        if len(np.unique(pos)) != x.shape[0]:
             raise ValueError(
-                "inputs are not a complete grid (duplicate or off-axis "
-                "rows after per-column matching)")
+                "duplicate or off-axis rows after per-column matching")
+        # rows < n is ALLOWED: missing cells route the NLL/posterior to
+        # the matrix-free masked-Kronecker path (ops/kron.masked_kron_nll)
         return out
 
     def _multi_index_np(self, x):
@@ -198,14 +217,44 @@ class GridGP(StochasticProcess):
         return jnp.maximum(hval(self.f_noise.var, params),
                            jnp.asarray(1e-10, settings.dtype))
 
+    def _is_complete(self, inputs):
+        return int(np.shape(inputs)[0]) == int(np.prod(self._grid_shape()))
+
+    def _idx_stack(self, x):
+        return jnp.stack([jnp.asarray(j, jnp.int32)
+                          for j in self._multi_index(x)])
+
+    def _yres(self, params, inputs, outputs):
+        x = jnp.asarray(inputs, settings.dtype)
+        return (jnp.asarray(outputs, settings.dtype)
+                - self.f_location(params, x))
+
     # -- the exact marginal likelihood --------------------------------------------
     def th_loglike_fn(self):
         def fn(params, space, inputs, outputs):
-            yt = self._y_tensor(params, inputs, outputs)
-            nll = kron_gp_nll(self._grams(params),
-                              self._noise_var(params), yt)
+            if self._is_complete(inputs):
+                yt = self._y_tensor(params, inputs, outputs)
+                nll = kron_gp_nll(self._grams(params),
+                                  self._noise_var(params), yt)
+                bad = jnp.zeros((), bool)
+            else:
+                # INCOMPLETE grid: the observed block of the Kronecker
+                # gram is no longer eigen-diagonalizable, but its matvec
+                # still is — matrix-free NLL (PCG quad + SLQ logdet +
+                # BBMM stochastic-trace gradient, ops/kron.py).  An
+                # untrusted CG solve must read 'very bad', not plausible
+                # (the engine='iterative' hardening lesson, CLAUDE.md).
+                x = jnp.asarray(inputs, settings.dtype)
+                mk = self._masked
+                nll, info = masked_kron_nll(
+                    self._grams(params), self._noise_var(params),
+                    self._yres(params, inputs, outputs),
+                    self._idx_stack(x), self._grid_shape(),
+                    mk["rank"], mk["cg_iters"], mk["probes"],
+                    mk["lanczos_iters"], mk["seed"])
+                bad = info["cg_rel_residual"] > 5e-2
             ll = -nll
-            bad = ~jnp.isfinite(ll)
+            bad = bad | ~jnp.isfinite(ll)
             return jnp.where(bad, GUARD, to_num(ll, nan=GUARD,
                                                 neginf=GUARD))
 
@@ -237,11 +286,40 @@ class GridGP(StochasticProcess):
             out = d if out is None else out * d
         return out
 
+    def _masked_b(self, cs, idx):
+        """(n_obs, M) cross gram between queries and the OBSERVED cells:
+        Khatri-Rao rows gathered at the observed multi-indices.  Memory
+        O(n_obs * M) — chunk the query set for very large masked grids."""
+        b = None
+        for c, ix in zip(cs, tuple(idx)):
+            piece = c[:, ix]                       # (M, n_obs)
+            b = piece if b is None else b * piece
+        return b.T
+
     def _posterior_moments(self, params, space, inputs, outputs):
-        qs, dinv, alpha = self._eig_state(params, inputs, outputs)
         cs = self._cross(params, space)
-        mean = cross_mean(cs, alpha)
-        var = cross_var(cs, qs, dinv, self._prior_diag(params, space))
+        kdiag = self._prior_diag(params, space)
+        if self._is_complete(inputs):
+            qs, dinv, alpha = self._eig_state(params, inputs, outputs)
+            mean = cross_mean(cs, alpha)
+            var = cross_var(cs, qs, dinv, kdiag)
+            return mean, jnp.maximum(var, zero32)
+        # masked grid: one multi-RHS PCG solves alpha and the variance
+        # columns together (shared preconditioner and gram slabs)
+        x = jnp.asarray(inputs, settings.dtype)
+        idx = self._idx_stack(x)
+        ks = self._grams(params)
+        s2 = self._noise_var(params)
+        yres = self._yres(params, inputs, outputs)
+        b = self._masked_b(cs, idx)                # (n_obs, M)
+        rhs = jnp.concatenate([yres[:, None], b], axis=1)
+        sol = masked_cross_solve(ks, s2, idx, self._grid_shape(), rhs,
+                                 rank=self._masked["rank"],
+                                 cg_iters=max(200,
+                                              self._masked["cg_iters"]))
+        alpha, sb = sol[:, 0], sol[:, 1:]
+        mean = jnp.sum(b * alpha[:, None], axis=0)
+        var = kdiag - jnp.sum(b * sb, axis=0)
         return mean, jnp.maximum(var, zero32)
 
     # -- moment statistics ----------------------------------------------------------
@@ -295,10 +373,20 @@ class GridGP(StochasticProcess):
                 kqq = g if kqq is None else kqq * g
             if prior:
                 out = kqq
-            else:
+            elif self._is_complete(inputs):
                 qs, dinv, _alpha = self._eig_state(params, inputs,
                                                    outputs)
                 out = cross_cov(cs, qs, dinv, kqq)
+            else:
+                x = jnp.asarray(inputs, settings.dtype)
+                idx = self._idx_stack(x)
+                b = self._masked_b(cs, idx)
+                sb = masked_cross_solve(
+                    self._grams(params), self._noise_var(params), idx,
+                    self._grid_shape(), b, rank=self._masked["rank"],
+                    cg_iters=max(200, self._masked["cg_iters"]))
+                out = kqq - jnp.matmul(
+                    b.T, sb, precision=settings.matmul_precision)
             if noise:
                 out = out + self._noise_var(params) * jnp.eye(
                     jnp.shape(out)[0], dtype=settings.dtype)
@@ -398,27 +486,55 @@ class GridGP(StochasticProcess):
 
         r = self._noise_var(params)
         ks = self._grams(params)
-        qs, lams = kron_eigs(ks)
-        dinv = kron_dinv(lams, r)
-        yt = self._y_tensor(params, inputs, outputs)
         cs = [jnp.asarray(
             k.cov(params, jnp.asarray(xq_np[:, i:i + 1], settings.dtype),
                   jnp.asarray(a, settings.dtype)))
             for i, (k, a) in enumerate(zip(self.f_kernels, self._axes))]
 
-        def one(k):
+        if self._is_complete(inputs):
+            qs, lams = kron_eigs(ks)
+            dinv = kron_dinv(lams, r)
+            yt = self._y_tensor(params, inputs, outputs)
+
+            def one(k):
+                k1, k2 = jax.random.split(k)
+                fpr = prior_field(k1)
+                f_grid = fpr[tuple(gmesh)]
+                eps_n = jnp.sqrt(r) * jax.random.normal(
+                    k2, f_grid.shape, settings.dtype)
+                resid = yt - f_grid - eps_n
+                st = kron_apply([q.T for q in qs], resid) * dinv
+                alpha_r = kron_apply(list(qs), st)
+                return at_queries(fpr) + cross_mean(cs, alpha_r)
+
+            draws = jax.vmap(one)(jax.random.split(key, samples))
+            return np.asarray(draws.T)                          # (M, S)
+
+        # masked grid: residuals for every draw solved in ONE multi-RHS
+        # PCG against the observed-block operator
+        x_in = jnp.asarray(inputs, settings.dtype)
+        idx = self._idx_stack(x_in)
+        yres = self._yres(params, inputs, outputs)
+        obs_u = tuple(g[ix] for g, ix in zip(gix, tuple(idx)))
+
+        def one_prior(k):
             k1, k2 = jax.random.split(k)
             fpr = prior_field(k1)
-            f_grid = fpr[tuple(gmesh)]
+            f_obs = fpr[obs_u]
             eps_n = jnp.sqrt(r) * jax.random.normal(
-                k2, f_grid.shape, settings.dtype)
-            resid = yt - f_grid - eps_n
-            st = kron_apply([q.T for q in qs], resid) * dinv
-            alpha_r = kron_apply(list(qs), st)
-            return at_queries(fpr) + cross_mean(cs, alpha_r)
+                k2, f_obs.shape, settings.dtype)
+            return at_queries(fpr), yres - f_obs - eps_n
 
-        draws = jax.vmap(one)(jax.random.split(key, samples))  # (S, M)
-        return np.asarray(draws.T)
+        f_q, resids = jax.vmap(one_prior)(
+            jax.random.split(key, samples))         # (S, M), (S, n_obs)
+        alphas = masked_cross_solve(
+            ks, r, idx, self._grid_shape(), resids.T,
+            rank=self._masked["rank"],
+            cg_iters=max(200, self._masked["cg_iters"]))  # (n_obs, S)
+        b = self._masked_b(cs, idx)                 # (n_obs, M)
+        corr = jnp.matmul(alphas.T, b,
+                          precision=settings.matmul_precision)  # (S, M)
+        return np.asarray((f_q + corr).T)                        # (M, S)
 
     # -- host-side sampling / quantiles ---------------------------------------------
     def sampler(self, params=None, space=None, inputs=None, outputs=None,

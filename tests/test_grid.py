@@ -102,12 +102,14 @@ class TestGridNLL:
         assert float(g1.loglike(g1.params)) == pytest.approx(
             float(dn.loglike(pd)), rel=1e-5)
 
-    def test_incomplete_grid_raises(self, grid_model):
+    def test_duplicate_rows_raise(self, grid_model):
         gp, t, x, rows, y = grid_model
+        dup = np.concatenate([rows, rows[:1]])
+        yd = np.concatenate([y, y[:1]])
         bad = g3.GridGP(kernel=[g3.MAT32(t[:, None]), g3.SE(x[:, None])],
-                        space=rows[:50], name="TGridB")
+                        space=dup, name="TGridB")
         with pytest.raises(ValueError, match="complete grid"):
-            bad.observed(rows[:50], y[:50])
+            bad.observed(dup, yd)
 
 
 class TestGridPosterior:
@@ -208,3 +210,145 @@ class TestGridTraining:
         dt = gp.sample_hypers(start=gp.params, samples=40, chains=6,
                               seed=0)
         assert len(dt) == 40 * 6
+
+
+class TestMaskedGrid:
+    """Incomplete grids: the matrix-free masked-Kronecker path
+    (ops/kron.masked_kron_nll / masked_cross_solve) vs the dense oracle
+    restricted to the observed cells."""
+
+    @pytest.fixture(scope="class")
+    def masked_model(self):
+        rng = np.random.default_rng(0)
+        t = np.sort(rng.uniform(0, 6, 12)).astype(np.float32)
+        x = np.sort(rng.uniform(-2, 2, 9)).astype(np.float32)
+        rows = g3.grid_rows([t, x])
+        n = rows.shape[0]
+        f = np.sin(rows[:, 0]) * np.exp(-0.3 * rows[:, 1] ** 2)
+        y = (f + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        keep = np.sort(rng.choice(n, int(0.7 * n), replace=False))
+        gp = g3.GridGP(axes=[t, x],
+                       kernel=[g3.MAT32(t[:, None]), g3.SE(x[:, None])],
+                       masked_probes=16, masked_lanczos=30, name="TMG")
+        gp.observed(rows[keep], y[keep])
+        return gp, t, x, rows, y, keep
+
+    def _dense_obs(self, gp, t, x, keep):
+        pj = {k: jnp.asarray(v) for k, v in gp.params.items()}
+        k1 = np.asarray(gp.f_kernels[0].cov(pj, jnp.asarray(t[:, None])),
+                        np.float64)
+        k2 = np.asarray(gp.f_kernels[1].cov(pj, jnp.asarray(x[:, None])),
+                        np.float64)
+        s2 = float(np.asarray(gp._noise_var(pj)))
+        return (np.kron(k1, k2)[np.ix_(keep, keep)]
+                + s2 * np.eye(len(keep))), pj
+
+    def test_masked_loglike_matches_dense(self, masked_model):
+        gp, t, x, rows, y, keep = masked_model
+        big, _pj = self._dense_obs(gp, t, x, keep)
+        yo = y[keep].astype(np.float64)
+        sign, logdet = np.linalg.slogdet(big)
+        ll_d = -0.5 * (logdet + yo @ np.linalg.solve(big, yo)
+                       + len(keep) * np.log(2 * np.pi))
+        ll = float(gp.loglike(gp.params))
+        assert abs(ll - ll_d) < 1e-4 * abs(ll_d)
+
+    def test_masked_grad_tracks_dense(self, masked_model):
+        """Stochastic-trace gradients (BBMM): sign + magnitude agreement
+        with the dense autodiff gradient (the estimator has O(1/sqrt(
+        probes)) noise by construction — same bar as nll_iterative)."""
+        gp, t, x, rows, y, keep = masked_model
+        pj = {k: jnp.asarray(v) for k, v in gp.params.items()}
+        yo = y[keep]
+        nk = len(keep)
+        kp = jnp.asarray(keep)
+
+        def dense_nll(params):
+            k1 = gp.f_kernels[0].cov(params, jnp.asarray(t[:, None]))
+            k2 = gp.f_kernels[1].cov(params, jnp.asarray(x[:, None]))
+            s = (jnp.kron(k1, k2)[jnp.ix_(kp, kp)]
+                 + gp._noise_var(params) * jnp.eye(nk))
+            lo = jnp.linalg.cholesky(s)
+            a = jax.scipy.linalg.cho_solve((lo, True), jnp.asarray(yo))
+            return (0.5 * (jnp.asarray(yo) @ a)
+                    + jnp.sum(jnp.log(jnp.diagonal(lo)))
+                    + 0.5 * nk * np.log(2 * np.pi))
+
+        fn = gp.th_loglike_fn()
+        gk = jax.grad(lambda p: -fn(p, None, jnp.asarray(rows[keep]),
+                                    jnp.asarray(yo)))(pj)
+        gd = jax.grad(dense_nll)(pj)
+        for k in gd:
+            a_ = np.asarray(gd[k]).ravel()
+            b_ = np.asarray(gk[k]).ravel()
+            denom = np.maximum(np.abs(a_), 1.0)
+            assert np.all(np.abs(a_ - b_) / denom < 0.15), (k, a_, b_)
+
+    def test_masked_moments_covariance_match_dense(self, masked_model):
+        gp, t, x, rows, y, keep = masked_model
+        big, pj = self._dense_obs(gp, t, x, keep)
+        yo = y[keep].astype(np.float64)
+        xq = np.stack([np.linspace(0.5, 5.5, 7),
+                       np.linspace(-1.5, 1.5, 7)], axis=1).astype(
+            np.float32)
+        c1 = np.asarray(gp.f_kernels[0].cov(
+            pj, jnp.asarray(xq[:, :1]), jnp.asarray(t[:, None])),
+            np.float64)
+        c2 = np.asarray(gp.f_kernels[1].cov(
+            pj, jnp.asarray(xq[:, 1:2]), jnp.asarray(x[:, None])),
+            np.float64)
+        ks = (c1[:, :, None] * c2[:, None, :]).reshape(
+            7, -1)[:, keep]
+        alpha = np.linalg.solve(big, yo)
+        m_d = ks @ alpha
+        kd = (np.diag(np.asarray(gp.f_kernels[0].cov(
+            pj, jnp.asarray(xq[:, :1])), np.float64))
+            * np.diag(np.asarray(gp.f_kernels[1].cov(
+                pj, jnp.asarray(xq[:, 1:2])), np.float64)))
+        v_d = kd - np.sum(ks * np.linalg.solve(big, ks.T).T, axis=1)
+        m = np.asarray(gp.mean(gp.params, xq))
+        v = np.asarray(gp.variance(gp.params, xq))
+        assert np.allclose(m, m_d, rtol=1e-3, atol=1e-4)
+        assert np.allclose(v, v_d, rtol=1e-3, atol=1e-4)
+        kqq = (np.asarray(gp.f_kernels[0].cov(pj, jnp.asarray(
+            xq[:, :1])), np.float64)
+            * np.asarray(gp.f_kernels[1].cov(pj, jnp.asarray(
+                xq[:, 1:2])), np.float64))
+        cv_d = kqq - ks @ np.linalg.solve(big, ks.T)
+        cv = np.asarray(gp.covariance(gp.params, xq))
+        assert np.allclose(cv, cv_d, rtol=1e-3, atol=1e-4)
+
+    def test_masked_sampler_matches_moments(self, masked_model):
+        gp, t, x, rows, y, keep = masked_model
+        xq = np.stack([np.linspace(1.0, 5.0, 5),
+                       np.linspace(-1.0, 1.0, 5)], axis=1).astype(
+            np.float32)
+        m = np.asarray(gp.mean(gp.params, xq))
+        cv = np.asarray(gp.covariance(gp.params, xq))
+        fs = gp.sampler(gp.params, xq, samples=3000, seed=1)
+        sd = np.sqrt(np.maximum(np.diag(cv), 1e-12))
+        assert np.max(np.abs(fs.mean(1) - m) / np.maximum(sd, 1e-3)) < 0.2
+        assert np.max(np.abs(np.cov(fs) - cv)) < 6e-3
+
+    def test_masked_find_map_trains(self):
+        rng = np.random.default_rng(5)
+        t = np.linspace(0, 8, 20).astype(np.float32)
+        x = np.linspace(-2, 2, 14).astype(np.float32)
+        rows = g3.grid_rows([t, x])
+        n = rows.shape[0]
+        f = np.sin(rows[:, 0]) * np.exp(-0.5 * rows[:, 1] ** 2)
+        y = (f + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        keep = np.sort(rng.choice(n, int(0.6 * n), replace=False))
+        gp = g3.GridGP(axes=[t, x],
+                       kernel=[g3.MAT52(t[:, None]), g3.SE(x[:, None])],
+                       masked_probes=16, name="TMGT")
+        gp.observed(rows[keep], y[keep])
+        ll0 = float(gp.loglike(gp.params))
+        p = gp.find_MAP(points=1, display=False, powell=False)
+        ll1 = float(gp.loglike(p))
+        assert ll1 > ll0 + 5
+        # predict the HELD-OUT cells
+        drop = np.setdiff1d(np.arange(n), keep)
+        m = np.asarray(gp.mean(p, rows[drop]))
+        rmse = float(np.sqrt(np.mean((m - f[drop]) ** 2)))
+        assert rmse < 0.08
