@@ -74,6 +74,7 @@ from .ngssm import (NonGaussianSSGP, NGSSGP, NonGaussianMultiSSGP,
 from .spatiotemporal import (SpatioTemporalSSGP, STSSGP,
                              SparseSpatioTemporalSSGP)
 from .grid import GridGP, grid_rows
+from .ski import SKIGP
 
 # aliases (reference processes/__init__.py:9-16)
 GP = GaussianProcess
@@ -156,6 +157,7 @@ __all__ = [
     "NonGaussianSTSSGP",
     "NGSTSSGP",
     "GridGP",
+    "SKIGP",
     "grid_rows",
     "GP", "WGP", "TP", "WTP", "MP", "TGP", "CGP", "CSTP", "SGP", "SWGP",
     "SVP",

@@ -420,3 +420,222 @@ def masked_cross_solve(ks, sigma2, idx, shape, b, rank=64, cg_iters=200):
     if b.ndim == 1:
         return it.pcg_solve(mv, b, p_inv, maxiter=cg_iters)
     return it._pcg_solve_mrhs(mv, b.T, p_inv, 1e-6, cg_iters).T
+
+
+# ---------------------------------------------------------------------------
+# SKI / KISS-GP: scattered inputs interpolated onto a uniform inducing grid
+# ---------------------------------------------------------------------------
+#
+# Structured kernel interpolation (Wilson & Nickisch 2015, PAPERS.md):
+# K(X, X) ~ W K_uu W' with W sparse cubic-convolution interpolation onto
+# a UNIFORM per-axis grid and K_uu the Kronecker gram.  The matvec is
+# gather -> per-axis contractions -> scatter-add, O(n 4^D + U sum u_i),
+# so exact-flavoured GP inference reaches millions of SCATTERED low-D
+# rows on one chip.  Rides the same matrix-free NLL machinery as the
+# masked-grid path (PCG + SLQ + BBMM trace gradients).
+
+def cubic_interp_axis(lo, h, m, xq):
+    """Keys cubic-convolution taps on a uniform axis ``lo + h*[0..m-1]``:
+    returns (idx (nq, 4) int32, w (nq, 4)) with replicate-clipped edge
+    taps.  a = -1/2 kernel; at on-node queries the weights are exactly
+    one-hot, so SKI == the exact grid model there (tested)."""
+    p = (xq - lo) / h
+    i0 = jnp.clip(jnp.floor(p), 0, m - 1)
+    s = p - i0                                   # in [0, 1) inside the grid
+    d = jnp.stack([1.0 + s, s, 1.0 - s, 2.0 - s], axis=-1)
+    ad = jnp.abs(d)
+    near = 1.5 * ad ** 3 - 2.5 * ad ** 2 + 1.0
+    far = -0.5 * ad ** 3 + 2.5 * ad ** 2 - 4.0 * ad + 2.0
+    w = jnp.where(ad <= 1.0, near, jnp.where(ad < 2.0, far, 0.0))
+    base = i0.astype(jnp.int32)[..., None] + jnp.arange(-1, 3,
+                                                        dtype=jnp.int32)
+    idx = jnp.clip(base, 0, m - 1)
+    return idx, w.astype(xq.dtype)
+
+
+def _corner_combos(nd):
+    import itertools
+
+    return list(itertools.product(range(4), repeat=nd))
+
+
+def ski_wv(idxs, ws, grid):
+    """W @ v_grid for scattered rows: idxs/ws are per-axis (n, 4)
+    tap indices/weights; ``grid`` may carry trailing batch axes."""
+    nd = len(idxs)
+    out = None
+    for combo in _corner_combos(nd):
+        sel = tuple(idxs[i][:, a] for i, a in enumerate(combo))
+        wv = ws[0][:, combo[0]]
+        for i, a in list(enumerate(combo))[1:]:
+            wv = wv * ws[i][:, a]
+        piece = grid[sel]                         # (n, *batch)
+        piece = piece * wv.reshape(wv.shape + (1,) * (piece.ndim - 1))
+        out = piece if out is None else out + piece
+    return out
+
+
+def ski_wtv(idxs, ws, v, shape):
+    """W' @ v: scatter-add the weighted row values into the grid
+    (``v`` may carry trailing batch axes)."""
+    nd = len(idxs)
+    out = jnp.zeros(shape + v.shape[1:], v.dtype)
+    for combo in _corner_combos(nd):
+        sel = tuple(idxs[i][:, a] for i, a in enumerate(combo))
+        wv = ws[0][:, combo[0]]
+        for i, a in list(enumerate(combo))[1:]:
+            wv = wv * ws[i][:, a]
+        out = out.at[sel].add(
+            v * wv.reshape(wv.shape + (1,) * (v.ndim - 1)))
+    return out
+
+
+def ski_prior_diag(ks, idxs, ws):
+    """EXACT diagonal of W K_uu W': separability gives
+    diag_r = prod_i  w_i[r]' K_i[c_i[r], c_i[r]] w_i[r]  — O(n D 16)."""
+    out = None
+    for k, ix, w in zip(ks, idxs, ws):
+        blk = k[ix[:, :, None], ix[:, None, :]]          # (n, 4, 4)
+        d = jnp.einsum("na,nab,nb->n", w, blk, w,
+                       precision=_prec())
+        out = d if out is None else out * d
+    return out
+
+
+def _ski_unpack(idx, w):
+    """(D, n, 4) stacked -> per-axis tuples."""
+    return tuple(idx), tuple(w)
+
+
+def _ski_pieces(ks, sigma2, y, idx, w, shape, rank, cg_iters, probes,
+                lanczos_iters, seed):
+    from . import iterative as it
+
+    idxs, ws = _ski_unpack(idx, w)
+    n_obs = y.shape[0]
+
+    def kmv(v):                                   # W K_uu W' v, no noise
+        return ski_wv(idxs, ws, kron_apply(list(ks),
+                                           ski_wtv(idxs, ws, v, shape)))
+
+    def mv(v):
+        return kmv(v) + sigma2 * v
+
+    diag_f = ski_prior_diag(ks, idxs, ws)
+
+    def column_fn(j):
+        e = jnp.zeros(n_obs, y.dtype).at[j].set(1.0)
+        return kmv(e)
+
+    l_factor = it.pivoted_cholesky(column_fn, diag_f, rank)
+    p_inv, p_inv_sqrt, logdet_p = it.woodbury_preconditioner(l_factor,
+                                                             sigma2)
+    alpha = it.pcg_solve(mv, y, p_inv, maxiter=cg_iters)
+    quad = jnp.dot(y, alpha)
+
+    def precond_op(v):
+        return p_inv_sqrt(mv(p_inv_sqrt(v)))
+
+    key = jax.random.PRNGKey(seed)
+    logdet = logdet_p + it.slq_logdet(precond_op, n_obs, key,
+                                      probes=probes,
+                                      lanczos_iters=lanczos_iters)
+    nll = 0.5 * (quad + logdet + n_obs * LOG2PI)
+    resid = jnp.linalg.norm(mv(alpha) - y) / jnp.maximum(
+        jnp.linalg.norm(y), 1e-30)
+    info = {"quad": quad, "logdet": logdet, "cg_rel_residual": resid}
+    return nll, info, alpha, l_factor
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def ski_nll(ks, sigma2, y, idx, w, shape, rank=64, cg_iters=100,
+            probes=8, lanczos_iters=25, seed=0):
+    """Matrix-free NLL of ``y ~ N(0, W K_uu W' + s2 I)`` (SKI): ``idx``
+    (D, n, 4) int32 taps, ``w`` (D, n, 4) cubic weights, ``shape`` the
+    static inducing-grid shape.  Differentiable w.r.t. the grams, the
+    noise and ``y`` via the BBMM stochastic-trace custom VJP (the
+    interpolation weights are geometry, not parameters — zero
+    cotangent)."""
+    return _ski_pieces(ks, sigma2, y, idx, w, shape, rank, cg_iters,
+                       probes, lanczos_iters, seed)[:2]
+
+
+def _ski_nll_fwd(ks, sigma2, y, idx, w, shape, rank, cg_iters, probes,
+                 lanczos_iters, seed):
+    nll, info, alpha, l_factor = _ski_pieces(
+        ks, sigma2, y, idx, w, shape, rank, cg_iters, probes,
+        lanczos_iters, seed)
+    return (nll, info), (ks, sigma2, alpha, l_factor, idx, w)
+
+
+def _ski_nll_bwd(shape, rank, cg_iters, probes, lanczos_iters, seed,
+                 res, cts):
+    from . import iterative as it
+
+    g = cts[0]
+    ks, sigma2, alpha, l_factor, idx_arr, w_arr = res
+    idxs, ws = _ski_unpack(idx_arr, w_arr)
+    n_obs = alpha.shape[0]
+    p_inv, _, _ = it.woodbury_preconditioner(l_factor, sigma2)
+
+    def mv(v):
+        return (ski_wv(idxs, ws, kron_apply(list(ks),
+                                            ski_wtv(idxs, ws, v, shape)))
+                + sigma2 * v)
+
+    key = jax.random.PRNGKey(seed + 104729)
+    z = (2.0 * jax.random.bernoulli(key, 0.5, (probes, n_obs)) - 1.0
+         ).astype(alpha.dtype)
+    u = jax.vmap(lambda zz: it.pcg_solve(mv, zz, p_inv,
+                                         maxiter=cg_iters))(z)
+    u = jax.lax.stop_gradient(u)
+    z = jax.lax.stop_gradient(z)
+    a = jax.lax.stop_gradient(alpha)
+
+    def h(ks_, s2_):
+        def smv(v):
+            return (ski_wv(idxs, ws,
+                           kron_apply(list(ks_),
+                                      ski_wtv(idxs, ws, v, shape)))
+                    + s2_ * v)
+
+        tr_est = jnp.mean(jax.vmap(
+            lambda ui, zi: jnp.dot(ui, smv(zi)))(u, z))
+        quad_term = jnp.dot(a, smv(a))
+        return 0.5 * tr_est - 0.5 * quad_term
+
+    g_ks, g_s2 = jax.grad(h, argnums=(0, 1))(ks, sigma2)
+    g_ks = jax.tree_util.tree_map(lambda t: g * t, g_ks)
+    idx_ct = np.zeros(np.shape(idx_arr), jax.dtypes.float0)
+    return g_ks, g * g_s2, g * alpha, idx_ct, jnp.zeros_like(w_arr)
+
+
+ski_nll.defvjp(_ski_nll_fwd, _ski_nll_bwd)
+
+
+def ski_solve(ks, sigma2, idx, w, shape, b, rank=64, cg_iters=200):
+    """(W K_uu W' + s2 I)^{-1} B for (n, m) right-hand sides via
+    multi-RHS PCG (serving-side helper)."""
+    from . import iterative as it
+
+    idxs, ws = _ski_unpack(idx, w)
+    n_obs = b.shape[0]
+
+    def kmv(v):
+        return ski_wv(idxs, ws, kron_apply(list(ks),
+                                           ski_wtv(idxs, ws, v, shape)))
+
+    def mv(v):
+        return kmv(v) + sigma2 * v
+
+    diag_f = ski_prior_diag(ks, idxs, ws)
+
+    def column_fn(j):
+        e = jnp.zeros(n_obs, b.dtype).at[j].set(1.0)
+        return kmv(e)
+
+    l_factor = it.pivoted_cholesky(column_fn, diag_f, rank)
+    p_inv, _, _ = it.woodbury_preconditioner(l_factor, sigma2)
+    if b.ndim == 1:
+        return it.pcg_solve(mv, b, p_inv, maxiter=cg_iters)
+    return it._pcg_solve_mrhs(mv, b.T, p_inv, 1e-6, cg_iters).T
