@@ -42,7 +42,7 @@ from ..config import settings
 from ..ops.guards import to_num
 from ..ops.kron import (kron_apply, kron_eigs, cubic_interp_axis,
                         ski_nll, ski_solve, ski_wv, ski_wtv,
-                        ski_prior_diag)
+                        ski_prior_diag, LOG2PI)
 from .gaussian import GUARD
 from .grid import GridGP
 from .stochastic import StochasticProcess, zero32
@@ -150,6 +150,55 @@ class SKIGP(GridGP):
                                                 neginf=GUARD))
 
         return fn
+
+    def nll_distributed(self, params=None, mesh=None, axis="dp"):
+        """Device-sharded SKI negative loglikelihood: the ROW axis is
+        data-parallel.  No bespoke collective code — the taps, weights
+        and observations are laid out with a row ``NamedSharding`` and
+        GSPMD partitions the whole matrix-free pipeline (per-device
+        gathers, scatter-adds into a replicated grid tensor closed by
+        one all-reduce per matvec, psum'd CG dots).  Verified sharded ==
+        single-device to f32 rounding on the 8-device mesh.
+
+        Rows are padded to a mesh multiple with ZERO interpolation
+        weights (their gram rows collapse to ``s2 e_i``), and the exact
+        closed-form padding contribution ``0.5 (log s2 + log 2pi)`` per
+        pad row is subtracted.  Matches ``-loglike(params)`` (no hyper
+        priors); differentiable; rides ``find_MAP(engine='distributed')``
+        unchanged (stochastic.py _find_map_distributed)."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        if params is None:
+            params = self.params
+        params = {k: jnp.asarray(v) for k, v in params.items()}
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), (axis,))
+        d = int(mesh.shape[axis])
+        x_np = np.asarray(self.inputs, settings.floatx)
+        y_np = np.asarray(self.outputs, settings.floatx)
+        n = x_np.shape[0]
+        n_pad = (-n) % d
+        if n_pad:
+            x_np = np.concatenate([x_np, np.repeat(x_np[-1:], n_pad, 0)])
+            y_np = np.concatenate([y_np,
+                                   np.zeros(n_pad, settings.floatx)])
+        mask = np.ones(n + n_pad, settings.floatx)
+        mask[n:] = 0.0
+        shard = NamedSharding(mesh, PartitionSpec(axis))
+        xj = jax.device_put(jnp.asarray(x_np), shard)
+        yj = jax.device_put(jnp.asarray(y_np), shard)
+        mj = jax.device_put(jnp.asarray(mask), shard)
+
+        idx, w = self._taps(xj)
+        w = w * mj[None, :, None]
+        yres = (yj - self.f_location(params, xj)) * mj
+        s2 = self._noise_var(params)
+        sk = self._ski
+        nll, _info = ski_nll(self._grams(params), s2, yres, idx, w,
+                             self._grid_shape(), sk["rank"],
+                             sk["cg_iters"], sk["probes"],
+                             sk["lanczos_iters"], sk["seed"])
+        return nll - 0.5 * n_pad * (LOG2PI + jnp.log(s2))
 
     # -- posterior pieces -----------------------------------------------------------
     def _prior_diag(self, params, space):

@@ -453,41 +453,54 @@ def cubic_interp_axis(lo, h, m, xq):
     return idx, w.astype(xq.dtype)
 
 
-def _corner_combos(nd):
-    import itertools
-
-    return list(itertools.product(range(4), repeat=nd))
+def _ski_lin(idxs, ws, shape):
+    """Fuse the per-axis taps into ONE (n, 4^D) table of linear grid
+    indices + weight products.  The naive form loops 4^D corner combos,
+    each its own gather/scatter pass over HBM — 16 serialized passes in
+    2-D dominated the matvec on the real chip (100k-row NLL was ~3s).
+    One flattened table makes W v / W' v a single gather / scatter-add."""
+    nd = len(idxs)
+    strides = [1] * nd
+    for i in range(nd - 2, -1, -1):
+        strides[i] = strides[i + 1] * int(shape[i + 1])
+    lin, wp = None, None
+    for i in range(nd):
+        ix = idxs[i].astype(jnp.int32) * np.int32(strides[i])   # (n, 4)
+        if lin is None:
+            lin, wp = ix, ws[i]
+        else:
+            lin = (lin[:, :, None] + ix[:, None, :]).reshape(
+                ix.shape[0], -1)
+            wp = (wp[:, :, None] * ws[i][:, None, :]).reshape(
+                ix.shape[0], -1)
+    return lin, wp
 
 
 def ski_wv(idxs, ws, grid):
     """W @ v_grid for scattered rows: idxs/ws are per-axis (n, 4)
-    tap indices/weights; ``grid`` may carry trailing batch axes."""
+    tap indices/weights; ``grid`` may carry trailing batch axes.
+    One fused gather over the flattened grid."""
     nd = len(idxs)
-    out = None
-    for combo in _corner_combos(nd):
-        sel = tuple(idxs[i][:, a] for i, a in enumerate(combo))
-        wv = ws[0][:, combo[0]]
-        for i, a in list(enumerate(combo))[1:]:
-            wv = wv * ws[i][:, a]
-        piece = grid[sel]                         # (n, *batch)
-        piece = piece * wv.reshape(wv.shape + (1,) * (piece.ndim - 1))
-        out = piece if out is None else out + piece
-    return out
+    shape = grid.shape[:nd]
+    lin, wp = _ski_lin(idxs, ws, shape)
+    flat = grid.reshape((-1,) + grid.shape[nd:])
+    piece = flat[lin]                                 # (n, 4^D, *batch)
+    wp = wp.reshape(wp.shape + (1,) * (piece.ndim - 2))
+    return jnp.sum(piece * wp, axis=1)
 
 
 def ski_wtv(idxs, ws, v, shape):
     """W' @ v: scatter-add the weighted row values into the grid
-    (``v`` may carry trailing batch axes)."""
-    nd = len(idxs)
-    out = jnp.zeros(shape + v.shape[1:], v.dtype)
-    for combo in _corner_combos(nd):
-        sel = tuple(idxs[i][:, a] for i, a in enumerate(combo))
-        wv = ws[0][:, combo[0]]
-        for i, a in list(enumerate(combo))[1:]:
-            wv = wv * ws[i][:, a]
-        out = out.at[sel].add(
-            v * wv.reshape(wv.shape + (1,) * (v.ndim - 1)))
-    return out
+    (``v`` may carry trailing batch axes).  One fused scatter-add into
+    the flattened grid."""
+    lin, wp = _ski_lin(idxs, ws, shape)
+    u = int(np.prod(shape))
+    wp = wp.reshape(wp.shape + (1,) * (v.ndim - 1))
+    vals = v[:, None] * wp                            # (n, 4^D, *batch)
+    flat = jnp.zeros((u,) + v.shape[1:], v.dtype)
+    flat = flat.at[lin.reshape(-1)].add(
+        vals.reshape((-1,) + v.shape[1:]))
+    return flat.reshape(tuple(shape) + v.shape[1:])
 
 
 def ski_prior_diag(ks, idxs, ws):

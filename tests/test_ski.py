@@ -221,6 +221,19 @@ class TestSKITraining:
         assert np.allclose(m, np.asarray(gp.mean(gp.params, xq)),
                            rtol=1e-4, atol=1e-5)
 
+    def test_nll_distributed_matches_loglike(self, ski_model):
+        """GSPMD row sharding on the virtual 8-device mesh: n=120 pads
+        to 128 with zero-weight rows; the closed-form padding correction
+        keeps the value within the SLQ estimator's padded-operator
+        noise."""
+        gp, x, y, _f = ski_model
+        ll = float(gp.loglike(gp.params))
+        nd = float(gp.nll_distributed(gp.params))
+        assert abs(nd + ll) < 5e-4 * abs(ll)
+        g = jax.grad(lambda p: gp.nll_distributed(p))(
+            {k: jnp.asarray(v) for k, v in gp.params.items()})
+        assert all(np.isfinite(np.asarray(v)).all() for v in g.values())
+
     def test_bad_grid_shape_raises(self):
         x = np.zeros((5, 2), np.float32)
         gp = g3.SKIGP(kernel=[g3.SE(x[:, :1]), g3.SE(x[:, 1:2])],
