@@ -315,6 +315,46 @@ def main():
     except Exception as e:
         notes.append(f"gridgp bench skipped: {e}")
 
+    # ---- KISS-GP: exact-flavoured NLL+grad on 100k SCATTERED rows ----------
+    # Structured kernel interpolation (models/ski.py, ops/kron.ski_nll):
+    # cubic taps onto a 128x128 inducing grid, interpolation densified
+    # to MXU matmuls (ski_operator), matrix-free PCG+SLQ+BBMM estimator.
+    # vs_baseline extrapolates the CPU stand-in's dense exact eval
+    # O(N^3) from 206.26 s at 16k to N=100,000 (x238).
+    try:
+        nsk = 100_000
+        xsk = np.stack([rng.uniform(0, 10, nsk),
+                        rng.uniform(-3, 3, nsk)], 1).astype(np.float32)
+        fsk = np.sin(xsk[:, 0]) * np.exp(-0.3 * xsk[:, 1] ** 2)
+        ysk = (fsk + 0.1 * rng.standard_normal(nsk)).astype(np.float32)
+        sgp = g3.SKIGP(kernel=[g3.MAT52(xsk[:, :1]), g3.SE(xsk[:, 1:2])],
+                       grid_shape=[128, 128], name="BSKI")
+        sgp.observed(xsk, ysk)
+        regs = sgp.active
+        pres = sgp._logp_pure(prior=False)
+        usk = jnp.asarray(regs.dict_to_array(sgp.params_default))
+        xskj, yskj = jnp.asarray(xsk), jnp.asarray(ysk)
+
+        @jax.jit
+        def ski_nll_grad(u):
+            def nll(uu):
+                return -pres(regs.array_to_dict_jax(uu), xskj, xskj,
+                             yskj, jnp.zeros(0, dtype=uu.dtype))
+
+            return jax.value_and_grad(nll)(u)
+
+        t_sk = _timeit(ski_nll_grad, usk, repeat=10, warmup=2)
+        rows.append({"metric": "skigp_nll_grad_evals_per_sec_"
+                               "n100k_grid128",
+                     "value": round(1.0 / t_sk, 2), "unit": "evals/sec",
+                     "vs_baseline": round(206.26 * 238 / t_sk, 1)})
+        notes.append(f"t_skigp_nll_grad_n100k={t_sk*1e3:.2f}ms "
+                     "(scattered rows, KISS-GP MXU interpolation; "
+                     "vs_baseline extrapolates the 16k dense stand-in "
+                     "O(N^3) to N=1e5)")
+    except Exception as e:
+        notes.append(f"skigp bench skipped: {e}")
+
     # ---- sparse family at production scale: SGPR ELBO+grad at N=100k -------
     # The reference's only big-N strategy was subsampling (data.py:129-190
     # p-fractions); the sparse family trains on ALL rows in O(n m^2).

@@ -83,6 +83,19 @@ class Settings:
     # poorly, so the default keeps everything on the VPU; lower this on
     # runtimes where batched small matmuls are healthy.
     ssm_mxu_state_dim: int = 10_000
+    # SKI (ops/kron.ski_operator): densify the 4-tap interpolation into
+    # per-axis (n, m_i) matrices so W v / W' v are MXU matmuls.  Measured
+    # on the v5e tunnel at n=100k, grid 128x128: gather 33ms + scatter
+    # 38ms per matvec vs ~6.6 GFLOP of matmul — the sparse path is
+    # ~50M elem/s there.  Applies to D <= 2 grids whose dense taps fit
+    # ski_mxu_max_elems; batched RHS chunk by ski_mxu_chunk columns.
+    ski_mxu: bool = True
+    ski_mxu_chunk: int = 8
+    ski_mxu_max_elems: float = 6e8
+    # probes per vmapped chunk in the SKI SLQ/BBMM estimators — each
+    # chunked probe's MXU matvec makes a (chunk, n, m) intermediate, so
+    # this bounds peak HBM at million-row n (2 -> 1 GB at n=1e6 m=128).
+    ski_probe_chunk: int = 2
     plot_big: bool = False
     # Fused Pallas gram kernels on ARD_L2 (TPU only, tile-aligned shapes;
     # transparent XLA fallback otherwise).  True = families measured at

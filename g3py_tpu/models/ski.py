@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from ..config import settings
 from ..ops.guards import to_num
 from ..ops.kron import (kron_apply, kron_eigs, cubic_interp_axis,
-                        ski_nll, ski_solve, ski_wv, ski_wtv,
+                        ski_nll, ski_solve, ski_operator,
                         ski_prior_diag, LOG2PI)
 from .gaussian import GUARD
 from .grid import GridGP
@@ -206,6 +206,9 @@ class SKIGP(GridGP):
         qi, qw = self._taps(xq)
         return ski_prior_diag(self._grams(params), tuple(qi), tuple(qw))
 
+    def _ops(self, idx, w):
+        return ski_operator(tuple(idx), tuple(w), self._grid_shape())
+
     def _cross_b(self, ks, xi, xw, qi, qw, m_q):
         """(n_obs, M) SKI cross gram ``W_X K_uu W_q'``: scatter the
         query identity onto the grid (trailing batch axis), one round of
@@ -213,9 +216,35 @@ class SKIGP(GridGP):
         O(U * M) for the batched grid tensor — chunk the query set for
         very large grids."""
         eye = jnp.eye(m_q, dtype=settings.dtype)
-        grid = ski_wtv(tuple(qi), tuple(qw), eye, self._grid_shape())
-        grid = kron_apply(list(ks), grid)
-        return ski_wv(tuple(xi), tuple(xw), grid)
+        _q_wv, q_wtv, _ = self._ops(qi, qw)
+        x_wv, _x_wtv, _ = self._ops(xi, xw)
+        return x_wv(kron_apply(list(ks), q_wtv(eye)))
+
+    def _alpha(self, params, inputs, outputs, ks, s2, xi, xw):
+        """(W K_uu W' + s2 I)^{-1} (y - m): the serving state when a
+        Predictor baked it (``_state_ski_alpha``), one PCG otherwise."""
+        a = params.get("_state_ski_alpha")
+        if a is not None:
+            return a
+        yres = self._yres(params, inputs, outputs)
+        return ski_solve(ks, s2, xi, xw, self._grid_shape(), yres,
+                         rank=self._ski["rank"],
+                         cg_iters=max(200, self._ski["cg_iters"]))
+
+    def _posterior_mean(self, params, space, inputs, outputs):
+        """Matrix-free posterior mean: W_q K_uu W_X' alpha — O(n + U +
+        M), never materializes the (n, M) cross gram (the serving fast
+        path at millions of rows)."""
+        ks = self._grams(params)
+        s2 = self._noise_var(params)
+        x = jnp.asarray(inputs, settings.dtype)
+        xq = jnp.asarray(space, settings.dtype)
+        xi, xw = self._taps(x)
+        qi, qw = self._taps(xq)
+        alpha = self._alpha(params, inputs, outputs, ks, s2, xi, xw)
+        q_wv, _, _ = self._ops(qi, qw)
+        _, x_wtv, _ = self._ops(xi, xw)
+        return q_wv(kron_apply(list(ks), x_wtv(alpha)))
 
     def _posterior_moments(self, params, space, inputs, outputs):
         ks = self._grams(params)
@@ -225,17 +254,54 @@ class SKIGP(GridGP):
         xi, xw = self._taps(x)
         qi, qw = self._taps(xq)
         b = self._cross_b(ks, xi, xw, qi, qw, xq.shape[0])
-        yres = self._yres(params, inputs, outputs)
-        # alpha and the variance columns share one multi-RHS PCG
-        rhs = jnp.concatenate([yres[:, None], b], axis=1)
-        sol = ski_solve(ks, s2, xi, xw, self._grid_shape(), rhs,
-                        rank=self._ski["rank"],
-                        cg_iters=max(200, self._ski["cg_iters"]))
-        alpha, sb = sol[:, 0], sol[:, 1:]
+        a_baked = params.get("_state_ski_alpha")
+        if a_baked is not None:
+            # serving: alpha is state, only the variance columns solve
+            sb = ski_solve(ks, s2, xi, xw, self._grid_shape(), b,
+                           rank=self._ski["rank"],
+                           cg_iters=max(200, self._ski["cg_iters"]))
+            alpha = a_baked
+        else:
+            # alpha and the variance columns share one multi-RHS PCG
+            yres = self._yres(params, inputs, outputs)
+            rhs = jnp.concatenate([yres[:, None], b], axis=1)
+            sol = ski_solve(ks, s2, xi, xw, self._grid_shape(), rhs,
+                            rank=self._ski["rank"],
+                            cg_iters=max(200, self._ski["cg_iters"]))
+            alpha, sb = sol[:, 0], sol[:, 1:]
         mean = jnp.sum(b * alpha[:, None], axis=0)
         kdiag = ski_prior_diag(ks, tuple(qi), tuple(qw))
         var = kdiag - jnp.sum(b * sb, axis=0)
         return mean, jnp.maximum(var, zero32)
+
+    def th_location(self, prior=False, noise=False):
+        if prior:
+            return super().th_location(prior=True)
+
+        def fn(params, space, inputs, outputs, vector):
+            m = self._posterior_mean(params, space, inputs, outputs)
+            return self.f_location(params, space) + m
+
+        return fn
+
+    def posterior_state(self, params=None):
+        """Serving state: alpha solved ONCE (the only O(n)-solve piece a
+        query batch reuses) — a Predictor's mean statistic then costs
+        one grid round-trip per batch; variance batches still solve
+        their own cross columns (inherent — B depends on the queries)."""
+        if params is None:
+            params = self.params
+        pj = {k: jnp.asarray(np.asarray(v, settings.floatx))
+              for k, v in params.items()}
+        ks = self._grams(pj)
+        s2 = self._noise_var(pj)
+        x = jnp.asarray(self._inputs, settings.dtype)
+        xi, xw = self._taps(x)
+        yres = self._yres(pj, self._inputs, self._outputs)
+        alpha = ski_solve(ks, s2, xi, xw, self._grid_shape(), yres,
+                          rank=self._ski["rank"],
+                          cg_iters=max(200, self._ski["cg_iters"]))
+        return {"_state_ski_alpha": alpha}
 
     def th_covariance(self, prior=False, noise=False):
         def fn(params, space, inputs, outputs, vector):
@@ -277,6 +343,7 @@ class SKIGP(GridGP):
         sq = [jnp.sqrt(l) for l in lams_u]
         ushape = self._grid_shape()
         qi, qw = self._taps(xq)
+        q_wv, _, _ = self._ops(qi, qw)
         key = jax.random.PRNGKey(seed)
 
         def prior_field(k):
@@ -289,23 +356,22 @@ class SKIGP(GridGP):
 
         if prior:
             keys = jax.random.split(key, samples)
-            draws = jax.vmap(lambda k: ski_wv(tuple(qi), tuple(qw),
-                                              prior_field(k)))(keys)
+            draws = jax.vmap(lambda k: q_wv(prior_field(k)))(keys)
             return np.asarray(draws.T)
 
         x = jnp.asarray(inputs, settings.dtype)
         xi, xw = self._taps(x)
+        x_wv, _, _ = self._ops(xi, xw)
         yres = self._yres(params, inputs, outputs)
         r = self._noise_var(params)
 
         def one_prior(k):
             k1, k2 = jax.random.split(k)
             fu = prior_field(k1)
-            f_obs = ski_wv(tuple(xi), tuple(xw), fu)
+            f_obs = x_wv(fu)
             eps_n = jnp.sqrt(r) * jax.random.normal(
                 k2, f_obs.shape, settings.dtype)
-            return (ski_wv(tuple(qi), tuple(qw), fu),
-                    yres - f_obs - eps_n)
+            return (q_wv(fu), yres - f_obs - eps_n)
 
         f_q, resids = jax.vmap(one_prior)(
             jax.random.split(key, samples))       # (S, M), (S, n_obs)

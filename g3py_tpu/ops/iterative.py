@@ -105,11 +105,16 @@ def _lanczos(matvec, z, m):
     return alphas, betas[:-1], znorm
 
 
-def slq_logdet(matvec, n, key, probes=16, lanczos_iters=30):
+def slq_logdet(matvec, n, key, probes=16, lanczos_iters=30,
+               probe_chunk=None):
     """Stochastic Lanczos quadrature estimate of log det (PSD matvec).
 
     logdet ~ mean_z |z|^2 * sum_j w_j log(theta_j) with (theta, w) the
-    eigenpairs of the Lanczos tridiagonal (w_j = first-component^2)."""
+    eigenpairs of the Lanczos tridiagonal (w_j = first-component^2).
+    ``probe_chunk`` bounds how many probes run vmapped at once (the SKI
+    MXU matvec makes an (probes, n, m) intermediate per Lanczos step —
+    4 GB at n=1e6, m=128, 8 probes; chunking trades a little wall time
+    for bounded peak HBM)."""
     zs = random.rademacher(key, (probes, n), dtype=settings.dtype)
 
     def one(z):
@@ -120,6 +125,8 @@ def slq_logdet(matvec, n, key, probes=16, lanczos_iters=30):
         theta = jnp.maximum(theta, 1e-30)
         return znorm**2 * jnp.sum(w * jnp.log(theta))
 
+    if probe_chunk is not None and probe_chunk < probes:
+        return jnp.mean(lax.map(one, zs, batch_size=int(probe_chunk)))
     return jnp.mean(jax.vmap(one)(zs))
 
 

@@ -39,6 +39,7 @@ MODULES = [
     "tut13_time_series",
     "tut14_spatiotemporal",
     "tut15_grids",
+    "tut16_ski",
 ]
 
 
