@@ -86,12 +86,19 @@ def main():
             # serving: posterior mean at 512 query rows
             xq = np.stack([rng.uniform(0, 10, 512),
                            rng.uniform(-3, 3, 512)], 1).astype(np.float32)
+            # serve through the Predictor: alpha baked ONCE, the mean
+            # statistic is then one matrix-free grid round-trip
             t0 = time.perf_counter()
-            m = np.asarray(gp.mean(p, xq))
+            pr = gp.predictor(p)
+            t_state = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            m = np.asarray(pr.mean(space=xq))
             cold_serve = time.perf_counter() - t0
             t0 = time.perf_counter()
-            m = np.asarray(gp.mean(p, xq))
+            m = np.asarray(pr.mean(space=xq))
             warm_serve = time.perf_counter() - t0
+            print(f"serving state (one PCG): {t_state:.1f}s",
+                  file=sys.stderr)
             mf = np.asarray(gp.mean(p, x[:4096]))
             rmse = float(np.sqrt(np.mean((mf - f[:4096]) ** 2)))
             print(f"N=1e6 find_MAP(budget 120s): {t_map:.1f}s, loglike "

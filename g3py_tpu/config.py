@@ -96,6 +96,10 @@ class Settings:
     # chunked probe's MXU matvec makes a (chunk, n, m) intermediate, so
     # this bounds peak HBM at million-row n (2 -> 1 GB at n=1e6 m=128).
     ski_probe_chunk: int = 2
+    # row-block Khatri-Rao slab budget (elements) for the D>=3 MXU
+    # interpolation scan (ops/kron._ski_mxu_nd): block rows R ~
+    # ski_mxu_block_elems / prod(m_rest).
+    ski_mxu_block_elems: float = 1.6e7
     plot_big: bool = False
     # Fused Pallas gram kernels on ARD_L2 (TPU only, tile-aligned shapes;
     # transparent XLA fallback otherwise).  True = families measured at

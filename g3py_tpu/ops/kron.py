@@ -546,13 +546,15 @@ def ski_operator(idxs, ws, shape):
             out = axis if out is None else out * axis
         return out
 
-    use_mxu = (getattr(settings, "ski_mxu", True) and nd <= 2
+    use_mxu = (getattr(settings, "ski_mxu", True)
                and n * sum(shape) <= getattr(settings,
                                              "ski_mxu_max_elems", 6e8))
     if not use_mxu:
         return (lambda grid: ski_wv(idxs, ws, grid),
                 lambda v: ski_wtv(idxs, ws, v, shape),
                 row_grid)
+    if nd >= 3:
+        return _ski_mxu_nd(idxs, ws, shape) + (row_grid,)
     wds = ski_dense_w(idxs, ws, shape)
     chunk = int(getattr(settings, "ski_mxu_chunk", 8))
     if nd == 1:
@@ -596,6 +598,87 @@ def ski_operator(idxs, ws, shape):
         return jnp.moveaxis(out, 0, -1).reshape(tuple(shape) + bsh)
 
     return wv, wtv, row_grid
+
+
+def _ski_mxu_nd(idxs, ws, shape):
+    """MXU interpolation operator for D >= 3 grids: fold every axis
+    after the first into a row-block Khatri-Rao and scan.
+
+    Per block of R rows the trailing axes' dense taps combine into a
+    (R, prod_{i>0} m_i) Khatri-Rao slab, so both directions are one
+    (m_1, R) x (R, m_rest) / (R, m_1) x (m_1, m_rest) matmul per block
+    — total cost n * prod(m) MACs regardless of the split, with block
+    memory bounded by R * m_rest (R chosen against
+    ``settings.ski_mxu_block_elems``).  Rows pad to a block multiple
+    with zero weights (they contribute nothing).  Batched RHS chunk
+    through ``lax.map`` exactly like the 2-D path."""
+    nd = len(shape)
+    n = idxs[0].shape[0]
+    m1 = int(shape[0])
+    m_rest = int(np.prod(shape[1:]))
+    cap = float(getattr(settings, "ski_mxu_block_elems", 1.6e7))
+    r_blk = max(256, min(n, int(cap / max(m_rest, 1)) // 256 * 256))
+    n_pad = (-n) % r_blk
+    nb = (n + n_pad) // r_blk
+
+    def _pad_blocks(mat):
+        if n_pad:
+            mat = jnp.concatenate(
+                [mat, jnp.zeros((n_pad,) + mat.shape[1:], mat.dtype)])
+        return mat.reshape((nb, r_blk) + mat.shape[1:])
+
+    wds = ski_dense_w(idxs, ws, shape)
+    w1b = _pad_blocks(wds[0])                       # (nb, R, m1)
+    restb = [_pad_blocks(wd) for wd in wds[1:]]     # (nb, R, m_i)
+    chunk = int(getattr(settings, "ski_mxu_chunk", 8))
+
+    def _kr(mats):                                  # (R, m_i)... -> (R, m_rest)
+        out = mats[0]
+        for m in mats[1:]:
+            out = (out[:, :, None] * m[:, None, :]).reshape(
+                out.shape[0], -1)
+        return out
+
+    def _wv1(gf):                                   # gf (m1, m_rest) -> (n,)
+        def body(_, blk):
+            w1c, rest = blk[0], blk[1:]
+            t = jnp.matmul(w1c, gf, precision=_prec())   # (R, m_rest)
+            return None, jnp.sum(t * _kr(rest), axis=1)
+
+        _, outs = jax.lax.scan(body, None, (w1b,) + tuple(restb))
+        return outs.reshape(-1)[:n]
+
+    def _wtv1(v):                                   # (n,) -> (m1, m_rest)
+        vb = _pad_blocks(v)
+
+        def body(carry, blk):
+            vc, w1c, rest = blk[0], blk[1], blk[2:]
+            kr = _kr(rest) * vc[:, None]                 # (R, m_rest)
+            return carry + jnp.matmul(w1c.T, kr,
+                                      precision=_prec()), None
+
+        g0 = jnp.zeros((m1, m_rest), v.dtype)
+        gf, _ = jax.lax.scan(body, g0, (vb, w1b) + tuple(restb))
+        return gf
+
+    def wv(grid):
+        gf = grid.reshape((m1, m_rest) + grid.shape[nd:])
+        if grid.ndim == nd:
+            return _wv1(gf)
+        bsh = grid.shape[nd:]
+        gb = jnp.moveaxis(gf.reshape(m1, m_rest, -1), -1, 0)
+        out = jax.lax.map(_wv1, gb, batch_size=chunk)
+        return jnp.moveaxis(out, 0, -1).reshape((n,) + bsh)
+
+    def wtv(v):
+        if v.ndim == 1:
+            return _wtv1(v).reshape(shape)
+        bsh = v.shape[1:]
+        vb = v.reshape(n, -1).T
+        out = jax.lax.map(_wtv1, vb, batch_size=chunk)
+        return jnp.moveaxis(out, 0, -1).reshape(tuple(shape) + bsh)
+
+    return wv, wtv
 
 
 def ski_prior_diag(ks, idxs, ws):

@@ -142,6 +142,73 @@ class TestSKINLL:
             assert np.all(np.abs(a_ - b_) / denom < 0.15), (k, a_, b_)
 
 
+class TestSKI3D:
+    def test_3d_matches_dense_ski_oracle(self):
+        """D=3 exercises the row-block Khatri-Rao MXU operator
+        (ops/kron._ski_mxu_nd) end-to-end: NLL + moments against the
+        dense rendering of the model's own gram."""
+        rng = np.random.default_rng(2)
+        n = 90
+        x = np.stack([rng.uniform(0, 6, n), rng.uniform(-2, 2, n),
+                      rng.uniform(1, 4, n)], 1).astype(np.float32)
+        y = rng.standard_normal(n).astype(np.float32)
+        gp = g3.SKIGP(kernel=[g3.MAT32(x[:, :1]), g3.SE(x[:, 1:2]),
+                              g3.SE(x[:, 2:3])],
+                      grid_shape=[12, 11, 10], ski_probes=16,
+                      ski_lanczos=30, name="TSKI3")
+        gp.observed(x, y)
+        big, wd, kuu, _s2, _pj = _ski_oracle(gp, x)
+        sign, logdet = np.linalg.slogdet(big)
+        yo = y.astype(np.float64)
+        alpha = np.linalg.solve(big, yo)
+        ll_d = -0.5 * (logdet + yo @ alpha + n * np.log(2 * np.pi))
+        ll = float(gp.loglike(gp.params))
+        assert abs(ll - ll_d) < 1e-3 * abs(ll_d) + 1e-4
+        xq = np.stack([np.linspace(0.5, 5.5, 5),
+                       np.linspace(-1.5, 1.5, 5),
+                       np.linspace(1.2, 3.8, 5)], 1).astype(np.float32)
+        qi, qw = gp._taps(jnp.asarray(xq))
+        wq = _dense_w(qi, qw, gp._grid_shape())
+        b = wd @ kuu @ wq.T
+        m_d = b.T @ alpha
+        v_d = (np.diag(wq @ kuu @ wq.T)
+               - np.sum(b * np.linalg.solve(big, b), axis=0))
+        assert np.allclose(np.asarray(gp.mean(gp.params, xq)), m_d,
+                           rtol=1e-3, atol=1e-4)
+        assert np.allclose(np.asarray(gp.variance(gp.params, xq)), v_d,
+                           rtol=1e-3, atol=1e-4)
+
+    def test_3d_operator_matches_sparse_taps(self):
+        """MXU fold == the gather/scatter reference on batched RHS."""
+        from g3py_tpu.ops import kron as kr
+
+        rng = np.random.default_rng(3)
+        m = (9, 8, 7)
+        n = 60
+        idxs, ws = [], []
+        for i, mi in enumerate(m):
+            ix, w = kr.cubic_interp_axis(-1.0 + 0.3 * i, 0.2, mi,
+                                         jnp.asarray(rng.uniform(
+                                             -0.5 + 0.3 * i, 0.8 + 0.3 * i,
+                                             n).astype(np.float32)))
+            idxs.append(ix)
+            ws.append(w)
+        idxs, ws = tuple(idxs), tuple(ws)
+        vb = jnp.asarray(rng.standard_normal((n, 5)).astype(np.float32))
+        gb = jnp.asarray(rng.standard_normal(m + (5,)).astype(np.float32))
+        wv, wtv, rg = kr.ski_operator(idxs, ws, m)
+        assert np.allclose(np.asarray(wtv(vb)),
+                           np.asarray(kr.ski_wtv(idxs, ws, vb, m)),
+                           rtol=1e-5, atol=1e-6)
+        assert np.allclose(np.asarray(wv(gb)),
+                           np.asarray(kr.ski_wv(idxs, ws, gb)),
+                           rtol=1e-5, atol=1e-6)
+        e = jnp.zeros(n).at[3].set(1.0)
+        assert np.allclose(np.asarray(rg(3)),
+                           np.asarray(kr.ski_wtv(idxs, ws, e, m)),
+                           rtol=1e-6, atol=1e-7)
+
+
 class TestSKIPosterior:
     def test_moments_covariance_match_dense(self, ski_model):
         gp, x, y, _f = ski_model
