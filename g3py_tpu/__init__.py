@@ -152,6 +152,7 @@ from .hypers.kernels import (
     SINC,
     SM,
 )
+from .hypers.features import DeepKernel
 from .hypers.means import (
     Mean,
     Location,
@@ -289,6 +290,7 @@ from .bayesian import (
     neutra_nuts,
     fit_advi,
     advi_draws,
+    BayesOpt,
     chains_to_datatrace,
     datatrace_to_chains,
     datatrace_to_kde,

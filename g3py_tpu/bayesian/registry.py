@@ -176,7 +176,9 @@ class GraphicalModel:
     def logp_potentials(self, params):
         total = jnp.zeros((), dtype=settings.dtype)
         for fn in self.potentials.values():
-            total = total + fn(params)
+            term = fn(params)
+            if term is not None:  # e.g. a substr matching no hyper
+                total = total + term
         return total
 
     # -- params ---------------------------------------------------------------

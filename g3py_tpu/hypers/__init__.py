@@ -443,6 +443,14 @@ class Hypers:
     def set_potential(self, hypers="", reg="L1", c=1):
         self.potential = (hypers, reg, c)
 
+    def has_potential(self):
+        """True when this component (or, for composites that override
+        this, any nested part) declares a regularization potential — the
+        registration predicate (`StochasticProcess._register_params`),
+        which must see potentials buried inside kernel algebra like
+        ``DeepKernel(...) + WN(x)``."""
+        return getattr(self, "potential", None) is not None
+
     def potential_logp(self, params):
         """L1/L2 regularization potential over matching hypers (reference
         check_potential, hypers/__init__.py:94-109)."""

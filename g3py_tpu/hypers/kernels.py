@@ -249,6 +249,10 @@ class KernelOperation(Kernel):
     def input_sensitivity(self, params):
         return self.k_inner.input_sensitivity(params)
 
+    def has_potential(self):
+        return (getattr(self, "potential", None) is not None
+                or self.k_inner.has_potential())
+
     @property
     def name(self):
         return f"{self.element} {self.op} {self.k_inner.name}"
@@ -303,6 +307,10 @@ class KernelComposition(Kernel):
 
     def input_sensitivity(self, params):
         return self.k1.input_sensitivity(params) + self.k2.input_sensitivity(params)
+
+    def has_potential(self):
+        return (getattr(self, "potential", None) is not None
+                or self.k1.has_potential() or self.k2.has_potential())
 
     @property
     def name(self):

@@ -168,7 +168,8 @@ class StochasticProcess(PlotModel):
                 continue
             for p in comp.hypers:
                 self.active.register_param(p)
-            if getattr(comp, "potential", None) is not None:
+            if (comp.has_potential() if hasattr(comp, "has_potential")
+                    else getattr(comp, "potential", None) is not None):
                 cname = f"{self.name}_{comp.name}_potential"
                 self.active.register_potential(cname, comp.potential_logp)
 
@@ -934,10 +935,10 @@ class StochasticProcess(PlotModel):
         points -= 1
         while i < points:
             i += 1
-            if powell:
-                name, _, start_i = points_list[i // 2]
-            else:
-                name, _, start_i = points_list[i]
+            idx = i // 2 if powell else i
+            if idx >= len(points_list):
+                break  # no fresh start/refinement left to visit
+            name, _, start_i = points_list[idx]
             if (i % 2 == check or not powell) and bfgs:
                 if name.endswith("_bfgs"):
                     if i > n_starts:

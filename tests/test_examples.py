@@ -40,6 +40,8 @@ MODULES = [
     "tut14_spatiotemporal",
     "tut15_grids",
     "tut16_ski",
+    "tut17_deep_kernels",
+    "tut18_bayesian_optimization",
 ]
 
 
