@@ -9,6 +9,7 @@ from .samplers import ensemble_sampler, pt_sampler, hmc_sampler, mcmc_ensemble
 from .nuts import nuts_sampler, nuts_warmup
 from .neutra import fit_flow, neutra_logp, neutra_nuts
 from .advi import fit_advi, advi_draws
+from .bo import BayesOpt
 from .average import (
     chains_to_datatrace,
     datatrace_to_chains,
