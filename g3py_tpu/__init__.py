@@ -291,6 +291,8 @@ from .bayesian import (
     fit_advi,
     advi_draws,
     BayesOpt,
+    search_kernel,
+    KernelSearch,
     chains_to_datatrace,
     datatrace_to_chains,
     datatrace_to_kde,

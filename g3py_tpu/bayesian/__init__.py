@@ -10,6 +10,7 @@ from .nuts import nuts_sampler, nuts_warmup
 from .neutra import fit_flow, neutra_logp, neutra_nuts
 from .advi import fit_advi, advi_draws
 from .bo import BayesOpt
+from .structure import search_kernel, KernelSearch
 from .average import (
     chains_to_datatrace,
     datatrace_to_chains,
