@@ -49,21 +49,31 @@ def _rff_prior(kernel, pj, x_like, n_features, samples, key):
     import jax.numpy as jnp
     from jax import random as jrandom
     from ..hypers import hval, slice_dims
+    from ..hypers.features import DeepKernel
     from ..hypers.kernels import SE, MAT32, MAT52, RQ, KernelSum
     from ..hypers.metrics import ARD_L2
     from ..ops.rff import rff_prior_fn
 
     _nu_of = {SE: None, MAT32: 1.5, MAT52: 2.5, RQ: None}
 
-    def flatten_sum(k):
-        if isinstance(k, KernelSum):
-            return flatten_sum(k.k1) + flatten_sum(k.k2)
+    def check_family(k):
         if type(k) not in _nu_of or type(k.metric) is not ARD_L2:
             raise ValueError(
                 "pathwise sampling needs SE/MAT32/MAT52/RQ (ARD_L2) "
-                "signal kernels or sums of them (their spectral "
-                "densities are what the Fourier features draw from); "
-                f"got {type(k).__name__}")
+                "signal kernels, sums of them, or a DeepKernel over one "
+                "(their spectral densities are what the Fourier features "
+                f"draw from); got {type(k).__name__}")
+
+    def flatten_sum(k):
+        if isinstance(k, KernelSum):
+            return flatten_sum(k.k1) + flatten_sum(k.k2)
+        if isinstance(k, DeepKernel):
+            # deep kernel: the prior is stationary in FEATURE space —
+            # draw Fourier features of the base family and push queries
+            # through the extractor
+            check_family(k.base)
+            return [k]
+        check_family(k)
         return [k]
 
     parts = flatten_sum(kernel)
@@ -71,21 +81,27 @@ def _rff_prior(kernel, pj, x_like, n_features, samples, key):
     f_each = max(n_features // len(parts), 64)
     priors = []
     for i, k in enumerate(parts):
-        dims = k.metric.dims
-        ndim = slice_dims(x, dims).shape[1]
-        var = jnp.asarray(hval(k.var, pj), settings.dtype)
-        rates = jnp.asarray(hval(k.metric.rate, pj), settings.dtype)
-        rq_alpha = (jnp.asarray(hval(k.alpha, pj), settings.dtype)
-                    if type(k) is RQ else None)
+        if isinstance(k, DeepKernel):
+            inner, ndim = k.base, k.widths[-1]
+            transform = (lambda z, kk=k: kk.features(pj, z))
+        else:
+            inner = k
+            dims = k.metric.dims
+            ndim = slice_dims(x, dims).shape[1]
+            transform = (lambda z, d=dims: slice_dims(z, d))
+        var = jnp.asarray(hval(inner.var, pj), settings.dtype)
+        rates = jnp.asarray(hval(inner.metric.rate, pj), settings.dtype)
+        rq_alpha = (jnp.asarray(hval(inner.alpha, pj), settings.dtype)
+                    if type(inner) is RQ else None)
         p_act = rff_prior_fn(jrandom.fold_in(key, i), ndim, f_each,
-                             rates, var, samples, nu=_nu_of[type(k)],
+                             rates, var, samples, nu=_nu_of[type(inner)],
                              rq_alpha=rq_alpha)
-        priors.append((p_act, dims))
+        priors.append((p_act, transform))
 
     def prior(z):
-        out = priors[0][0](slice_dims(z, priors[0][1]))
-        for p_act, dims in priors[1:]:
-            out = out + p_act(slice_dims(z, dims))
+        out = priors[0][0](priors[0][1](z))
+        for p_act, transform in priors[1:]:
+            out = out + p_act(transform(z))
         return out
 
     return prior

@@ -134,6 +134,45 @@ class TestDeepKernel:
         assert gp.logp(gp.params_default) == pytest.approx(
             gp.loglike(gp.params_default) + float(pot), rel=1e-5)
 
+    def test_pathwise_sampler_through_deep_kernel(self, rng):
+        """Matheron pathwise draws with a DeepKernel signal: the RFF
+        prior is drawn in FEATURE space (base-kernel spectral density on
+        phi(x)), so empirical draw moments must match the analytic
+        posterior and same-key draws must be one consistent path."""
+        x, y, _ = _ridge_data(rng)
+        dk = g3.DeepKernel(g3.SE, x, widths=(16, 2))
+        gp = g3.GP(space=x[:4], location=g3.Bias(), kernel=dk, noisy=True,
+                   name="DKW")
+        gp.observed(x, y)
+        pm = gp.find_MAP(points=1, powell=False, display=False)
+        pr = gp.predictor(pm)
+        xq = rng.standard_normal((40, 3)).astype(np.float32)
+        S = 600
+        draws = pr.pathwise_sampler(space=xq, samples=S, key=2,
+                                    n_features=4096)
+        assert draws.shape == (40, S)
+        mu_ref = np.asarray(pr.mean(space=xq))
+        sd_ref = np.asarray(pr.std(space=xq))
+        # the trained DKL interpolates its data manifold (sd down to
+        # ~1e-4), where the finite-feature RFF bias dominates the MC
+        # error — test MC error plus a small absolute bias floor, and
+        # check std ratios only where the posterior is non-degenerate
+        err = np.abs(draws.mean(axis=1) - mu_ref)
+        assert np.max(err - 5.0 * sd_ref / np.sqrt(S)) < 0.05
+        mask = sd_ref > 0.05
+        assert mask.sum() >= 10
+        ratio = draws.std(axis=1)[mask] / sd_ref[mask]
+        assert np.all(ratio > 0.7) and np.all(ratio < 1.3)
+        # consistency: the same key re-queried on a subset is the SAME
+        # path (up to f32 program-reordering noise, amplified here by the
+        # trained near-interpolation gram, noise var ~1e-5 — independent
+        # draws would differ by the posterior sd, up to ~0.9)
+        sub = pr.pathwise_sampler(space=xq[:10], samples=4, key=7,
+                                  n_features=512)
+        full = pr.pathwise_sampler(space=xq, samples=4, key=7,
+                                   n_features=512)
+        assert np.max(np.abs(sub - full[:10])) < 0.05
+
     def test_svgp_deep_kernel(self, rng):
         """Stochastic variational DKL (Wilson et al. 2016b): the extractor
         trains through fit_svgp's Adam loop with inducing points in input
