@@ -48,8 +48,12 @@ def main(quick=True, plot=True):
     zoo = {"SE": g3.SE,
            "SE0": (lambda x_, name=None: g3.SE([0], name=name)),
            "SE1": (lambda x_, name=None: g3.SE([1], name=name))}
+    # expand='all' runs the FULL CKS grammar (every subexpression gets
+    # +B/*B, leaves get swapped) — more fits per round, but it can fix a
+    # wrong base deep inside the incumbent, which root extension cannot
     res = g3.search_kernel(xs, ys, bases=("SE", "SE0", "SE1"),
-                           depth=1 if quick else 2, points=1, zoo=zoo)
+                           depth=1 if quick else 2, points=1, zoo=zoo,
+                           expand="root" if quick else "all")
     print(f"search_kernel winner: {res.best_name} "
           f"({len(res.table)} structures evaluated)")
     return {"logps": logps, "search": res.best_name}

@@ -28,6 +28,57 @@ def _node_name(node):
     return f"({_node_name(a)} {op} {_node_name(b)})"
 
 
+def _subexpr_paths(node, path=()):
+    """Yield the path of every subexpression (root first); a path is a
+    tuple of 1/2 child indices into the (op, a, b) tuples."""
+    yield path
+    if not isinstance(node, str):
+        _, a, b = node
+        yield from _subexpr_paths(a, path + (1,))
+        yield from _subexpr_paths(b, path + (2,))
+
+
+def _get(node, path):
+    for i in path:
+        node = node[i]
+    return node
+
+
+def _replace(node, path, new):
+    if not path:
+        return new
+    op, a, b = node
+    if path[0] == 1:
+        return (op, _replace(a, path[1:], new), b)
+    return (op, a, _replace(b, path[1:], new))
+
+
+def _expansions(node, bases):
+    """The full CKS grammar (Duvenaud 2013 §2.3) applied to every
+    subexpression S of the incumbent: S -> S + B, S -> S * B for every
+    base B, and B -> B' at every leaf.  Deduplicated by name; the
+    incumbent itself is never emitted."""
+    home = _node_name(node)
+    seen, out = {home}, []
+
+    def emit(cand):
+        nm = _node_name(cand)
+        if nm not in seen:
+            seen.add(nm)
+            out.append(cand)
+
+    for path in _subexpr_paths(node):
+        sub = _get(node, path)
+        for b in bases:
+            for op in ("+", "*"):
+                emit(_replace(node, path, (op, sub, b)))
+        if isinstance(sub, str):
+            for b in bases:
+                if b != sub:
+                    emit(_replace(node, path, b))
+    return out
+
+
 def _build(node, x, zoo, _counter=None):
     """Instantiate an expression tree.  Every occurrence gets a UNIQUE
     component name (SE0, SE1, ...) — with the default class names, two
@@ -73,7 +124,7 @@ class KernelSearch:
 
 def search_kernel(x, y, bases=("SE", "LIN", "SIN", "MAT52"), depth=2,
                   criterion="bic", points=1, model=None, zoo=None,
-                  display=False, **fit_kwargs):
+                  expand="root", display=False, **fit_kwargs):
     """Greedy compositional kernel search.
 
     Parameters
@@ -85,6 +136,15 @@ def search_kernel(x, y, bases=("SE", "LIN", "SIN", "MAT52"), depth=2,
         zoo: any class taking ``(x)`` — SE, MAT32/52, RQ, LIN, SIN, ...).
     depth : int
         Number of greedy extension rounds after the base round.
+    expand : 'root' | 'all'
+        ``'root'`` (default) extends only the incumbent's root with
+        ``+ B`` / ``* B`` (first-improvement, cheap).  ``'all'`` runs
+        the FULL CKS grammar (Duvenaud et al. 2013): every
+        subexpression S of the incumbent tries ``S + B``, ``S * B``,
+        and leaf swaps ``B -> B'``; the round's best-scoring candidate
+        wins.  Costs O(tree size x |bases|) fits per round but can
+        reach structures root extension cannot (e.g. replacing a base
+        deep inside a product).
     criterion : 'bic' | 'aic' | 'loglike'
         Model-selection score (lower is better; loglike is negated).
     points : int
@@ -107,6 +167,8 @@ def search_kernel(x, y, bases=("SE", "LIN", "SIN", "MAT52"), depth=2,
 
     if criterion not in ("bic", "aic", "loglike"):
         raise ValueError(f"unknown criterion {criterion!r}")
+    if expand not in ("root", "all"):
+        raise ValueError(f"unknown expand mode {expand!r}")
     x = np.asarray(x, dtype=settings.floatx)
     if x.ndim == 1:
         x = x[:, None]
@@ -169,17 +231,28 @@ def search_kernel(x, y, bases=("SE", "LIN", "SIN", "MAT52"), depth=2,
     if display:
         print(f"base round: {_node_name(best_node)}")
 
-    # greedy extensions (first-improvement: later candidates in the same
-    # round extend the already-improved incumbent)
+    # greedy extensions.  'root' is first-improvement (later candidates
+    # in the same round extend the already-improved incumbent); 'all'
+    # scores the full grammar neighborhood and takes the round's best.
     for level in range(depth):
         improved = False
-        for b in bases:
-            for op in ("+", "*"):
-                cand = (op, best_node, b)
+        if expand == "all":
+            round_node, round_best = None, best
+            for cand in _expansions(best_node, bases):
                 s = score(cand)
-                if s[0] < best[0]:
-                    best_node, best = cand, s
-                    improved = True
+                if s[0] < round_best[0]:
+                    round_node, round_best = cand, s
+            if round_node is not None:
+                best_node, best = round_node, round_best
+                improved = True
+        else:
+            for b in bases:
+                for op in ("+", "*"):
+                    cand = (op, best_node, b)
+                    s = score(cand)
+                    if s[0] < best[0]:
+                        best_node, best = cand, s
+                        improved = True
         if display:
             print(f"depth {level + 1}: {_node_name(best_node)}")
         if not improved:

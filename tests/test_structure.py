@@ -4,6 +4,8 @@ import numpy as np
 import pytest
 
 import g3py_tpu as g3
+from g3py_tpu.bayesian.structure import (_expansions, _node_name,
+                                         _replace, _subexpr_paths)
 
 
 @pytest.fixture(scope="module")
@@ -65,6 +67,46 @@ class TestKernelSearch:
         assert np.isfinite(rows["SE"]["criterion"])
         assert not np.isfinite(rows["BOOM"]["criterion"])
         assert "SE" in res.best_name and "BOOM" not in res.best_name
+
+    def test_full_grammar_enumeration(self):
+        """The 'all' expansion implements the complete CKS grammar:
+        every subexpression gets +B/*B, every leaf gets swapped."""
+        tree = ("+", ("*", "SE", "LIN"), "SIN")
+        bases = ("SE", "LIN", "SIN")
+        names = {_node_name(c) for c in _expansions(tree, bases)}
+        # subexpression extension BELOW the root (root-only can't do it)
+        assert "(((SE * LIN) + SE) + SIN)" in names
+        assert "((SE * (LIN * SIN)) + SIN)" in names
+        # leaf swap deep inside the product
+        assert "((SE * SIN) + SIN)" in names
+        # the incumbent itself is never a candidate
+        assert _node_name(tree) not in names
+        # paths address the right nodes
+        assert set(_subexpr_paths(tree)) == {(), (1,), (2,), (1, 1),
+                                             (1, 2)}
+        swapped = _replace(tree, (1, 2), "SIN")
+        assert _node_name(swapped) == "((SE * SIN) + SIN)"
+
+    def test_expand_all_reaches_leaf_swap(self, additive_2d):
+        """expand='all' must at least match root extension on the
+        additive task, and its table must contain leaf-swap candidates
+        (structures no root extension of the incumbent can produce)."""
+        x, y = additive_2d
+        zoo = {"SE0": (lambda x_, name=None: g3.SE([0], name=name)),
+               "SE1": (lambda x_, name=None: g3.SE([1], name=name))}
+        root = g3.search_kernel(x, y, bases=("SE0", "SE1"), depth=1,
+                                points=1, zoo=zoo)
+        full = g3.search_kernel(x, y, bases=("SE0", "SE1"), depth=1,
+                                points=1, zoo=zoo, expand="all")
+        rows_f = {r["name"]: r for r in full.table}
+        assert (rows_f[full.best_name]["criterion"]
+                <= min(r["criterion"] for r in root.table) + 1e-6)
+        # the full grammar evaluated a leaf swap of a composite
+        composite = [n for n in rows_f if " " in n]
+        assert composite, "grammar round produced no composites"
+        with pytest.raises(ValueError):
+            g3.search_kernel(x, y, bases=("SE0",), zoo=zoo,
+                             expand="nonsense")
 
     def test_loglike_criterion_and_validation(self, trend_plus_periodic):
         x, y = trend_plus_periodic
