@@ -48,8 +48,10 @@ class PlotModel:
 
     def scores(self, params=None, space=None, hidden=None, inputs=None, outputs=None,
                logp=False, logpred=False, bias=True, variance=False, median=False,
-               *args, **kwargs):
-        """Metric set (reference models.py:449-469)."""
+               loo=False, *args, **kwargs):
+        """Metric set (reference models.py:449-469).  ``loo=True`` adds
+        ``_loo`` (leave-one-out log pseudo-likelihood over the OBSERVED
+        data, GPML §5.4.2) for processes that expose :meth:`loo`."""
         if hidden is None:
             hidden = self.hidden
         pred = self.predict(params=params, space=space, inputs=inputs, outputs=outputs,
@@ -70,6 +72,8 @@ class PlotModel:
             scores["_logprior"] = self.logp(params, prior=True)
         if logpred:
             scores["_nlpd"] = -pred.logpredictive(hidden) / len(hidden)
+        if loo and hasattr(self, "loo"):
+            scores["_loo"] = self.loo(params)
         return scores
 
     def filter_params(self, params):

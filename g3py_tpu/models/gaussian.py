@@ -18,9 +18,10 @@ import jax
 import jax.numpy as jnp
 from scipy import stats
 
-from ..config import settings
+from ..config import settings, asarray_x
 from ..ops.guards import to_num, to_cov
-from ..ops.linalg import solve_lower_triangular, mvn_quad_logdet
+from ..ops.linalg import (blocked_trtri, mvn_quad_logdet, safe_cholesky,
+                          solve_lower_triangular)
 from ..ops.quadrature import gauss_hermite
 from ..utils import DictObj
 from .elliptical import EllipticalProcess, _contains_kernel_noise
@@ -97,6 +98,75 @@ class GaussianProcess(EllipticalProcess):
             return jnp.where(bad, GUARD, to_num(r, nan=GUARD, neginf=GUARD))
 
         return fn
+
+    def th_loo_fn(self):
+        """Leave-one-out log pseudo-likelihood (GPML eq. 5.10-5.12) —
+        beyond the reference, which has no cross-validation objective.
+        One factorization serves every fold: with ``Kinv = linv' linv``,
+
+          mu_i   = z_i - [Kinv r]_i / Kinv_ii      (latent LOO mean)
+          var_i  = 1 / Kinv_ii                     (latent LOO variance)
+          LOO    = sum_i log N(z_i | mu_i, var_i) + log|det dT^{-1}(y)|
+
+        where ``z = T^{-1}(y)`` and ``r = z - m``; the warping Jacobian
+        term makes the value an honest log-density of the OBSERVED y
+        under each leave-one-out predictive (so WGP LOO values compare
+        against GP LOO values on the same data).  Differentiable — a
+        model-selection objective robust to prior misspecification
+        (Rasmussen & Williams §5.4.2)."""
+        mapping = self.f_mapping
+        location = self.f_location
+        kernel_noise = self.f_kernel_noise
+
+        def fn(params, space, inputs, outputs):
+            mu = location(params, inputs)
+            cov = to_cov(kernel_noise.cov(params, inputs))
+            tinv = to_num(mapping.inv(params, outputs))
+            r = tinv - mu
+            chol = safe_cholesky(cov)
+            nobs = inputs.shape[0]
+            linv = blocked_trtri(
+                chol, block=nobs if nobs <= 512 else
+                (512 if nobs <= 4096 else 2048))
+            z = jnp.matmul(linv, r, precision=settings.matmul_precision)
+            alpha = jnp.matmul(linv.T, z,
+                               precision=settings.matmul_precision)
+            kinv_diag = jnp.clip(jnp.sum(linv * linv, axis=0), 1e-30)
+            lpd = (-0.5 * LOG2PI + 0.5 * jnp.log(kinv_diag)
+                   - 0.5 * alpha * alpha / kinv_diag)
+            logdet_map = mapping.logdet_dinv(params, outputs)
+            out = jnp.sum(lpd) + logdet_map
+            bad = (~jnp.all(jnp.isfinite(alpha))) | (~jnp.isfinite(logdet_map))
+            return jnp.where(bad, GUARD, to_num(out, nan=GUARD,
+                                                neginf=GUARD))
+
+        return fn
+
+    def loo(self, params=None, space=None, inputs=None, outputs=None,
+            **kwargs):
+        """Leave-one-out log pseudo-likelihood of the observed data (sum
+        over folds of the held-out log predictive density; see
+        :meth:`th_loo_fn`).  Higher is better; compare models on the
+        same data like loglike, but penalizing overfit covariance
+        structure the marginal likelihood can reward."""
+        from .stochastic import CompiledFn
+
+        if params is None:
+            params = self.params
+        space, inputs, outputs = self._resolve_data(space, inputs, outputs)
+        vers = self._other_versions()
+        tag = "posterior_loo" + (str(vers) if vers else "")
+        if tag not in self.compiles:
+            pure0 = self.th_loo_fn()
+
+            def pure(p, s, i, o, v):
+                return pure0(p, s, i, o)
+
+            self.compiles[tag] = CompiledFn(pure, tag)
+        params = {k: asarray_x(v) for k, v in params.items()}
+        vector = np.zeros(0, dtype=settings.floatx)
+        return float(self.compiles[tag](params, space, inputs, outputs,
+                                        vector))
 
     def th_loglike_masked_fn(self):
         """Masked-observation loglikelihood ``fn(params, inputs, outputs,

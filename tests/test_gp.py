@@ -200,3 +200,78 @@ class TestPersistence:
         loaded._compile_methods()
         assert loaded.name == gp.name
         np.testing.assert_allclose(loaded.logp(params), lp, rtol=1e-5)
+
+
+class TestLOO:
+    """Leave-one-out log pseudo-likelihood (GPML eq. 5.10-5.12)."""
+
+    def test_loo_matches_per_fold_oracle(self, gp, dataset):
+        """One-factorization LOO == n explicit held-out fold densities."""
+        from scipy.stats import norm
+
+        x, y = dataset
+        params = gp.params_default
+        x64 = x.astype(np.float64)
+        K = _naive_se(params, x64, x64)
+        K += float(params["GP_Noise_var"]) * np.eye(len(x))
+        n = len(x)
+        want = 0.0
+        for i in range(n):
+            m = np.arange(n) != i
+            kim = K[i, m]
+            sol = np.linalg.solve(K[np.ix_(m, m)], np.stack(
+                [y[m].astype(np.float64), kim], axis=1))
+            mu_i = kim @ sol[:, 0]
+            var_i = K[i, i] - kim @ sol[:, 1]
+            want += norm.logpdf(float(y[i]), mu_i, np.sqrt(var_i))
+        got = gp.loo(params)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-3)
+
+    def test_warped_loo_adds_jacobian(self, dataset, rng):
+        """WGP LOO = latent-space LOO + the warping log-Jacobian, making
+        values comparable across mappings on the same observed y."""
+        import jax.numpy as jnp
+
+        x, y = dataset
+        y_pos = (np.exp(y * 0.5) + 1.0).astype(np.float32)
+        wgp = WGP(space=x, location=Bias(), kernel=SE(x),
+                  mapping=ArcsinhLinear(y_pos), name="WGPloo")
+        wgp.observed(x, y_pos)
+        params = wgp.params_default
+        pj = {k: jnp.asarray(v) for k, v in params.items()}
+        z = np.asarray(wgp.f_mapping.inv(pj, jnp.asarray(y_pos)),
+                       np.float64)
+        logdet = float(wgp.f_mapping.logdet_dinv(pj, jnp.asarray(y_pos)))
+        cov = np.asarray(wgp.f_kernel_noise.cov(pj, jnp.asarray(x)),
+                         np.float64)
+        mu = np.asarray(wgp.f_location(pj, jnp.asarray(x)), np.float64)
+        from scipy.stats import norm
+
+        n = len(x)
+        want = logdet
+        r = z - mu
+        for i in range(n):
+            m = np.arange(n) != i
+            kim = cov[i, m]
+            sol = np.linalg.solve(cov[np.ix_(m, m)], np.stack(
+                [r[m], kim], axis=1))
+            mu_i = mu[i] + kim @ sol[:, 0]
+            var_i = cov[i, i] - kim @ sol[:, 1]
+            want += norm.logpdf(z[i], mu_i, np.sqrt(var_i))
+        got = wgp.loo(params)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)
+
+    def test_loo_differentiable(self, gp):
+        """The LOO objective carries gradients (usable for training)."""
+        import jax
+        import jax.numpy as jnp
+
+        fn = gp.th_loo_fn()
+        pj = {k: jnp.asarray(v) for k, v in gp.params_default.items()}
+        inputs = jnp.asarray(gp.inputs)
+        outputs = jnp.asarray(gp.outputs)
+        g = jax.grad(lambda p: fn(p, inputs, inputs, outputs))(pj)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert leaves and all(np.all(np.isfinite(np.asarray(l)))
+                              for l in leaves)
+        assert any(float(np.abs(np.asarray(l)).max()) > 0 for l in leaves)
