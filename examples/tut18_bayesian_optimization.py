@@ -54,11 +54,18 @@ def main(quick=True, plot=True):
         print(f"{kind}: best {yb:.4f} at x={xb[0]:.3f} "
               f"(true 1.4295 at 2.536) after {len(hist['y'])} evals")
 
-    # ---- 2. Thompson batch proposals --------------------------------------
+    # ---- 2. batch proposals: Thompson paths and qEI fantasies --------------
     bo, pm, _ = results["UCB"]
     xq = bo.suggest(params=pm, kind="thompson", q=4, candidates=512)
     print(f"thompson q=4 proposals: {np.round(xq.ravel(), 3)} "
           f"(independent posterior-path argmaxes)")
+    # analytic acquisitions batch through sequential fantasies: each pick
+    # conditions the next ascent on an imagined observation (the kriging
+    # believer lies with the posterior mean), so the batch self-diversifies
+    xf = bo.suggest(params=pm, kind="logEI", q=4, candidates=512,
+                    steps=30, liar="mean")
+    print(f"qEI (kriging-believer) q=4 proposals: "
+          f"{np.round(xf.ravel(), 3)}")
 
     if plot:
         import matplotlib.pyplot as plt

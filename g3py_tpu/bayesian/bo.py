@@ -22,6 +22,17 @@ Acquisitions:
   over a candidate set; one CONSISTENT function draw per suggestion, so
   ``q > 1`` batch proposals are independent posterior optimizers.
 
+Batch (``q > 1``) proposals with the analytic acquisitions use
+sequential FANTASIES (Ginsbourger et al. 2010): after each suggestion
+the surrogate's data is extended with an imagined observation (the
+"liar") and the next point is ascended against the fantasized
+posterior — hyperparameters stay fixed, only the conditioning set
+grows, so each fantasy round is just the same pure acquisition program
+on q-1 extra rows.  ``liar='mean'`` is the kriging believer (lie with
+the posterior mean at the suggested point); ``'best'``/``'worst'`` are
+the classic optimistic/pessimistic constant liars (in the objective
+direction).
+
 The predictive (mean, std) is the process's own statistic pair, so
 warped processes moment-match through their mapping; acquisitions treat
 it as Gaussian (standard practice; exact for GP/SSGP posteriors).
@@ -194,26 +205,62 @@ class BayesOpt:
 
     # -- suggestion --------------------------------------------------------
     def suggest(self, params=None, kind="logEI", q=1, candidates=2048,
-                starts=16, steps=60, key=None):
+                starts=16, steps=60, key=None, liar="mean"):
         """Propose the next evaluation point(s).
 
         ``kind='thompson'`` draws ``q`` consistent posterior paths on the
         candidate set and argmaxes each (natural batch proposals).  The
         analytic acquisitions screen ``candidates`` uniform points, then
         ascend the best ``starts`` with Adam on ``jax.grad(acq)`` — all
-        starts in ONE program — and return the argmax (``q`` must be 1).
+        starts in ONE program — and return the argmax.  ``q > 1`` with
+        an analytic acquisition proposes sequentially through fantasies:
+        ``liar='mean'`` (kriging believer) conditions each next ascent on
+        the posterior mean at the previous pick; ``'best'``/``'worst'``
+        lie with the incumbent best/worst objective value.  Returns a
+        (d,) point when ``q == 1``, else a (q, d) batch.
         """
         params = self._params(params)
         if kind == "thompson":
             return self._suggest_thompson(params, q, candidates, key)
-        if q != 1:
-            raise ValueError(
-                "analytic acquisitions propose one point at a time; "
-                "use kind='thompson' for q > 1 batch suggestions")
-        import optax
-
         inputs, outputs, best_g = self._data_jnp()
         pj = {k: jnp.asarray(v, settings.dtype) for k, v in params.items()}
+        if q == 1:
+            return self._suggest_one(pj, kind, inputs, outputs, best_g,
+                                     candidates, starts, steps)
+        if liar not in ("mean", "best", "worst"):
+            raise ValueError("liar must be 'mean', 'best' or 'worst'")
+        picks = []
+        for _ in range(int(q)):
+            x = self._suggest_one(pj, kind, inputs, outputs, best_g,
+                                  candidates, starts, steps)
+            picks.append(x)
+            y_f = self._fantasy(pj, x, inputs, outputs, liar)
+            inputs = jnp.concatenate(
+                [inputs, jnp.asarray(x, settings.dtype)[None]], axis=0)
+            outputs = jnp.concatenate(
+                [outputs, jnp.asarray(y_f, settings.dtype)[None]])
+            best_g = jnp.maximum(best_g, self._sign * y_f)
+        return np.stack(picks)
+
+    def _fantasy(self, pj, x, inputs, outputs, liar):
+        """The imagined observation (raw-y space) at a suggested point,
+        given the CURRENT fantasized conditioning set."""
+        if liar == "mean":
+            if getattr(self, "_mean_fn", None) is None:
+                self._mean_fn = jax.jit(self.process.th_mean(noise=False))
+            vec = jnp.zeros(0, dtype=settings.dtype)
+            mu = self._mean_fn(pj, jnp.asarray(x, settings.dtype)[None],
+                               inputs, outputs, vec)[0]
+            return jnp.nan_to_num(mu, nan=0.0, posinf=1e30, neginf=-1e30)
+        g = self._sign * outputs  # objective direction
+        return self._sign * (jnp.max(g) if liar == "best" else jnp.min(g))
+
+    def _suggest_one(self, pj, kind, inputs, outputs, best_g,
+                     candidates, starts, steps):
+        """Screen + multi-start Adam ascent of one analytic acquisition
+        against an explicit conditioning set (real or fantasized)."""
+        import optax
+
         acq = self._acq_pure(kind)
 
         cand = jnp.asarray(self._uniform(candidates), settings.dtype)

@@ -127,8 +127,41 @@ class TestSuggest:
         xq = bo.suggest(params=pm, kind="thompson", q=3, candidates=256)
         assert xq.shape == (3, 1)
         assert np.all(xq >= 0.0) and np.all(xq <= 4.0)
+
+    def test_qei_fantasies(self):
+        """q > 1 analytic proposals via fantasies: right shape, in
+        bounds, mutually distinct (each fantasy must dent the incumbent
+        peak enough that the next ascent moves).  Hand-set hypers — a
+        single-start MAP fit on 14 wiggly points can land in the
+        degenerate all-noise optimum, where EVERY batch method
+        legitimately collapses (flat acquisition); the test targets the
+        fantasy mechanics, not fit luck."""
+        rng = np.random.default_rng(6)
+        x = rng.uniform(0, 4, (14, 1)).astype(np.float32)
+        y = _f(x).astype(np.float32)
+        gp = _surrogate("BOq")
+        gp.observed(x, y)
+        pm = dict(gp.params_default)
+        for k in pm:
+            if "SE_var" in k:
+                pm[k] = np.float32(1.0)
+            if "SE_rate" in k:
+                pm[k] = np.asarray(pm[k]) * 0 + np.float32(2.0)
+            if "Noise_var" in k:
+                pm[k] = np.float32(0.01)
+        bo = g3.BayesOpt(gp, bounds=[[0.0, 4.0]], maximize=True, seed=7,
+                         xi=0.01)
+        bo.history["y"] = list(y)
+        for liar in ("mean", "best", "worst"):
+            xq = bo.suggest(params=pm, kind="logEI", q=3, candidates=256,
+                            starts=8, steps=40, liar=liar)
+            assert xq.shape == (3, 1)
+            assert np.all(xq >= 0.0) and np.all(xq <= 4.0)
+            d = np.abs(xq[:, None, 0] - xq[None, :, 0])
+            off = d[~np.eye(3, dtype=bool)]
+            assert np.all(off > 1e-3), (liar, xq.ravel())
         with pytest.raises(ValueError):
-            bo.suggest(params=pm, kind="logEI", q=2)
+            bo.suggest(params=pm, kind="logEI", q=2, liar="nonsense")
 
 
 class TestLoop:
