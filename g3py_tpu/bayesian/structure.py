@@ -145,8 +145,12 @@ def search_kernel(x, y, bases=("SE", "LIN", "SIN", "MAT52"), depth=2,
         wins.  Costs O(tree size x |bases|) fits per round but can
         reach structures root extension cannot (e.g. replacing a base
         deep inside a product).
-    criterion : 'bic' | 'aic' | 'loglike'
+    criterion : 'bic' | 'aic' | 'loglike' | 'loo'
         Model-selection score (lower is better; loglike is negated).
+        ``'loo'`` scores by negative leave-one-out pseudo-likelihood
+        (GPML §5.4.2; model must expose ``loo`` — the GP family does):
+        held-out prediction quality directly, no parameter-count
+        penalty needed.
     points : int
         ``find_MAP`` multi-start count per candidate fit.
     model : callable, optional
@@ -165,7 +169,7 @@ def search_kernel(x, y, bases=("SE", "LIN", "SIN", "MAT52"), depth=2,
     from ..hypers.means import Bias
     from ..models.gaussian import GaussianProcess
 
-    if criterion not in ("bic", "aic", "loglike"):
+    if criterion not in ("bic", "aic", "loglike", "loo"):
         raise ValueError(f"unknown criterion {criterion!r}")
     if expand not in ("root", "all"):
         raise ValueError(f"unknown expand mode {expand!r}")
@@ -205,6 +209,12 @@ def search_kernel(x, y, bases=("SE", "LIN", "SIN", "MAT52"), depth=2,
                 crit = k * np.log(n) - 2.0 * ll
             elif criterion == "aic":
                 crit = 2.0 * k - 2.0 * ll
+            elif criterion == "loo":
+                # leave-one-out pseudo-likelihood (GPML 5.4.2): unlike
+                # the in-sample marginal likelihood it directly scores
+                # held-out prediction, so it needs no parameter-count
+                # penalty term
+                crit = -float(gp.loo(params))
             else:  # 'loglike' (validated above)
                 crit = -ll
             if not np.isfinite(crit):

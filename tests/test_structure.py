@@ -108,6 +108,16 @@ class TestKernelSearch:
             g3.search_kernel(x, y, bases=("SE0",), zoo=zoo,
                              expand="nonsense")
 
+    def test_loo_criterion(self, trend_plus_periodic):
+        """criterion='loo' scores by negative LOO pseudo-likelihood."""
+        x, y = trend_plus_periodic
+        res = g3.search_kernel(x, y, bases=("SE",), depth=0,
+                               criterion="loo", points=1)
+        row = res.table[0]
+        assert np.isfinite(row["criterion"])
+        assert row["criterion"] == pytest.approx(
+            -res.gp.loo(res.params), rel=1e-6)
+
     def test_loglike_criterion_and_validation(self, trend_plus_periodic):
         x, y = trend_plus_periodic
         res = g3.search_kernel(x, y, bases=("SE",), depth=0,
