@@ -864,7 +864,7 @@ class StochasticProcess(PlotModel):
     # ----------------------------------------------------------------- find_MAP
     def find_MAP(self, start=None, points=1, return_points=False, plot=False,
                  display=True, powell=True, bfgs=True, init="bfgs", max_time=None,
-                 engine="scipy", max_iters=200, **kwargs):
+                 engine="scipy", max_iters=200, objective="logp", **kwargs):
         """Multi-start MAP search.
 
         ``engine='scipy'`` (default) is the reference recipe: alternating
@@ -875,7 +875,16 @@ class StochasticProcess(PlotModel):
         matrix-free preconditioned CG/SLQ objective (GP family, large N on
         one chip); ``engine='distributed'`` trains through the
         device-sharded exact NLL (GP family, N beyond one chip's HBM — the
-        gram lives as row bands across the mesh)."""
+        gram lives as row bands across the mesh).
+
+        ``objective='loo'`` (scipy engine, GP family) swaps this process's
+        marginal loglike for its leave-one-out pseudo-likelihood (GPML
+        §5.4.2) — hypers trained on held-out prediction quality, robust
+        to covariance misspecification the marginal likelihood rewards;
+        priors/potentials/other components contribute unchanged."""
+        if objective != "logp" and engine != "scipy":
+            raise ValueError("objective='loo' is only wired into the "
+                             "scipy engine")
         if engine == "jax":
             return self._find_map_jax(start=start, points=points,
                                       return_points=return_points,
@@ -898,11 +907,19 @@ class StochasticProcess(PlotModel):
             # them here would silently ignore typos / missing engine=
             raise TypeError(f"find_MAP(engine={engine!r}) got unexpected "
                             f"keyword arguments {sorted(kwargs)}")
+        if objective not in ("logp", "loo"):
+            raise ValueError(f"unknown objective {objective!r}")
         points_list = []
         if start is None:
             start = self.params
         reg = self.active
-        if reg.fixed_datatrace is None:
+        if objective == "loo":
+            if reg.fixed_datatrace is not None:
+                raise ValueError("objective='loo' does not compose with "
+                                 "fix_vars marginalization")
+            logp = lambda p: self._array_loo_sampling(p)
+            dlogp = lambda p: self._array_dloo_sampling(p)
+        elif reg.fixed_datatrace is None:
             logp = lambda p: self._array_logp_sampling(p)
             dlogp = lambda p: self._array_dlogp_sampling(p)
         else:
@@ -1093,6 +1110,71 @@ class StochasticProcess(PlotModel):
         if reg.fixed_datatrace is not None:
             return self.fixed_dlogp(p)
         return np.asarray(self.dlogp(np.asarray(p, dtype=settings.floatx)))
+
+    # ------------------------------------------------- LOO training objective
+    def _loo_objective_pure(self):
+        """Pure LOO-objective: this process's leave-one-out pseudo-
+        likelihood (GPML §5.4.2; requires the subclass to define
+        ``th_loo_fn`` — the GP family does) in place of its marginal
+        loglike, plus prior terms, potentials, and every OTHER
+        component's loglike (graphical-model semantics unchanged)."""
+        if not hasattr(self, "th_loo_fn"):
+            raise NotImplementedError(
+                f"{type(self).__name__} has no th_loo_fn; "
+                "objective='loo' needs the GP family")
+        reg = self.active
+        loo_fn = self.th_loo_fn()
+        other_fns = []
+        for comp in reg.components.values():
+            if comp is self:
+                continue
+            fn = comp.th_loglike_fn()
+            if fn is not None:
+                other_fns.append((fn, (comp.space, comp.inputs,
+                                       comp.outputs)))
+
+        def fn(params, space, inputs, outputs, vector):
+            total = (reg.logp_prior_dict(params)
+                     + reg.logp_potentials(params)
+                     + loo_fn(params, space, inputs, outputs))
+            for like_fn, (s, i, o) in other_fns:
+                total = total + like_fn(params, jnp.asarray(s),
+                                        jnp.asarray(i), jnp.asarray(o))
+            return total
+
+        return fn
+
+    def _get_loo_obj_compiled(self, grad=False):
+        vers = self._other_versions()
+        tag = ("array_posterior_" + ("dloo_obj" if grad else "loo_obj")
+               + (str(vers) if vers else ""))
+        if tag not in self.compiles:
+            pure = self._loo_objective_pure()
+            reg = self.active
+            if grad:
+                def apure(u, s, i, o, v):
+                    g = jax.grad(
+                        lambda uu: pure(reg.array_to_dict_jax(uu),
+                                        s, i, o, v))(u)
+                    return to_num(g)
+            else:
+                def apure(u, s, i, o, v):
+                    return pure(reg.array_to_dict_jax(u), s, i, o, v)
+            self.compiles[tag] = CompiledFn(apure, tag)
+        return self.compiles[tag]
+
+    def _array_loo_sampling(self, p):
+        fn = self._get_loo_obj_compiled(grad=False)
+        space, inputs, outputs = self._resolve_data(None, None, None)
+        return float(fn(np.asarray(p, dtype=settings.floatx), space, inputs,
+                        outputs, np.zeros(0, dtype=settings.floatx)))
+
+    def _array_dloo_sampling(self, p):
+        fn = self._get_loo_obj_compiled(grad=True)
+        space, inputs, outputs = self._resolve_data(None, None, None)
+        return np.asarray(fn(np.asarray(p, dtype=settings.floatx), space,
+                             inputs, outputs,
+                             np.zeros(0, dtype=settings.floatx)))
 
     # --------------------------------------------------------------- sampling
     def sample_hypers(self, start=None, samples=1000, chains=None, ntemps=None,

@@ -261,6 +261,18 @@ class TestLOO:
         got = wgp.loo(params)
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)
 
+    def test_find_map_loo_objective(self, gp):
+        """Hypers trained on the LOO pseudo-likelihood: the optimizer
+        must improve LOO over the data-driven defaults."""
+        pm = gp.find_MAP(points=1, powell=False, display=False,
+                         objective="loo")
+        assert np.isfinite(gp.loo(pm))
+        assert gp.loo(pm) >= gp.loo(gp.params_default) - 1e-3
+        with pytest.raises(ValueError):
+            gp.find_MAP(objective="nonsense", display=False)
+        with pytest.raises(ValueError):
+            gp.find_MAP(engine="jax", objective="loo", display=False)
+
     def test_loo_differentiable(self, gp):
         """The LOO objective carries gradients (usable for training)."""
         import jax
