@@ -223,7 +223,7 @@ def main():
                      "value": round(1.0 / t_ss, 2), "unit": "evals/sec",
                      "vs_baseline": round(206.26 / t_ss, 1)})
         notes.append(f"t_ssgp_nll_grad_n16384={t_ss*1e3:.2f}ms "
-                     f"(exact O(n) path; dense on-chip floor ~242ms)")
+                     f"(exact O(n) path; dense on-chip floor ~250ms)")
     except Exception as e:
         notes.append(f"ssgp bench skipped: {e}")
 

@@ -251,7 +251,12 @@ class BayesOpt:
             vec = jnp.zeros(0, dtype=settings.dtype)
             mu = self._mean_fn(pj, jnp.asarray(x, settings.dtype)[None],
                                inputs, outputs, vec)[0]
-            return jnp.nan_to_num(mu, nan=0.0, posinf=1e30, neginf=-1e30)
+            # a divergent/non-finite believer mean must not become the
+            # incumbent (a 1e30 lie flattens EI for every later pick):
+            # clamp the lie to the observed objective range
+            lo, hi = jnp.min(outputs), jnp.max(outputs)
+            mu = jnp.where(jnp.isnan(mu), 0.5 * (lo + hi), mu)
+            return jnp.clip(mu, lo, hi)
         g = self._sign * outputs  # objective direction
         return self._sign * (jnp.max(g) if liar == "best" else jnp.min(g))
 

@@ -21,6 +21,11 @@ from ..config import settings
 __all__ = ["search_kernel", "KernelSearch"]
 
 
+class _ModelSpecError(TypeError):
+    """A mis-specified ``model=`` factory — a user error that must not be
+    swallowed by the per-candidate failure handler."""
+
+
 def _node_name(node):
     if isinstance(node, str):
         return node
@@ -201,6 +206,12 @@ def search_kernel(x, y, bases=("SE", "LIN", "SIN", "MAT52"), depth=2,
             return cache[name]
         try:
             gp = model(_build(node, x, zoo))
+            if criterion == "loo" and not hasattr(gp, "loo"):
+                # fail fast instead of every candidate silently scoring
+                # inf through the broad except below
+                raise _ModelSpecError(
+                    "criterion='loo' needs model instances exposing "
+                    f".loo; {type(gp).__name__} does not")
             gp.observed(x, y)
             params = gp.find_MAP(points=points, **fit_kwargs)
             ll = float(gp.loglike(params))
@@ -220,6 +231,8 @@ def search_kernel(x, y, bases=("SE", "LIN", "SIN", "MAT52"), depth=2,
             if not np.isfinite(crit):
                 crit = np.inf
             out = (crit, gp, params, ll, k)
+        except _ModelSpecError:
+            raise
         except Exception as m:  # a candidate that cannot fit just loses
             if display:
                 print(f"  {name}: failed ({m})")
@@ -238,6 +251,11 @@ def search_kernel(x, y, bases=("SE", "LIN", "SIN", "MAT52"), depth=2,
         s = score(b)
         if s[0] < best[0]:
             best_node, best = b, s
+    if best_node is None:
+        raise RuntimeError(
+            "search_kernel: every base kernel failed to fit "
+            f"({', '.join(bases)}) — see the per-candidate messages "
+            "with display=True")
     if display:
         print(f"base round: {_node_name(best_node)}")
 

@@ -882,14 +882,16 @@ class StochasticProcess(PlotModel):
         §5.4.2) — hypers trained on held-out prediction quality, robust
         to covariance misspecification the marginal likelihood rewards;
         priors/potentials/other components contribute unchanged."""
-        if objective != "logp" and engine != "scipy":
-            raise ValueError("objective='loo' is only wired into the "
-                             "scipy engine")
+        if objective not in ("logp", "loo"):
+            raise ValueError(f"unknown objective {objective!r}")
+        if objective == "loo" and engine not in ("scipy", "jax"):
+            raise ValueError("objective='loo' is wired into the scipy and "
+                             "jax engines only")
         if engine == "jax":
             return self._find_map_jax(start=start, points=points,
                                       return_points=return_points,
                                       display=display, max_iters=max_iters,
-                                      **kwargs)
+                                      objective=objective, **kwargs)
         if engine == "iterative":
             # matrix-free objective for large N (GaussianProcess family)
             return self._find_map_iterative(start=start, points=points,
@@ -1062,8 +1064,12 @@ class StochasticProcess(PlotModel):
         return best
 
     def _find_map_jax(self, start=None, points=1, return_points=False,
-                      display=True, max_iters=200):
+                      display=True, max_iters=200, objective="logp"):
         """Device-side multi-start MAP: every start optimized at once.
+
+        ``objective='loo'`` swaps the marginal logp for the LOO
+        pseudo-likelihood objective (GPML §5.4.2) — the multimodal CV
+        surface is exactly where the vmapped multi-start pays.
 
         (A cheaper-compile Armijo-backtracking line search was evaluated in
         round 3 and rejected: it stalls ~140 nats short of the zoom
@@ -1081,7 +1087,10 @@ class StochasticProcess(PlotModel):
         while len(starts) < points:
             starts.append(starts[0] * (1 + 0.2 * rng.standard_normal(
                 len(starts[0]))).astype(settings.floatx))
-        logp_tr, _, _ = self._sampling_logps(prior=False)
+        if objective == "loo":
+            logp_tr = self._sampling_loo_objective()
+        else:
+            logp_tr, _, _ = self._sampling_logps(prior=False)
         pts, vals = lbfgs_maximize(logp_tr, np.stack(starts),
                                    max_iters=max_iters)
         best = int(np.argmax(vals))
@@ -1162,6 +1171,31 @@ class StochasticProcess(PlotModel):
                     return pure(reg.array_to_dict_jax(u), s, i, o, v)
             self.compiles[tag] = CompiledFn(apure, tag)
         return self.compiles[tag]
+
+    def _sampling_loo_objective(self):
+        """jax-traceable LOO objective over the sampling dims — the
+        engine='jax' counterpart of :meth:`_sampling_logps` for
+        ``objective='loo'`` (fixed-chain marginalization unsupported:
+        the CV objective over a pinned chain has no user story yet)."""
+        reg = self.active
+        if reg.fixed_datatrace is not None:
+            raise ValueError("objective='loo' does not compose with "
+                             "fix_vars/fixed chains")
+        pure = self._loo_objective_pure()
+        space, inputs, outputs = self._resolve_data(None, None, None)
+        space, inputs, outputs = (jnp.asarray(space), jnp.asarray(inputs),
+                                  jnp.asarray(outputs))
+        vec = jnp.zeros(0, dtype=settings.dtype)
+        sampling_dims = np.asarray(reg.sampling_dims, dtype=np.int32)
+        full = jnp.asarray(reg.dict_to_array(reg.params))
+
+        def fn(p):
+            u = (p if len(sampling_dims) == reg.ndim
+                 else full.at[sampling_dims].set(p))
+            return pure(reg.array_to_dict_jax(u), space, inputs,
+                        outputs, vec)
+
+        return fn
 
     def _array_loo_sampling(self, p):
         fn = self._get_loo_obj_compiled(grad=False)

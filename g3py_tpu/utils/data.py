@@ -1,10 +1,12 @@
 """Dataset loaders and observation splitters.
 
-Rebuild of ``/root/reference/g3py/libs/data.py``.  The reference bundled
-CSV datasets and fetched others via statsmodels/sklearn; this build looks
-for the same files under ``G3PY_DATASETS`` (or a sibling ``datasets/``
-directory) and otherwise falls back to deterministic synthetic surrogates
-with matching shapes, so every loader works offline.
+Rebuild of ``/root/reference/g3py/libs/data.py``.  The reference's CSV
+datasets (public UCI/SIDC/materials data, reference data.py:11-118) are
+vendored under ``datasets/`` so a standalone checkout is self-contained;
+``$G3PY_DATASETS`` still overrides the search path.  A loader whose file
+is missing raises — the deterministic synthetic surrogates (matching
+shapes, for air-gapped smoke tests only) are opt-in via
+``G3PY_SYNTHETIC_DATA=1``.
 """
 
 import os
@@ -30,20 +32,17 @@ __all__ = [
 ]
 
 
-#: candidate locations for the reference's bundled CSV datasets
-#: (reference data.py reads them from g3py/libs/datasets/)
+#: candidate locations for the bundled CSV datasets (vendored in-package,
+#: mirroring the reference's g3py/libs/datasets/ layout)
 _DATASET_DIRS = (
     os.path.join(os.path.dirname(__file__), "datasets"),
-    "/root/reference/g3py/libs/datasets",
 )
 
 
 def datasets_path(filename=None):
-    """First existing candidate dir ($G3PY_DATASETS, package-local
-    datasets/, the read-only reference checkout's datasets dir).  With
-    ``filename``, the first dir actually CONTAINING that file — the
-    package-local dir holds only the bundled series, so per-file search
-    keeps the reference CSVs reachable."""
+    """First existing candidate dir ($G3PY_DATASETS override, then the
+    package-local vendored datasets/).  With ``filename``, the first dir
+    actually CONTAINING that file."""
     cands = [os.environ.get("G3PY_DATASETS"), *_DATASET_DIRS]
     for c in cands:
         if not c or not os.path.isdir(c):
@@ -55,13 +54,26 @@ def datasets_path(filename=None):
     return None
 
 
-def _warn_synthetic(name):
+def _warn_synthetic(name, soft=False):
+    """Gate + warn on the synthetic fallback.  Real data is bundled, so a
+    missing file means a broken checkout — raise unless the user opted
+    into surrogates explicitly (G3PY_SYNTHETIC_DATA=1).  ``soft`` marks
+    the statsmodels-fetched series (co2/engel, reference data.py:20-44):
+    the reference itself needs statsmodels at runtime for those, so a
+    missing import warns instead of raising."""
+    if not soft and os.environ.get("G3PY_SYNTHETIC_DATA", "") not in (
+            "1", "true", "yes"):
+        raise FileNotFoundError(
+            f"dataset {name!r} not found under $G3PY_DATASETS or "
+            f"{_DATASET_DIRS}. The files ship with the package — a missing "
+            "one means a broken checkout. Set G3PY_SYNTHETIC_DATA=1 to opt "
+            "into a synthetic surrogate with matching shapes.")
     import warnings
 
     warnings.warn(
-        f"dataset {name!r} not found under $G3PY_DATASETS or "
-        f"{_DATASET_DIRS}; returning a SYNTHETIC surrogate with matching "
-        "shapes. Results will not match the reference's.",
+        f"dataset {name!r} not found; returning a SYNTHETIC surrogate "
+        "with matching shapes (G3PY_SYNTHETIC_DATA=1). Results will not "
+        "match the reference's.",
         stacklevel=3,
     )
 
@@ -107,7 +119,7 @@ def data_co2():
         data = sm.datasets.co2.load_pandas().data
         return data.index.values[:], data.values[:, 0]
     except Exception:
-        _warn_synthetic("co2")
+        _warn_synthetic("co2", soft=True)
         x = np.arange(2225, dtype=np.float32)
         y = 315 + 0.004 * x + 3 * np.sin(2 * np.pi * x / 52.0)
         return x, y.astype(np.float32)
@@ -121,7 +133,7 @@ def data_engel():
         data = sm.datasets.engel.load_pandas().data
         return data.index.values, data["income"].values
     except Exception:
-        _warn_synthetic("engel")
+        _warn_synthetic("engel", soft=True)
         rng = np.random.default_rng(7)
         inc = np.sort(rng.lognormal(6.5, 0.5, 235)).astype(np.float32)
         return np.arange(235), inc

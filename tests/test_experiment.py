@@ -37,6 +37,45 @@ class TestData:
         assert y.shape == (4177,)
         assert x.dtype == np.float32
 
+    def test_all_loaders_standalone(self):
+        """Every vendored-file loader resolves IN-PACKAGE (no reference
+        checkout, no synthetic fallback) and returns the real shapes —
+        the standalone-checkout contract (reference data.py:11-118)."""
+        import os
+        import g3py_tpu.utils.data as D
+
+        pkg_dir = os.path.join(os.path.dirname(D.__file__), "datasets")
+        for fname in ("abalone.data", "creep", "ailerons.data", "hr2.txt",
+                      "EURUSD-1401-1510.txt", "logbmau.csv",
+                      "sunspots.csv"):
+            assert D.datasets_path(fname) == pkg_dir, fname
+        assert os.environ.get("G3PY_SYNTHETIC_DATA") is None
+        xh, yh = D.data_heart()
+        assert yh.shape == (1800, 1)
+        xe, ye = D.data_eurusd()
+        assert ye.shape == (721, 1)
+        xc, yc = D.data_creep()
+        assert xc.shape == (2066, 27) and yc.shape == (2066,)
+        xa, ya = D.data_ailerons()
+        assert xa.shape == (7154, 33) and ya.shape == (7154,)
+        rivers = D.data_rivers()
+        assert rivers.shape == (612, 5)
+        assert list(rivers.columns) == ["bmau", "bmis", "cip", "col", "mau"]
+
+    def test_missing_dataset_raises(self, tmp_path, monkeypatch):
+        """The synthetic surrogate is opt-in: a missing file RAISES unless
+        G3PY_SYNTHETIC_DATA=1."""
+        import g3py_tpu.utils.data as D
+
+        monkeypatch.setattr(D, "_DATASET_DIRS", (str(tmp_path),))
+        monkeypatch.delenv("G3PY_SYNTHETIC_DATA", raising=False)
+        with pytest.raises(FileNotFoundError, match="G3PY_SYNTHETIC_DATA"):
+            D.data_abalone()
+        monkeypatch.setenv("G3PY_SYNTHETIC_DATA", "1")
+        with pytest.warns(UserWarning, match="SYNTHETIC"):
+            x, y = D.data_abalone()
+        assert x.shape == (4177, 8)
+
 
 class TestNative:
     def test_autocov_matches_numpy(self, rng):

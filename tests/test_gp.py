@@ -271,7 +271,20 @@ class TestLOO:
         with pytest.raises(ValueError):
             gp.find_MAP(objective="nonsense", display=False)
         with pytest.raises(ValueError):
-            gp.find_MAP(engine="jax", objective="loo", display=False)
+            gp.find_MAP(engine="iterative", objective="loo", display=False)
+
+    def test_find_map_loo_jax_engine(self, gp):
+        """engine='jax' LOO MAP (vmapped multi-start on device) reaches
+        the scipy engine's LOO optimum."""
+        pm_sc = gp.find_MAP(points=1, powell=False, display=False,
+                            objective="loo")
+        pm_jx = gp.find_MAP(engine="jax", points=2, display=False,
+                            objective="loo", max_iters=300)
+        loo_sc = float(gp.loo(pm_sc))
+        loo_jx = float(gp.loo(pm_jx))
+        assert np.isfinite(loo_jx)
+        # same optimum (or better — multi-start), within optimizer slack
+        assert loo_jx >= loo_sc - 0.5
 
     def test_loo_differentiable(self, gp):
         """The LOO objective carries gradients (usable for training)."""

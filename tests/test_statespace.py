@@ -182,8 +182,14 @@ class TestModelAPI:
 
     def test_guards_and_errors(self, rng):
         t, y = _series(rng, n=16)
+        # SE gained an (approximate, order-8 Taylor) state-space leaf in
+        # round 11 — it must CONSTRUCT now, not raise.
+        from g3py_tpu.ops.ssm import SELeaf
+        ss_se = g3.StateSpaceGP(space=t, kernel=g3.SE(t), name="Sse")
+        assert any(isinstance(l, SELeaf) for l in ss_se._leaves)
+        # a kernel with no state-space form still raises loudly
         with pytest.raises(ValueError, match="state-space"):
-            g3.StateSpaceGP(space=t, kernel=g3.SE(t))
+            g3.StateSpaceGP(space=t, kernel=g3.LIN(t), name="Slin")
         x2 = np.concatenate([t, t], axis=1)
         ss2 = g3.StateSpaceGP(space=x2, kernel=g3.OU(x2[:, :1]), name="S2")
         with pytest.raises(ValueError, match="1-D"):
