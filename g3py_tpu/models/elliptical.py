@@ -107,6 +107,64 @@ class EllipticalProcess(StochasticProcess):
             out.update(self.f_degree.default_hypers_dims(x, y))
         return out
 
+    def _noncentered_sampling_shear(self):
+        """Non-centered reparameterization of the warped hierarchy for
+        ``sample_hypers(reparam='noncentered')``.
+
+        The funnel in warped-GP hyper posteriors (the bench workload's
+        remaining NUTS divergences) is the AMPLITUDE RIDGE: the scale of
+        the latent observations ``z = g^{-1}(y)`` moves exponentially
+        with the mapping hypers, and the kernel/noise variances must
+        chase it.  Sampling the variance hypers *relative to the current
+        data scale* removes the ridge exactly: in unconstrained (log)
+        space this is the unit-Jacobian shear
+
+            theta_var = v_var + log Var[g^{-1}(y; v_mapping)]
+
+        (the shifted dims never feed the shift, so the map is unit
+        lower-triangular — a pure reparameterization, no density
+        correction).  Returns ``(shear, unshear)`` over the sampling-dims
+        vector, or None when no amplitude hyper is being sampled."""
+        import jax
+
+        from ..hypers import LogTransform
+
+        reg = self.active
+        slices = reg.slices()
+        prefix = self.name + "_"
+        dims_full = []
+        for p in reg.ordered_params:
+            if (p.name.startswith(prefix) and p.name.endswith("_var")
+                    and isinstance(p.prior.transform, LogTransform)):
+                s0, s1, _ = slices[p.name]
+                dims_full.extend(range(s0, s1))
+        sampling = list(reg.sampling_dims)
+        pos = {d: i for i, d in enumerate(sampling)}
+        tgt = np.asarray([pos[d] for d in dims_full if d in pos],
+                         np.int32)
+        if tgt.size == 0:
+            return None
+        sdims = np.asarray(sampling, np.int32)
+        full = jnp.asarray(reg.dict_to_array(reg.params))
+        y = jnp.asarray(self.outputs, settings.dtype)
+
+        def logscale(v):
+            u = v if len(sdims) == reg.ndim else full.at[sdims].set(v)
+            params = reg.array_to_dict_jax(u)
+            z = self.f_mapping.inv(params, y)
+            return jnp.log(jnp.maximum(jnp.var(z),
+                                       jnp.asarray(1e-20, v.dtype)))
+
+        def shear(v):
+            return v.at[tgt].add(logscale(v))
+
+        def unshear(v):
+            # the mapping dims are untouched by shear, so the shift
+            # computed at theta equals the shift computed at v
+            return v.at[tgt].add(-logscale(v))
+
+        return shear, unshear
+
     # -- shared pure-math helpers ------------------------------------------------
     def _latent_obs(self, params, outputs):
         """T^{-1} y (reference mapping_outputs, elliptical.py:62)."""

@@ -260,6 +260,60 @@ class GridGP(StochasticProcess):
 
         return fn
 
+    def nll_distributed(self, params=None, mesh=None, axis="dp"):
+        """Device-sharded exact Kronecker NLL (SURVEY §2.7 TP row: shard
+        the factorization for N beyond one chip).
+
+        COMPLETE grid: the observation tensor (and with it every N-cell
+        intermediate of :func:`~g3py_tpu.ops.kron.kron_gp_nll`'s analytic
+        backward — ``alpha``, the per-axis ``beta`` contractions, the
+        eigen-basis fields) is sharded along the LONGEST grid axis with a
+        GSPMD ``NamedSharding``; the tiny per-axis grams/eighs replicate
+        and XLA inserts the one collective contraction the sharded axis
+        needs.  A ``(512, 512, n_t)`` raster whose backward cannot fit
+        one chip's HBM partitions its N-cell tensors ``1/D`` per device.
+
+        INCOMPLETE grid: the observed rows (residuals + tap indices) are
+        data-parallel, mirroring the SKI family — per-device scatters
+        into the grid tensor close with one all-reduce per matvec inside
+        the PCG/SLQ/BBMM pipeline (ops/kron.masked_kron_nll), zero
+        bespoke collective code.
+
+        Matches ``-loglike(params)`` (no hyper priors) to f32 collective
+        rounding; differentiable; rides ``find_MAP(engine='distributed')``
+        unchanged (stochastic.py `_find_map_distributed`)."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        if params is None:
+            params = self.params
+        params = {k: jnp.asarray(v) for k, v in params.items()}
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), (axis,))
+        ks = self._grams(params)
+        s2 = self._noise_var(params)
+        if self._is_complete(self.inputs):
+            yt = self._y_tensor(params, self.inputs, self.outputs)
+            shape = self._grid_shape()
+            ax_i = int(np.argmax(shape))
+            spec = [None] * len(shape)
+            spec[ax_i] = axis
+            yt = jax.lax.with_sharding_constraint(
+                yt, NamedSharding(mesh, PartitionSpec(*spec)))
+            return kron_gp_nll(ks, s2, yt)
+        x = jnp.asarray(self.inputs, settings.dtype)
+        idx = jax.lax.with_sharding_constraint(
+            self._idx_stack(x),
+            NamedSharding(mesh, PartitionSpec(None, axis)))
+        yres = jax.lax.with_sharding_constraint(
+            self._yres(params, self.inputs, self.outputs),
+            NamedSharding(mesh, PartitionSpec(axis)))
+        mk = self._masked
+        nll, _info = masked_kron_nll(ks, s2, yres, idx,
+                                     self._grid_shape(), mk["rank"],
+                                     mk["cg_iters"], mk["probes"],
+                                     mk["lanczos_iters"], mk["seed"])
+        return nll
+
     # -- posterior pieces ----------------------------------------------------------
     def _eig_state(self, params, inputs, outputs):
         ks = self._grams(params)

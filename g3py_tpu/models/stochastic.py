@@ -1218,7 +1218,8 @@ class StochasticProcess(PlotModel):
                       plot=False, file=None, load=True, seed=0, method="ensemble",
                       nuts_warmup=200, max_depth=8, target_accept=0.8,
                       nuts_mass="diag", neutra_warmup=500, advi_steps=2000,
-                      advi_mc=8, advi_lr=0.02, advi_full_rank=True):
+                      advi_mc=8, advi_lr=0.02, advi_full_rank=True,
+                      reparam=None):
         """MCMC over the hyperparameter posterior (reference :676-800).
 
         ``method='ensemble'`` (default) is the reference's affine-invariant
@@ -1268,6 +1269,30 @@ class StochasticProcess(PlotModel):
         # pick traceable log-density callables (reference :737-766)
         logp_tr, loglike_tr, logprior_tr = self._sampling_logps(prior=prior,
                                                                 tempered=ntemps is not None)
+
+        # non-centered reparameterization: sample amplitude hypers
+        # relative to the (mapping-dependent) data scale — a unit-Jacobian
+        # shear that removes the warped-hierarchy funnel ridge (the
+        # _noncentered_sampling_shear docstring has the geometry)
+        if reparam not in (None, "noncentered"):
+            raise ValueError(f"unknown reparam {reparam!r} "
+                             "(None | 'noncentered')")
+        shear = None
+        if reparam == "noncentered":
+            pair = self._noncentered_sampling_shear()
+            if pair is None:
+                raise ValueError(
+                    f"{type(self).__name__} has no amplitude hyper in the "
+                    "sampling dims — reparam='noncentered' does not apply")
+            shear, unshear = pair
+            _wrap = lambda f: (None if f is None
+                               else (lambda v, _f=f: _f(shear(v))))
+            logp_tr, loglike_tr, logprior_tr = (
+                _wrap(logp_tr), _wrap(loglike_tr), _wrap(logprior_tr))
+            start = np.asarray(
+                jax.vmap(unshear)(jnp.asarray(
+                    start.reshape(-1, start.shape[-1])))
+            ).reshape(start.shape).astype(settings.floatx)
 
         if method == "advi":
             from ..bayesian.advi import fit_advi, advi_draws
@@ -1325,6 +1350,13 @@ class StochasticProcess(PlotModel):
                 noise_mult=noise_mult, noise_sum=noise_sum, threads=threads,
                 parallel=bool(parallel), seed=seed)
 
+        if shear is not None:
+            # back to the model's parameterization (logp values are
+            # invariant — unit-Jacobian map)
+            sh = echain.shape
+            echain = np.asarray(jax.vmap(shear)(
+                jnp.asarray(echain.reshape(-1, sh[-1])))
+            ).reshape(sh).astype(settings.floatx)
         complete_chain = np.empty((echain.shape[0], echain.shape[1], self.ndim),
                                   dtype=settings.floatx)
         complete_chain[:, :, reg.sampling_dims] = echain

@@ -352,3 +352,67 @@ class TestMaskedGrid:
         m = np.asarray(gp.mean(p, rows[drop]))
         rmse = float(np.sqrt(np.mean((m - f[drop]) ** 2)))
         assert rmse < 0.08
+
+
+class TestGridDistributed:
+    """GSPMD-sharded Kronecker NLL on the virtual 8-device mesh: complete
+    grids shard the longest grid axis of the N-cell tensors (11 rows over
+    8 devices — non-dividing, GSPMD pads internally); masked grids shard
+    the observed rows (SKI-style data parallelism)."""
+
+    def test_nll_distributed_matches_loglike(self, grid_model):
+        gp, t, x, rows, y = grid_model
+        ll = float(gp.loglike(gp.params))
+        pj = {k: jnp.asarray(v) for k, v in gp.params.items()}
+        nd = float(jax.jit(lambda p: gp.nll_distributed(p))(pj))
+        assert abs(nd + ll) <= 1e-5 * abs(ll) + 1e-4
+
+    def test_nll_distributed_grad_matches_plain(self, grid_model):
+        gp, t, x, rows, y = grid_model
+        pj = {k: jnp.asarray(v) for k, v in gp.params.items()}
+        pure = gp.th_loglike_fn()
+        xj, yj = jnp.asarray(rows), jnp.asarray(y)
+        g_plain = jax.grad(lambda p: -pure(p, xj, xj, yj))(pj)
+        g_shard = jax.jit(jax.grad(lambda p: gp.nll_distributed(p)))(pj)
+        for k in g_plain:
+            a, b = np.asarray(g_plain[k]), np.asarray(g_shard[k])
+            np.testing.assert_allclose(b, a, rtol=5e-4, atol=5e-4)
+
+    def test_masked_nll_distributed_matches_loglike(self):
+        rng = np.random.default_rng(0)
+        t = np.sort(rng.uniform(0, 6, 12)).astype(np.float32)
+        x = np.sort(rng.uniform(-2, 2, 9)).astype(np.float32)
+        rows = g3.grid_rows([t, x])
+        n = rows.shape[0]
+        f = np.sin(rows[:, 0]) * np.exp(-0.3 * rows[:, 1] ** 2)
+        y = (f + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        keep = np.sort(rng.choice(n, int(0.7 * n), replace=False))
+        gp = g3.GridGP(axes=[t, x],
+                       kernel=[g3.MAT32(t[:, None]), g3.SE(x[:, None])],
+                       masked_probes=16, masked_lanczos=30, name="TMGD")
+        gp.observed(rows[keep], y[keep])
+        ll = float(gp.loglike(gp.params))
+        pj = {k: jnp.asarray(v) for k, v in gp.params.items()}
+        nd = float(jax.jit(lambda p: gp.nll_distributed(p))(pj))
+        # same seed -> same SLQ probes; only collective f32 reduction
+        # ordering differs
+        assert abs(nd + ll) <= 1e-4 * abs(ll) + 1e-3
+        g = jax.jit(jax.grad(lambda p: gp.nll_distributed(p)))(pj)
+        assert all(np.all(np.isfinite(np.asarray(v))) for v in g.values())
+
+    def test_find_map_distributed_engine(self):
+        rng = np.random.default_rng(3)
+        t = np.linspace(0, 6, 16).astype(np.float32)
+        x = np.linspace(-2, 2, 8).astype(np.float32)
+        rows = g3.grid_rows([t, x])
+        n = rows.shape[0]
+        f = np.sin(rows[:, 0]) * np.exp(-0.5 * rows[:, 1] ** 2)
+        y = (f + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        gp = g3.GridGP(axes=[t, x],
+                       kernel=[g3.MAT52(t[:, None]), g3.SE(x[:, None])],
+                       name="TGD")
+        gp.observed(rows, y)
+        ll0 = float(gp.loglike(gp.params))
+        p = gp.find_MAP(engine="distributed", points=1, display=False,
+                        max_iters=40)
+        assert float(gp.loglike(p)) > ll0 + 5
