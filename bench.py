@@ -397,6 +397,51 @@ def main():
     except Exception as e:
         notes.append(f"sparse bench skipped: {e}")
 
+    # ---- BASELINE configs[4]: 2-output graphical random field at N=50k ----
+    # Matrix-free preconditioned NLL+grad on the exact ICM-coregionalized
+    # model (tut19; the reference's notebooks-04/08 composition at 400x
+    # their scale — its dense gram alone is 10 GB).  vs_baseline = eval
+    # rate x the CPU stand-in's 16k wall (206.26 s): any positive row
+    # means a workload the reference could not form at all.
+    try:
+        from g3py_tpu.hypers.kernels import KernelDot
+        from g3py_tpu.hypers.metrics import Delta
+
+        n_mo = 25_000
+        t_ax = np.sort(rng.uniform(0, 100, n_mo)).astype(np.float32)
+        x_mo = np.concatenate([
+            np.stack([t_ax, np.zeros(n_mo, np.float32)], 1),
+            np.stack([t_ax, np.ones(n_mo, np.float32)], 1)])
+        f_mo = np.sin(0.3 * t_ax)
+        y_mo = np.concatenate([f_mo, 0.6 * f_mo + 0.3]).astype(np.float32)
+        y_mo += 0.05 * rng.standard_normal(2 * n_mo).astype(np.float32)
+        se_mo = g3.SE([0], name="Time")
+        gp_mo = g3.GP(space=x_mo[:4], location=g3.Bias(),
+                      kernel=se_mo + se_mo * KernelDot([1], metric=Delta,
+                                                       name="Coreg"),
+                      noisy=True, name="BMO")
+        gp_mo.observed(x_mo, y_mo)
+        reg_mo = gp_mo.active
+        u_mo = jnp.asarray(reg_mo.dict_to_array(gp_mo.params_default))
+
+        @jax.jit
+        def mo_nll_grad(u):
+            def nll(uu):
+                return gp_mo.nll_iterative(
+                    reg_mo.array_to_dict_jax(uu), rank=80, block=2048,
+                    cg_iters=100, probes=8)[0]
+
+            return jax.value_and_grad(nll)(u)
+
+        t_mo = _timeit(mo_nll_grad, u_mo, repeat=1, warmup=1, best_of=3)
+        rows.append({"metric": "mo_gp_nll_grad_evals_per_sec_n50k_p2",
+                     "value": round(1.0 / t_mo, 3), "unit": "evals/sec",
+                     "vs_baseline": round(206.26 / t_mo, 1)})
+        notes.append(f"t_mo50k_nll_grad={t_mo:.2f}s (matrix-free ICM, "
+                     f"rank80 cg100 probes8)")
+    except Exception as e:
+        notes.append(f"mo50k bench skipped: {e}")
+
     # ---- serving fast path: factored vs unfactored posterior mean ----------
     try:
         ns, m = 2048, 256

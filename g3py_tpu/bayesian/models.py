@@ -419,6 +419,21 @@ class PlotModel:
                 break
 
     # -- widgets -----------------------------------------------------------------
+    def _widget_intervals(self, params):
+        """Per-param slider ranges (min, max, value, step) — the widget's
+        layout logic, separated from ipywidgets so it is testable headless
+        (reference models.py:759-789 slider construction)."""
+        intervals = dict()
+        for k, v in params.items():
+            v = float(np.squeeze(v)) if np.size(v) == 1 else float(np.mean(v))
+            if v > 0.1:
+                intervals[k] = (0.0, 2 * v, v, 1e-2)
+            elif v < -0.1:
+                intervals[k] = (2 * v, 0.0, v, 1e-2)
+            else:
+                intervals[k] = (-5.0, 5.0, v, 1e-2)
+        return intervals
+
     def widget(self, params=None, model=False, auto=False, *args, **kwargs):
         """Interactive param sliders (reference models.py:759-789); requires
         ipywidgets + a notebook frontend."""
@@ -426,22 +441,15 @@ class PlotModel:
 
         if params is None:
             params = self.params_widget
-        intervals = dict()
-        for k, v in params.items():
-            v = float(np.squeeze(v)) if np.size(v) == 1 else float(np.mean(v))
-            if v > 0.1:
-                intervals[k] = FloatSlider(min=0.0, max=2 * v, value=v, step=1e-2)
-            elif v < -0.1:
-                intervals[k] = FloatSlider(min=2 * v, max=0.0, value=v, step=1e-2)
-            else:
-                intervals[k] = FloatSlider(min=-5.0, max=5.0, value=v, step=1e-2)
+        intervals = {
+            k: FloatSlider(min=lo, max=hi, value=v, step=st)
+            for k, (lo, hi, v, st) in self._widget_intervals(params).items()}
         self._widget_args = args
         self._widget_kwargs = kwargs
         widget_plot = self._widget_plot_model if model else self._widget_plot
         if auto:
-            interact(widget_plot, **intervals)
-        else:
-            interact_manual(widget_plot, **intervals)
+            return interact(widget_plot, **intervals)
+        return interact_manual(widget_plot, **intervals)
 
     def _check_params_dims(self, params):
         r = dict()

@@ -91,6 +91,14 @@ class Experiment:
         # engine knobs (rank/cg_iters/mesh/...) go in engine_kwargs.
         self.engine = "scipy"
         self.engine_kwargs = {}
+        # training objective: 'logp' (marginal likelihood) or 'loo'
+        # (leave-one-out pseudo-likelihood, GPML 5.4.2 — scipy/jax
+        # engines, GP family)
+        self.objective = "logp"
+        # candidate-selection criterion among optimized starts: '_l2'
+        # (holdout validation error, needs holdout>0) or 'loo' (training
+        # -set LOO pseudo-likelihood — internal CV, no holdout needed)
+        self.selection = "_l2"
         self.holdout = 0.0
         self.results = None
         self.simulations = {}
@@ -123,7 +131,8 @@ class Experiment:
 
     def set_selection(self, find_MAP=True, starts=1, points=1, powell=True,
                       master=None, max_time=None, engine="scipy",
-                      engine_kwargs=None):
+                      engine_kwargs=None, objective="logp",
+                      selection="_l2"):
         self.find_MAP = find_MAP
         self.starts = starts
         self.points = points
@@ -132,6 +141,8 @@ class Experiment:
         self.max_time = max_time
         self.engine = engine
         self.engine_kwargs = engine_kwargs or {}
+        self.objective = objective
+        self.selection = selection
 
     def save(self, path=None):
         path = path or self.file
@@ -179,15 +190,30 @@ class Experiment:
                 if ll > best_ll:
                     best, best_ll = s, ll
             return best
+        objective = getattr(self, "objective", "logp")
         if self.engine != "scipy":
             params, points_list = sp.find_MAP(
                 start=starts, points=self.points, display=display,
                 engine=self.engine, return_points=True,
-                **(self.engine_kwargs or {}))
+                objective=objective, **(self.engine_kwargs or {}))
         else:
             params, points_list = sp.find_MAP(
                 start=starts, points=self.points, powell=self.powell,
-                display=display, max_time=self.max_time, return_points=True)
+                display=display, max_time=self.max_time,
+                objective=objective, return_points=True)
+        selection = getattr(self, "selection", "_l2")
+        if selection == "loo":
+            # internal-CV selection: training-set LOO pseudo-likelihood
+            # (higher is better); works without a holdout split
+            best, best_score = params, -np.inf
+            for _name, _ll, cand in points_list:
+                try:
+                    score = float(sp.loo(DictObj(cand)))
+                except Exception:
+                    score = -np.inf
+                if np.isfinite(score) and score > best_score:
+                    best, best_score = DictObj(cand), score
+            return best
         if valid_index is None or len(valid_index) == 0:
             return params
         # holdout selection: smallest validation l2 among the candidates

@@ -227,3 +227,46 @@ class TestFindMapIterative:
                            rank=60, cg_iters=400, probes=256)
         p_sc = gp.find_MAP(points=1, display=False)
         assert gp.logp(p_it) >= gp.logp(p_sc) - 1.0
+
+
+class TestWidget:
+    """Widget path (reference models.py:759-789): slider-range logic
+    headless + full ipywidgets construction and a programmatic slider
+    update driving the plot callback."""
+
+    def _gp(self):
+        x = np.linspace(0, 6, 16).astype(np.float32).reshape(-1, 1)
+        y = np.sin(x[:, 0]).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                   name="WGT")
+        gp.observed(x, y)
+        return gp
+
+    def test_widget_intervals(self):
+        gp = self._gp()
+        iv = gp._widget_intervals(gp.params_default)
+        assert set(iv) == set(gp.params_default)
+        for k, (lo, hi, v, st) in iv.items():
+            assert lo <= v <= hi and st > 0
+            val = float(np.mean(gp.params_default[k]))
+            if val > 0.1:
+                assert (lo, hi) == (0.0, 2 * val)
+            elif val < -0.1:
+                assert (lo, hi) == (2 * val, 0.0)
+            else:
+                assert (lo, hi) == (-5.0, 5.0)
+
+    def test_widget_constructs_and_updates(self):
+        ipywidgets = pytest.importorskip("ipywidgets")
+        import matplotlib
+
+        matplotlib.use("Agg")
+        gp = self._gp()
+        w = gp.widget(auto=True)  # interact: callback fires on update
+        # programmatic slider move re-enters _widget_plot -> plot()
+        name = next(iter(gp.params_default))
+        sliders = [c for c in w.widget.children
+                   if isinstance(c, ipywidgets.FloatSlider)]
+        assert sliders
+        sliders[0].value = float(sliders[0].value) * 0.9 + 0.01
+        assert name in gp.widget_params or gp.widget_params
