@@ -422,7 +422,12 @@ def main():
                       noisy=True, name="BMO")
         gp_mo.observed(x_mo, y_mo)
         reg_mo = gp_mo.active
-        u_mo = jnp.asarray(reg_mo.dict_to_array(gp_mo.params_default))
+        # curvature-scale lengthscale start (the data-driven default
+        # degenerates at dense 1-D sampling; stretch_50k.py lesson) so the
+        # timed solve is a trusted, converging CG — a real workload
+        p_mo = dict(gp_mo.params_default)
+        p_mo["BMO_Time_rate"] = np.asarray([0.3], np.float32)
+        u_mo = jnp.asarray(reg_mo.dict_to_array(p_mo))
 
         @jax.jit
         def mo_nll_grad(u):
@@ -539,8 +544,15 @@ def main():
             f"{int(np.asarray(info['divergences']).sum())})")
 
         # ---- NeuTra: NUTS through a transport fitted to the ensemble
-        # run's draws (the funnel cure, bayesian/neutra.py); vs_baseline is
-        # NeuTra vs plain dense-NUTS steady-state ESS/s ---------------------
+        # run's draws (bayesian/neutra.py); vs_baseline is NeuTra vs plain
+        # dense-NUTS steady-state ESS/s.  Round-3 measured role: the
+        # ZERO-DIVERGENCE sampler — at ta=0.95 the transport removes every
+        # divergence (0 vs dense-NUTS's ~170 in the same window) at ~0.65x
+        # its ESS/s (trees saturate the runtime's d<=6 cap; d=7 crashes the
+        # tunnel worker — measured).  Lower ta trades divergences back in
+        # (ta=0.8: 1.35x ESS/s, 67 div).  The round-5 "1.9x" claim was a
+        # window artifact and is retired; the ensemble remains the
+        # production sampler. --------------------------------------------
         import jax.numpy as jnp
         from g3py_tpu.bayesian.neutra import (fit_flow, neutra_logp,
                                               flow_inverse, flow_forward)
@@ -559,7 +571,8 @@ def main():
         zch, _zlp, zinfo = nuts_sampler(lt, z0, samples=samples,
                                         warmup=warmup, key=1,
                                         chains=chains_n, max_depth=6,
-                                        target_accept=0.95, adapt_mass=True)
+                                        target_accept=0.95,
+                                        adapt_mass="dense")
         t_neutra = time.perf_counter() - t0
         theta = np.asarray(jax.vmap(jax.vmap(
             lambda z: flow_forward(flow, z)[0]))(jnp.asarray(zch)))

@@ -3,24 +3,39 @@ on one chip (BASELINE configs[4]: "multi-output graphical GP random field
 at N=50k" — the reference's notebooks 04/08 composition at 400x their
 scale; its dense gram alone would be 10 GB).
 
-The model is the EXACT multi-output GP through index-kernel
-coregionalization (the reference's DeltaEq machinery, kernels.py:262-290):
-rows are ``(t, output_index)``, the kernel is the intrinsic
-coregionalization form ``K = SE(t) + SE(t) * Coreg(output)``, and noise is
-the usual ``GP(noisy=True)`` wrapper.  Nothing about the model changes at
-50k rows — only the ENGINES do:
+The SAME exact model — intrinsic coregionalization over ``(t,
+output_index)`` rows, ``K = SE(t) + SE(t) * Coreg(output)`` (the
+reference's DeltaEq machinery, kernels.py:262-290) — runs through two
+TPU-native engines, and the tutorial shows how to pick:
 
-* training: ``find_MAP(engine='iterative')`` — the matrix-free
-  preconditioned objective (lazy gram slabs, PCG quadratic form, SLQ
-  logdet, BBMM trace gradients; ops/iterative.py).  No O(n^2) memory.
-* serving:  ``gp.predictor_iterative(params)`` — one multi-RHS PCG for the
-  state, then every statistic streams as blocked cross-gram matmuls.
+1. **Generic matrix-free engine** (any input dimension):
+   ``find_MAP(engine='iterative')`` — lazy gram slabs, preconditioned CG,
+   SLQ logdet, BBMM trace gradients (ops/iterative.py).  Measured on the
+   v5e tunnel (2026-08-20, recorded --full run): 6 L-BFGS iterations at
+   n=49,488 in 181 s,
+   NLL 6,679 -> -77,572, and the optimizer recovers the TRUE noise
+   (trained Noise_var 0.00248 vs true 0.0025) from a curvature-scale
+   start.  HONESTY NOTE: at that recovered optimum the gram's condition
+   (~lambda_1/sigma^2 ~ 4e9) exceeds what float32 preconditioned CG can
+   serve — the rank-80 pivoted-Cholesky solve stalls at relative
+   residual 0.22 and ``predictor_iterative`` correctly REFUSES (deeper
+   f32 factors break down; measured rank 240 is *worse*, resid 1.0).
+   The engine is the right tool for training here and for moderate-noise
+   regimes generally; this near-interpolation 1-D regime has an exact
+   engine below.
+2. **Exact O(n) state-space engine** (time-indexed rows):
+   :class:`MultiStateSpaceGP` — the same field as an LMC mixture of one
+   latent Markovian GP, inference by parallel-in-time Kalman.  Measured
+   (same recorded run): exact loglike 37,123 -> 76,743 trained in 317 s
+   (host-RTT-dominated scipy L-BFGS; 161 s in an uncontended window),
+   512 held-out queries in 109 s (first-call smoother compile dominates)
+   at rmse 0.0045 against the true field (noise sd 0.05), 2-sigma
+   coverage 0.96, and the learned task correlation matrix is exactly 1
+   (the two outputs share one latent by construction).
 
-Measured on the TPU v5e tunnel (2026-08-20, run with ``--full``):
-data n=50,000; training = 6 L-BFGS iterations of the matrix-free
-objective, NLL -11,021 -> -44,439 (wall 316 s incl. ~60 s compile);
-serving state factored once in 56 s, 512-row held-out batch mean+std in
-6.7 s; held-out RMSE 0.064 vs noise floor 0.05 (signal std 0.74).
+Run CI-sized with ``main(quick=True)`` (the iterative engine serves fine
+at that scale and is asserted end-to-end); ``--full`` reproduces the 50k
+numbers on a real chip.
 """
 
 import sys
@@ -58,13 +73,10 @@ def main(quick=True, plot=False):
     x, y, ftrue = make_field(n_points, rng)
     n = len(y)
 
-    # hold out a scattered test set
     test = np.sort(rng.choice(n, 512 if not quick else 64, replace=False))
     train = np.setdiff1d(np.arange(n), test)
 
-    # intrinsic coregionalization: shared latent SE on the time column +
-    # its output-equality modulation (KernelDot over the index column with
-    # the Delta metric — tut07's algebra, here at scale)
+    # ---- 1. generic engine: exact ICM model, matrix-free training ---------
     from g3py_tpu.hypers.kernels import KernelDot
     from g3py_tpu.hypers.metrics import Delta
 
@@ -77,50 +89,90 @@ def main(quick=True, plot=False):
     it_kw = dict(rank=40, cg_iters=60, probes=8) if quick else dict(
         rank=80, cg_iters=100, probes=8)
 
-    nll0, _ = gp.nll_iterative(gp.params_default, **it_kw)
-    t0 = time.perf_counter()
-    params = gp.find_MAP(engine="iterative", points=1, display=False,
-                         max_iters=4 if quick else 6, **it_kw)
-    t_train = time.perf_counter() - t0
-    nll1, info1 = gp.nll_iterative(params, **it_kw)
-    print(f"n={len(train)}: matrix-free NLL {float(nll0):.0f} -> "
-          f"{float(nll1):.0f} in {t_train:.0f}s "
-          f"(cg_resid {float(info1['cg_rel_residual']):.1e})", flush=True)
-    assert float(nll1) < float(nll0) - 1.0
-    assert float(info1["cg_rel_residual"]) < 5e-2
+    # the data-driven lengthscale default (0.5 / mean spacing) degenerates
+    # at dense 1-D sampling (rate ~ 100 at 25k points on [0, 100]) and the
+    # resulting gram is beyond f32 CG — start from a data-curvature-scale
+    # lengthscale instead (the stretch_50k.py lesson; the hardened
+    # objective would otherwise reject every start as untrusted)
+    start = dict(gp.params_default)
+    start[f"{gp.name}_Time_rate"] = np.asarray([0.3], np.float32)
 
-    # ---- serving: factor the state once, stream statistics ----------------
+    nll0, _ = gp.nll_iterative(start, **it_kw)
     t0 = time.perf_counter()
-    pr = gp.predictor_iterative(params, rank=it_kw["rank"],
-                                cg_iters=max(200, it_kw["cg_iters"]))
-    t_state = time.perf_counter() - t0
+    params = gp.find_MAP(start=start, engine="iterative", points=1,
+                         display=False, max_iters=4 if quick else 6,
+                         **it_kw)
+    t_train = time.perf_counter() - t0
+    nll1, _ = gp.nll_iterative(params, **it_kw)
+    noise_hat = float(np.asarray(params[f"{gp.name}_Noise_var"]))
+    print(f"[iterative] n={len(train)}: NLL {float(nll0):.0f} -> "
+          f"{float(nll1):.0f} in {t_train:.0f}s; trained Noise_var "
+          f"{noise_hat:.5f} (true 0.0025)", flush=True)
+    assert float(nll1) < float(nll0) - 1.0
+    # hyper-recovery gate: the optimizer must find the true noise scale
+    assert 0.2 * 0.0025 < noise_hat < 5 * 0.0025
+
+    if quick:
+        # at CI scale the trained gram is within f32 CG's reach — serve
+        # and score through the matrix-free predictor end-to-end
+        pr = gp.predictor_iterative(params, rank=it_kw["rank"],
+                                    cg_iters=max(200, it_kw["cg_iters"]))
+        mu = np.asarray(pr.mean(space=x[test]))
+        sd = np.asarray(pr.std(space=x[test]))
+        rmse = float(np.sqrt(np.mean((mu - ftrue[test]) ** 2)))
+        cover = float(np.mean(np.abs(y[test] - mu) <= 2 * np.sqrt(
+            sd ** 2 + noise_hat)))
+        print(f"[iterative] serving rmse {rmse:.3f}, coverage "
+              f"{cover:.2f}", flush=True)
+        assert rmse < 0.25 and cover > 0.85
+    else:
+        # at the 50k near-interpolation optimum the serving solve is
+        # beyond f32 CG (module docstring) — the guard in
+        # predictor_iterative raises; the exact engine below serves
+        print("[iterative] 50k serving at the near-interpolation optimum "
+              "is beyond f32 CG (resid ~0.22) — predictor_iterative "
+              "guards; use the exact engine below", flush=True)
+
+    # ---- 2. exact O(n) engine: the same field as a state-space LMC --------
+    xm = x[train].copy()  # rows are already (t, output_index)
+    ms = g3.MultiStateSpaceGP(space=xm, kernel=g3.SE(xm[:, :1]),
+                              outputs_dim=2, latents=1, name="MS19")
+    ms.observed(xm, y[train])
     t0 = time.perf_counter()
-    mu = np.asarray(pr.mean(space=x[test]))
-    sd = np.asarray(pr.std(space=x[test]))
+    ll0 = float(ms.loglike(ms.params))
+    pmap = ms.find_MAP(points=1, powell=False, display=False)
+    t_ms = time.perf_counter() - t0
+    ll1 = float(ms.loglike(pmap))
+    t0 = time.perf_counter()
+    mu2 = np.asarray(ms.mean(pmap, space=x[test]))
+    sd2 = np.asarray(ms.std(pmap, space=x[test]))
     t_serve = time.perf_counter() - t0
-    rmse = float(np.sqrt(np.mean((mu - ftrue[test]) ** 2)))
-    cover = float(np.mean(np.abs(y[test] - mu) <= 2 * np.sqrt(
-        sd ** 2 + 0.05 ** 2)))
-    print(f"serving: state {t_state:.1f}s, {len(test)}-row mean+std "
-          f"{t_serve:.1f}s; held-out rmse {rmse:.3f} "
-          f"(noise floor 0.05), 2sd coverage {cover:.2f}", flush=True)
-    assert rmse < (0.25 if quick else 0.12)
-    assert cover > 0.85
+    rmse2 = float(np.sqrt(np.mean((mu2 - ftrue[test]) ** 2)))
+    cover2 = float(np.mean(np.abs(y[test] - mu2) <= 2 * np.sqrt(
+        sd2 ** 2 + 0.0025)))
+    tc = np.asarray(ms.task_correlations(pmap))
+    print(f"[mssgp] exact loglike {ll0:.0f} -> {ll1:.0f} in {t_ms:.0f}s; "
+          f"{len(test)} queries in {t_serve:.0f}s; held-out rmse "
+          f"{rmse2:.4f}, coverage {cover2:.2f}, task corr "
+          f"{tc[0, 1]:.3f}", flush=True)
+    assert ll1 >= ll0 - 1e-3
+    assert rmse2 < (0.15 if quick else 0.02)
+    assert cover2 > 0.85
+    assert tc[0, 1] > 0.9  # the outputs share one latent by construction
 
     if plot:
         from _common import save_fig
         import matplotlib.pyplot as plt
 
         o0 = x[test][:, 1] == 0
-        plt.plot(x[test][o0, 0], mu[o0], ".", label="served mean (out 0)")
+        plt.plot(x[test][o0, 0], mu2[o0], ".", label="served mean (out 0)")
         plt.plot(x[test][o0, 0], ftrue[test][o0], "-k", lw=0.5,
                  label="truth")
         plt.legend()
         save_fig("tut19_mo50k.png")
 
     return dict(n=len(train), nll0=float(nll0), nll1=float(nll1),
-                t_train=t_train, t_state=t_state, t_serve=t_serve,
-                rmse=rmse)
+                t_train=t_train, t_mssgp=t_ms, rmse=rmse2)
 
 
 if __name__ == "__main__":

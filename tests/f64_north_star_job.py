@@ -39,7 +39,10 @@ from g3py_tpu.utils.reference_io import (  # noqa: E402
     transformed_to_natural,
 )
 
-REFERENCE = "/root/reference/notebooks/experiments/sunsets.g3x"
+_VENDORED = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "data", "experiments", "sunsets.g3x")
+REFERENCE = (_VENDORED if os.path.isfile(_VENDORED + ".r")
+             else "/root/reference/notebooks/experiments/sunsets.g3x")
 RTOL = 1e-6
 LOG2PI = np.log(2.0 * np.pi)
 failures = []

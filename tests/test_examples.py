@@ -42,6 +42,7 @@ MODULES = [
     "tut16_ski",
     "tut17_deep_kernels",
     "tut18_bayesian_optimization",
+    "tut19_multioutput_50k",
 ]
 
 

@@ -86,8 +86,11 @@ def _workloads():
         from g3py_tpu.utils.reference_io import (load_experiment_frames,
                                                  transformed_to_natural)
 
+        vendored = os.path.join(os.path.dirname(__file__), "data",
+                                "experiments", "sunsets.g3x")
         res, sims = load_experiment_frames(
-            "/root/reference/notebooks/experiments/sunsets.g3x")
+            vendored if os.path.isfile(vendored + ".r")
+            else "/root/reference/notebooks/experiments/sunsets.g3x")
         xs, ys = data_sunspots()
         xs = xs.astype(np.float32)
         ys = ys.astype(np.float32)
