@@ -546,13 +546,13 @@ def main():
         # ---- NeuTra: NUTS through a transport fitted to the ensemble
         # run's draws (bayesian/neutra.py); vs_baseline is NeuTra vs plain
         # dense-NUTS steady-state ESS/s.  Round-3 measured role: the
-        # ZERO-DIVERGENCE sampler — at ta=0.95 the transport removes every
-        # divergence (0 vs dense-NUTS's ~170 in the same window) at ~0.65x
-        # its ESS/s (trees saturate the runtime's d<=6 cap; d=7 crashes the
-        # tunnel worker — measured).  Lower ta trades divergences back in
-        # (ta=0.8: 1.35x ESS/s, 67 div).  The round-5 "1.9x" claim was a
-        # window artifact and is retired; the ensemble remains the
-        # production sampler. --------------------------------------------
+        # LOW-DIVERGENCE sampler — always far fewer divergences than plain
+        # dense NUTS (0-84 vs 94-170 across same-day captures at ta=0.95),
+        # ESS/s ratio swinging 0.65x-1.98x window to window (4-chain mESS
+        # on a contended tunnel is noisy; trees saturate the runtime's
+        # d<=6 cap, and d=7 crashes the tunnel worker — measured).  Runs
+        # dense z-space mass (the best-measured config); the ensemble
+        # remains the production sampler. --------------------------------
         import jax.numpy as jnp
         from g3py_tpu.bayesian.neutra import (fit_flow, neutra_logp,
                                               flow_inverse, flow_forward)

@@ -65,7 +65,6 @@ def main(cpu=False):
         ch = np.asarray(ch)
         return ch, info, t
 
-    out = {}
     for tag, logp, start, back, mass, ta in (
             ("plain_dense95", logp_tr, u0, None, "dense", 0.95),
             ("ncp_dense95", logp_nc, v0, shear, "dense", 0.95),
@@ -82,7 +81,6 @@ def main(cpu=False):
         div = int(np.asarray(info["divergences"]).sum())
         acc = float(np.asarray(info["accept_rate"]).mean())
         depth = float(np.asarray(info.get("mean_tree_depth", np.nan)).mean())
-        out[tag] = (ess_s, div, acc, t)
         print(f"{tag}: ess/s={ess_s:.2f} div={div} accept={acc:.2f} "
               f"depth={depth:.2f} wall={t:.1f}s", flush=True)
 

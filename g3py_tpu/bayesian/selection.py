@@ -141,6 +141,11 @@ class Experiment:
         self.max_time = max_time
         self.engine = engine
         self.engine_kwargs = engine_kwargs or {}
+        if objective not in ("logp", "loo"):
+            raise ValueError(f"unknown objective {objective!r}")
+        if selection not in ("_l2", "loo"):
+            raise ValueError(f"unknown selection {selection!r} "
+                             "('_l2' holdout error | 'loo' internal CV)")
         self.objective = objective
         self.selection = selection
 
@@ -205,6 +210,10 @@ class Experiment:
         if selection == "loo":
             # internal-CV selection: training-set LOO pseudo-likelihood
             # (higher is better); works without a holdout split
+            if not hasattr(sp, "loo"):
+                raise ValueError(
+                    f"selection='loo' needs models exposing .loo (the GP "
+                    f"family does); {type(sp).__name__} does not")
             best, best_score = params, -np.inf
             for _name, _ll, cand in points_list:
                 try:

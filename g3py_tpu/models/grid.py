@@ -308,11 +308,16 @@ class GridGP(StochasticProcess):
             self._yres(params, self.inputs, self.outputs),
             NamedSharding(mesh, PartitionSpec(axis)))
         mk = self._masked
-        nll, _info = masked_kron_nll(ks, s2, yres, idx,
-                                     self._grid_shape(), mk["rank"],
-                                     mk["cg_iters"], mk["probes"],
-                                     mk["lanczos_iters"], mk["seed"])
-        return nll
+        nll, info = masked_kron_nll(ks, s2, yres, idx,
+                                    self._grid_shape(), mk["rank"],
+                                    mk["cg_iters"], mk["probes"],
+                                    mk["lanczos_iters"], mk["seed"])
+        # hardening parity with th_loglike_fn: an untrusted CG solve must
+        # read 'very bad' to the minimizer (zero-gradient plateau), or
+        # L-BFGS chases estimator breakdown (the iterative-engine lesson)
+        bad = (info["cg_rel_residual"] > 5e-2) | ~jnp.isfinite(nll)
+        return jnp.where(bad, jnp.asarray(1e10, nll.dtype),
+                         to_num(nll, nan=1e10, posinf=1e10, neginf=1e10))
 
     # -- posterior pieces ----------------------------------------------------------
     def _eig_state(self, params, inputs, outputs):

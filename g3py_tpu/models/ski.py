@@ -194,11 +194,17 @@ class SKIGP(GridGP):
         yres = (yj - self.f_location(params, xj)) * mj
         s2 = self._noise_var(params)
         sk = self._ski
-        nll, _info = ski_nll(self._grams(params), s2, yres, idx, w,
-                             self._grid_shape(), sk["rank"],
-                             sk["cg_iters"], sk["probes"],
-                             sk["lanczos_iters"], sk["seed"])
-        return nll - 0.5 * n_pad * (LOG2PI + jnp.log(s2))
+        nll, info = ski_nll(self._grams(params), s2, yres, idx, w,
+                            self._grid_shape(), sk["rank"],
+                            sk["cg_iters"], sk["probes"],
+                            sk["lanczos_iters"], sk["seed"])
+        nll = nll - 0.5 * n_pad * (LOG2PI + jnp.log(s2))
+        # hardening parity with th_loglike_fn: an untrusted CG solve must
+        # read 'very bad' to the minimizer (zero-gradient plateau), or
+        # L-BFGS chases estimator breakdown (the iterative-engine lesson)
+        bad = (info["cg_rel_residual"] > 5e-2) | ~jnp.isfinite(nll)
+        return jnp.where(bad, jnp.asarray(1e10, nll.dtype),
+                         to_num(nll, nan=1e10, posinf=1e10, neginf=1e10))
 
     # -- posterior pieces -----------------------------------------------------------
     def _prior_diag(self, params, space):

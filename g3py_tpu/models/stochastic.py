@@ -199,6 +199,7 @@ class StochasticProcess(PlotModel):
             state.pop(public, None)
         state.pop("_cluster", None)
         state.pop("_sampling_logps_cache", None)
+        state.pop("_ncp_logps_cache", None)
         return state
 
     # ----------------------------------------------------------------- params
@@ -877,11 +878,13 @@ class StochasticProcess(PlotModel):
         device-sharded exact NLL (GP family, N beyond one chip's HBM — the
         gram lives as row bands across the mesh).
 
-        ``objective='loo'`` (scipy engine, GP family) swaps this process's
-        marginal loglike for its leave-one-out pseudo-likelihood (GPML
-        §5.4.2) — hypers trained on held-out prediction quality, robust
-        to covariance misspecification the marginal likelihood rewards;
-        priors/potentials/other components contribute unchanged."""
+        ``objective='loo'`` (scipy and jax engines, GP family) swaps this
+        process's marginal loglike for its leave-one-out
+        pseudo-likelihood (GPML §5.4.2) — hypers trained on held-out
+        prediction quality, robust to covariance misspecification the
+        marginal likelihood rewards; priors/potentials/other components
+        contribute unchanged.  On the jax engine the vmapped multi-start
+        runs all starts of the multimodal CV surface at once."""
         if objective not in ("logp", "loo"):
             raise ValueError(f"unknown objective {objective!r}")
         if objective == "loo" and engine not in ("scipy", "jax"):
@@ -1172,6 +1175,14 @@ class StochasticProcess(PlotModel):
             self.compiles[tag] = CompiledFn(apure, tag)
         return self.compiles[tag]
 
+    def _noncentered_sampling_shear(self):
+        """Non-centered reparameterization hook: subclasses with an
+        amplitude/data-scale hierarchy (the elliptical families) return a
+        ``(shear, unshear)`` closure pair over the sampling-dims vector;
+        the base returns None so ``sample_hypers(reparam='noncentered')``
+        raises the friendly does-not-apply error."""
+        return None
+
     def _sampling_loo_objective(self):
         """jax-traceable LOO objective over the sampling dims — the
         engine='jax' counterpart of :meth:`_sampling_logps` for
@@ -1292,10 +1303,24 @@ class StochasticProcess(PlotModel):
                     f"{type(self).__name__} has no amplitude hyper in the "
                     "sampling dims — reparam='noncentered' does not apply")
             shear, unshear = pair
-            _wrap = lambda f: (None if f is None
-                               else (lambda v, _f=f: _f(shear(v))))
-            logp_tr, loglike_tr, logprior_tr = (
-                _wrap(logp_tr), _wrap(loglike_tr), _wrap(logprior_tr))
+            # memoized alongside _sampling_logps (same key) so repeated
+            # reparam'd sample_hypers calls reuse closure identity and
+            # skip the full sampler recompile
+            memo_key = ("ncp", prior, ntemps is not None,
+                        self._data_version,
+                        tuple(reg.fixed_dims), id(reg.fixed_datatrace),
+                        self._other_versions())
+            cache = getattr(self, "_ncp_logps_cache", None)
+            if cache is not None and cache[0] == memo_key:
+                logp_tr, loglike_tr, logprior_tr, shear, unshear = cache[1]
+            else:
+                _wrap = lambda f: (None if f is None
+                                   else (lambda v, _f=f: _f(shear(v))))
+                logp_tr, loglike_tr, logprior_tr = (
+                    _wrap(logp_tr), _wrap(loglike_tr), _wrap(logprior_tr))
+                self._ncp_logps_cache = (
+                    memo_key,
+                    (logp_tr, loglike_tr, logprior_tr, shear, unshear))
             start = np.asarray(
                 jax.vmap(unshear)(jnp.asarray(
                     start.reshape(-1, start.shape[-1])))
