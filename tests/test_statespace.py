@@ -527,6 +527,18 @@ class TestPeriodic:
     """COS (exact rotation state), SIN (truncated Bessel-cosine
     expansion) and quasi-periodic products vs the dense oracle."""
 
+    @pytest.fixture(autouse=True)
+    def _fresh_compile_cache(self):
+        """The harmonics=10 cases compile state-dim-21..42 Kalman scans;
+        the XLA CPU compiler SEGFAULTS compiling them once the process
+        has accumulated a long tail of resident programs (reproduced 3x
+        in full-suite runs, at this exact test, never solo — the
+        round-11 clear-per-module mitigation is not enough here).
+        Clearing per test keeps the compiler healthy at a ~1 min
+        recompile cost."""
+        jax.clear_caches()
+        yield
+
     CASES = {
         "cos": lambda t: (lambda: g3.COS(t)),
         "sin": lambda t: (lambda: g3.SIN(t)),
