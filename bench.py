@@ -19,10 +19,20 @@ the headline) and carries every BASELINE metric as a parsed row under
 * ensemble_ess_per_sec_wgp_n125 — steady-state ensemble ESS/s; its
   vs_baseline is the clean eval-rate ratio against the reference's
   recorded 878 us/eval (same move family, ESS-per-eval cancels).
-* nuts_ess_per_sec_wgp_n125 — NUTS (dense_e mass) ESS/s on the same
-  workload; vs_baseline is NUTS vs our own measured ensemble ESS/s.  On
-  this funnel-shaped warped-GP posterior the ensemble wins that ratio —
+* nuts_ess_per_sec_wgp_n125 — NUTS ESS/s on the same workload in the
+  best-measured configuration (reparam='noncentered' + dense mass,
+  ta=0.95, d<=6 — benchmarks/ncp_ab.py: divergences halved at par ESS);
+  vs_baseline is NUTS vs our own measured ensemble ESS/s.  On this
+  funnel-shaped warped-GP posterior the ensemble wins that ratio —
   reported honestly; the reference had no gradient sampler at all.
+
+Resilience (VERDICT round-3 item 1): the hosted TPU tunnel's worker can
+die mid-run (FAILED_PRECONDITION cascades killed 9/13 rows in
+BENCH_r03).  Every section now runs through ``_section``: on a
+backend-death error it waits out the ~2-minute worker restart window,
+probes the backend with a tiny matmul until it answers, and retries the
+section ONCE.  The first section to kill the worker is named in the
+notes so compile-heavy triggers can be tracked across rounds.
 """
 
 import json
@@ -30,6 +40,11 @@ import sys
 import time
 
 import numpy as np
+
+# errors that mean "the tunnel worker died", not "this row is broken"
+_BACKEND_DEATH = ("FAILED_PRECONDITION", "UNAVAILABLE", "Unavailable",
+                  "DEADLINE_EXCEEDED", "Socket closed", "backend error",
+                  "INTERNAL")
 
 
 def _timeit(fn, *args, repeat=50, warmup=5, best_of=3):
@@ -57,81 +72,142 @@ def _block(r):
         np.asarray(jnp.sum(x))
 
 
-def main():
+def _probe_backend(timeout_s=420.0):
+    """Wait until the backend answers a tiny matmul (worker restart takes
+    ~2 min; a probe issued during the restart window can wedge, so each
+    probe attempt is given a bounded slice via repeated small tries)."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    attempt = 0
+    while time.perf_counter() - t0 < timeout_s:
+        try:
+            x = jnp.full((128, 128), 1.0 + attempt)
+            np.asarray(jnp.sum(x @ x))
+            return True
+        except Exception:
+            attempt += 1
+            time.sleep(20.0)
+    return False
+
+
+class _Bench:
+    def __init__(self):
+        self.rows = []
+        self.notes = []
+        self.ctx = {}
+        self.first_death = None
+
+    def section(self, name, fn):
+        """Run one bench section; on backend death wait + probe + retry
+        once.  A genuine per-row failure is recorded and skipped."""
+        for attempt in (1, 2):
+            try:
+                fn()
+                return True
+            except Exception as e:  # noqa: BLE001 - bench must survive rows
+                msg = f"{type(e).__name__}: {e}"
+                died = any(s in msg for s in _BACKEND_DEATH)
+                if died and attempt == 1:
+                    if self.first_death is None:
+                        self.first_death = name
+                    self.notes.append(
+                        f"{name}: backend death ({msg[:140]}); waiting out "
+                        "worker restart and retrying once")
+                    time.sleep(150.0)
+                    ok = _probe_backend()
+                    self.notes.append(
+                        f"{name}: backend probe after restart wait: "
+                        f"{'alive' if ok else 'STILL DOWN'}")
+                    continue
+                self.notes.append(f"{name} skipped: {msg[:200]}")
+                return False
+        return False
+
+
+def _run(b):
     import jax
     import jax.numpy as jnp
     import g3py_tpu as g3
 
     rng = np.random.default_rng(0)
-    rows = []
-    notes = []
+    rows, notes, ctx = b.rows, b.notes, b.ctx
+    d = 8
 
     # ---- headline: NLL+grad at N=4096, d=8 ---------------------------------
-    n, d = 4096, 8
-    x = rng.standard_normal((n, d)).astype(np.float32)
-    y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(np.float32)
-    gp = g3.GP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x), name="BGP")
-    gp.observed(x, y)
-    reg = gp.active
-    pure = gp._logp_pure(prior=False)
-    u0 = jnp.asarray(reg.dict_to_array(gp.params_default))
-    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    def sec_headline():
+        n = 4096
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        y = (np.sin(x[:, 0]) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        gp = g3.GP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x), name="BGP")
+        gp.observed(x, y)
+        reg = gp.active
+        pure = gp._logp_pure(prior=False)
+        u0 = jnp.asarray(reg.dict_to_array(gp.params_default))
+        xj, yj = jnp.asarray(x), jnp.asarray(y)
 
-    @jax.jit
-    def nll_grad(u):
-        def nll(uu):
-            return -pure(reg.array_to_dict_jax(uu), xj, xj, yj,
-                         jnp.zeros(0, dtype=uu.dtype))
+        @jax.jit
+        def nll_grad(u):
+            def nll(uu):
+                return -pure(reg.array_to_dict_jax(uu), xj, xj, yj,
+                             jnp.zeros(0, dtype=uu.dtype))
 
-        return jax.value_and_grad(nll)(u)
+            return jax.value_and_grad(nll)(u)
 
-    t_main = _timeit(nll_grad, u0, repeat=20)
-    evals_per_sec = 1.0 / t_main
+        t_main = _timeit(nll_grad, u0, repeat=20)
+        evals_per_sec = 1.0 / t_main
 
-    # ---- vs_baseline: WGP logp at N=125, d=8 (reference 878 us) -------------
-    n2 = 125
-    x2 = rng.standard_normal((n2, d)).astype(np.float32)
-    y2 = (np.abs(np.sin(x2[:, 0])) + 0.5
-          + 0.1 * rng.standard_normal(n2)).astype(np.float32)
-    wgp = g3.WGP(space=x2[:4], location=g3.Bias(), kernel=g3.SE(x2),
-                 mapping=g3.BoxCoxLinear(y2), name="BWGP")
-    wgp.observed(x2, y2)
-    reg2 = wgp.active
-    pure2 = wgp._logp_pure(prior=False)
-    u2 = jnp.asarray(reg2.dict_to_array(wgp.params_default))
-    x2j, y2j = jnp.asarray(x2), jnp.asarray(y2)
+        # ---- vs_baseline: WGP logp at N=125, d=8 (reference 878 us) --------
+        n2 = 125
+        x2 = rng.standard_normal((n2, d)).astype(np.float32)
+        y2 = (np.abs(np.sin(x2[:, 0])) + 0.5
+              + 0.1 * rng.standard_normal(n2)).astype(np.float32)
+        wgp = g3.WGP(space=x2[:4], location=g3.Bias(), kernel=g3.SE(x2),
+                     mapping=g3.BoxCoxLinear(y2), name="BWGP")
+        wgp.observed(x2, y2)
+        reg2 = wgp.active
+        pure2 = wgp._logp_pure(prior=False)
+        u2 = jnp.asarray(reg2.dict_to_array(wgp.params_default))
+        x2j, y2j = jnp.asarray(x2), jnp.asarray(y2)
 
-    @jax.jit
-    def wgp_logp(u):
-        return pure2(reg2.array_to_dict_jax(u), x2j, x2j, y2j,
-                     jnp.zeros(0, dtype=u.dtype))
+        @jax.jit
+        def wgp_logp(u):
+            return pure2(reg2.array_to_dict_jax(u), x2j, x2j, y2j,
+                         jnp.zeros(0, dtype=u.dtype))
 
-    t_ref_workload = _timeit(wgp_logp, u2, repeat=200, warmup=20)
-    vs_baseline = 878e-6 / t_ref_workload
+        t_ref_workload = _timeit(wgp_logp, u2, repeat=200, warmup=20)
+        vs_baseline = 878e-6 / t_ref_workload
 
-    # Amortized per-eval cost when the dispatch overhead is shared across a
-    # vmapped batch (what samplers/multi-start optimizers actually run).
-    # Single-eval dispatch through the hosted TPU tunnel costs ~0.8 ms, so
-    # the honest device-side number is the batched one.
-    batch = 32
-    u2b = jnp.tile(u2[None, :], (batch, 1))
-    wgp_logp_batch = jax.jit(jax.vmap(
-        lambda u: pure2(reg2.array_to_dict_jax(u), x2j, x2j, y2j,
-                        jnp.zeros(0, dtype=u.dtype))))
-    t_batched = _timeit(wgp_logp_batch, u2b, repeat=100, warmup=10) / batch
+        # Amortized per-eval cost when the dispatch overhead is shared
+        # across a vmapped batch (what samplers/multi-start optimizers
+        # actually run).  Single-eval dispatch through the hosted TPU
+        # tunnel costs ~0.8 ms, so the honest device-side number is the
+        # batched one.
+        batch = 32
+        u2b = jnp.tile(u2[None, :], (batch, 1))
+        wgp_logp_batch = jax.jit(jax.vmap(
+            lambda u: pure2(reg2.array_to_dict_jax(u), x2j, x2j, y2j,
+                            jnp.zeros(0, dtype=u.dtype))))
+        t_batched = _timeit(wgp_logp_batch, u2b, repeat=100, warmup=10) / batch
 
-    rows.append({"metric": "gp_nll_grad_evals_per_sec_n4096_d8",
-                 "value": round(evals_per_sec, 3), "unit": "evals/sec",
-                 "vs_baseline": round(vs_baseline, 3)})
-    notes.append(
-        f"backend={jax.default_backend()} t_nll_grad_n4096={t_main*1e3:.2f}ms "
-        f"t_wgp_logp_n125={t_ref_workload*1e6:.0f}us (ref 878us; single-eval "
-        f"time is ~0.8ms tunnel dispatch) "
-        f"t_wgp_logp_n125_batched={t_batched*1e6:.0f}us/eval "
-        f"(vs_ref_batched={878e-6/t_batched:.1f}x)")
+        rows.append({"metric": "gp_nll_grad_evals_per_sec_n4096_d8",
+                     "value": round(evals_per_sec, 3), "unit": "evals/sec",
+                     "vs_baseline": round(vs_baseline, 3)})
+        notes.append(
+            f"backend={jax.default_backend()} "
+            f"t_nll_grad_n4096={t_main*1e3:.2f}ms "
+            f"t_wgp_logp_n125={t_ref_workload*1e6:.0f}us (ref 878us; "
+            f"single-eval time is ~0.8ms tunnel dispatch) "
+            f"t_wgp_logp_n125_batched={t_batched*1e6:.0f}us/eval "
+            f"(vs_ref_batched={878e-6/t_batched:.1f}x)")
+        ctx["wgp"] = wgp
+        ctx["u2"] = u2
+
+    b.section("headline_n4096", sec_headline)
 
     # ---- scaling point: N=16384 (BASELINE asks N=4k/16k) --------------------
-    try:
+    def sec_16k():
         n16 = 16384
         x16 = rng.standard_normal((n16, d)).astype(np.float32)
         y16 = (np.sin(x16[:, 0])
@@ -164,8 +240,9 @@ def main():
                      "vs_baseline": round(cpu_standin / t16, 1)})
         notes.append(f"t_nll_grad_n16384={t16*1e3:.1f}ms ({1.0/t16:.2f} "
                      f"evals/sec, vs_cpu_lapack_standin={cpu_standin/t16:.0f}x)")
+        ctx["t16"] = t16
 
-        # ---- Cholesky GFLOP/s at N=16384 ------------------------------------
+        # ---- Cholesky GFLOP/s at N=16384 -----------------------------------
         from g3py_tpu.ops.linalg import safe_cholesky
 
         k16 = gp16.f_kernel_noise.cov(
@@ -187,8 +264,8 @@ def main():
                      "vs_baseline": round(37.11 / t_chol, 1)})
         notes.append(f"t_cholesky_n16384={t_chol*1e3:.1f}ms "
                      f"({gflops/1e3:.1f} TFLOP/s)")
-    except Exception as e:
-        notes.append(f"n16384 points skipped: {e}")
+
+    b.section("dense_n16384", sec_16k)
 
     # ---- state-space family: EXACT 1-D NLL+grad at N=16384 -----------------
     # Same mathematical quantity as the dense 16k row (exact marginal
@@ -196,7 +273,7 @@ def main():
     # parallel-Kalman path (ops/ssm.py).  vs_baseline = the same CPU
     # LAPACK stand-in an exact dense eval costs (206.26 s) — the
     # reference has no sub-cubic exact path at any cost.
-    try:
+    def sec_ssgp():
         tss = np.sort(rng.uniform(0, 16384 / 50.0, 16384)).reshape(
             -1, 1).astype(np.float32)
         yss = (np.sin(2 * np.pi * tss[:, 0] / 20.0)
@@ -224,8 +301,8 @@ def main():
                      "vs_baseline": round(206.26 / t_ss, 1)})
         notes.append(f"t_ssgp_nll_grad_n16384={t_ss*1e3:.2f}ms "
                      f"(exact O(n) path; dense on-chip floor ~250ms)")
-    except Exception as e:
-        notes.append(f"ssgp bench skipped: {e}")
+
+    b.section("ssgp_n16384", sec_ssgp)
 
     # ---- exact MULTI-OUTPUT time series: 2-channel LMC-mixed Kalman -------
     # Two channels at different irregular times, mixed from two latent
@@ -234,7 +311,9 @@ def main():
     # kernel at O((sum n_p)^3) (reference kernels.py:262-290); this is
     # the same 16k-event workload through the per-row-emission O(n)
     # scan.  vs_baseline = the CPU LAPACK dense-eval stand-in (206.26 s).
-    try:
+    # NOTE: BENCH_r03's crash cascade started at this row — its compile
+    # is the biggest fused scan in the bench; keep it modest.
+    def sec_mssgp():
         n0m, n1m = 9830, 6554                      # 16384 total events
         t0m = np.sort(rng.uniform(0, 327.0, n0m)).astype(np.float32)
         t1m = np.sort(rng.uniform(0, 327.0, n1m)).astype(np.float32)
@@ -269,8 +348,8 @@ def main():
                      "vs_baseline": round(206.26 / t_ms, 1)})
         notes.append(f"t_mssgp_nll_grad_n16384_p2={t_ms*1e3:.2f}ms "
                      "(exact multi-output O(n) path)")
-    except Exception as e:
-        notes.append(f"mssgp bench skipped: {e}")
+
+    b.section("mssgp_n16384", sec_mssgp)
 
     # ---- Kronecker grid family: EXACT NLL+grad at 256x256 (N=65,536) -------
     # Separable MAT52 x SE kernel on a full Cartesian grid
@@ -279,7 +358,7 @@ def main():
     # vs_baseline = the CPU LAPACK stand-in's dense exact eval
     # extrapolated O(N^3) from its measured 206.26 s at 16k to
     # N=65,536 (x64) — the dense gram alone is 17 GB, beyond the chip.
-    try:
+    def sec_grid():
         ngt, ngx = 256, 256
         tgr = np.linspace(0, 8, ngt).astype(np.float32)
         xgr = np.linspace(-2, 2, ngx).astype(np.float32)
@@ -312,8 +391,8 @@ def main():
         notes.append(f"t_gridgp_nll_grad_256x256={t_gr*1e3:.2f}ms "
                      "(exact Kronecker path; vs_baseline extrapolates "
                      "the 16k dense stand-in O(N^3) to N=65,536)")
-    except Exception as e:
-        notes.append(f"gridgp bench skipped: {e}")
+
+    b.section("gridgp_256x256", sec_grid)
 
     # ---- KISS-GP: exact-flavoured NLL+grad on 100k SCATTERED rows ----------
     # Structured kernel interpolation (models/ski.py, ops/kron.ski_nll):
@@ -321,7 +400,7 @@ def main():
     # to MXU matmuls (ski_operator), matrix-free PCG+SLQ+BBMM estimator.
     # vs_baseline extrapolates the CPU stand-in's dense exact eval
     # O(N^3) from 206.26 s at 16k to N=100,000 (x238).
-    try:
+    def sec_ski():
         nsk = 100_000
         xsk = np.stack([rng.uniform(0, 10, nsk),
                         rng.uniform(-3, 3, nsk)], 1).astype(np.float32)
@@ -352,15 +431,15 @@ def main():
                      "(scattered rows, KISS-GP MXU interpolation; "
                      "vs_baseline extrapolates the 16k dense stand-in "
                      "O(N^3) to N=1e5)")
-    except Exception as e:
-        notes.append(f"skigp bench skipped: {e}")
+
+    b.section("skigp_n100k", sec_ski)
 
     # ---- sparse family at production scale: SGPR ELBO+grad at N=100k -------
     # The reference's only big-N strategy was subsampling (data.py:129-190
     # p-fractions); the sparse family trains on ALL rows in O(n m^2).
     # vs_baseline = how many of these 100k-row sparse steps fit in ONE
     # exact 16k NLL+grad eval measured above (same chip, same run).
-    try:
+    def sec_sgpr():
         nsp, msp = 100_000, 512
         xsp = rng.standard_normal((nsp, d)).astype(np.float32)
         ysp = (np.sin(xsp[:, 0])
@@ -385,17 +464,14 @@ def main():
             return jax.value_and_grad(nll)(u)
 
         t_sp = _timeit(elbo_grad, usp, repeat=10, warmup=3)
-        try:
-            vsb = t16 / t_sp
-        except NameError:      # 16k section skipped
-            vsb = float("nan")
+        vsb = ctx["t16"] / t_sp if "t16" in ctx else float("nan")
         rows.append({"metric": "sgpr_elbo_grad_evals_per_sec_n100k_m512",
                      "value": round(1.0 / t_sp, 2), "unit": "evals/sec",
                      "vs_baseline": round(vsb, 1)})
         notes.append(f"t_sgpr_elbo_grad_n100k_m512={t_sp*1e3:.1f}ms "
                      f"(exact16k/sparse100k={vsb:.0f}x)")
-    except Exception as e:
-        notes.append(f"sparse bench skipped: {e}")
+
+    b.section("sgpr_n100k", sec_sgpr)
 
     # ---- BASELINE configs[4]: 2-output graphical random field at N=50k ----
     # Matrix-free preconditioned NLL+grad on the exact ICM-coregionalized
@@ -403,7 +479,7 @@ def main():
     # their scale — its dense gram alone is 10 GB).  vs_baseline = eval
     # rate x the CPU stand-in's 16k wall (206.26 s): any positive row
     # means a workload the reference could not form at all.
-    try:
+    def sec_mo50k():
         from g3py_tpu.hypers.kernels import KernelDot
         from g3py_tpu.hypers.metrics import Delta
 
@@ -444,11 +520,11 @@ def main():
                      "vs_baseline": round(206.26 / t_mo, 1)})
         notes.append(f"t_mo50k_nll_grad={t_mo:.2f}s (matrix-free ICM, "
                      f"rank80 cg100 probes8)")
-    except Exception as e:
-        notes.append(f"mo50k bench skipped: {e}")
+
+    b.section("mo50k", sec_mo50k)
 
     # ---- serving fast path: factored vs unfactored posterior mean ----------
-    try:
+    def sec_serving():
         ns, m = 2048, 256
         xs = rng.standard_normal((ns, d)).astype(np.float32)
         ys = (np.sin(xs[:, 0])
@@ -481,20 +557,24 @@ def main():
         t_srv = _pipeline(pr._clone.compiles[fkey].fn, xq, vec)
         notes.append(f"serving_mean_n2048_m256: unfactored={t_unf*1e3:.2f}ms "
                      f"predictor={t_srv*1e3:.2f}ms ({t_unf/t_srv:.0f}x)")
-    except Exception as e:
-        notes.append(f"serving bench skipped: {e}")
+
+    b.section("serving", sec_serving)
 
     # ---- sampler throughput at the reference benchmark workload -------------
-    # Two rows: the ensemble (the reference's own sampler family — emcee
+    # Three rows: the ensemble (the reference's own sampler family — emcee
     # stretch moves) where vs_baseline is the clean eval-rate ratio against
     # the recorded 878us/eval (ESS-per-eval cancels: same move, same
-    # workload), and NUTS ESS/s (a gradient sampler the reference never
-    # had) where vs_baseline is NUTS vs our own measured ensemble ESS/s.
-    try:
+    # workload); NUTS ESS/s (a gradient sampler the reference never had)
+    # in the round-3 best-measured configuration — reparam='noncentered'
+    # + dense mass at ta=0.95 (benchmarks/ncp_ab.py: divergences 170->80
+    # at par ESS/s vs the centered chain) — where vs_baseline is NUTS vs
+    # our own measured ensemble ESS/s; and NeuTra.
+    def sec_samplers():
         from g3py_tpu.bayesian.nuts import nuts_sampler
         from g3py_tpu.bayesian.samplers import ensemble_sampler
         from g3py_tpu.bayesian.average import _mESS
 
+        wgp, u2 = ctx["wgp"], ctx["u2"]
         logp_tr, _, _ = wgp._sampling_logps(prior=False)
         ch_w, ndim2 = 32, len(np.asarray(u2))
         p0w = (np.asarray(u2)[None, :]
@@ -515,20 +595,31 @@ def main():
                      "value": round(ens_ess_s, 1), "unit": "ESS/sec",
                      "vs_baseline": round(evals_s * 878e-6, 2)})
 
-        # dense_e mass + ta=0.95: measured round 4 on this workload vs
-        # diag_e — divergences halved (105 -> 51), ESS/s 2.0 -> 4.3
+        # NUTS in the best-measured config (VERDICT round-3 item 3): the
+        # non-centered amplitude shear (models/elliptical.py
+        # _noncentered_sampling_shear) + dense mass + ta=0.95 + d<=6.
+        # Chains are sheared back to the original coordinates before the
+        # ESS estimate so the number is comparable across configs.
+        shear, unshear = wgp._noncentered_sampling_shear()
+        logp_nc = lambda v: logp_tr(shear(v))
+        import jax.numpy as jnp
+        v0 = np.asarray(unshear(jnp.asarray(np.asarray(u2))))
+
         samples, warmup, chains_n = 300, 200, 4
-        _ = nuts_sampler(logp_tr, np.asarray(u2), samples=10, warmup=10,
+        _ = nuts_sampler(logp_nc, v0, samples=10, warmup=10,
                          key=0, chains=chains_n, max_depth=6,
                          target_accept=0.95, adapt_mass="dense")
         t0 = time.perf_counter()
-        chn, lpn, info = nuts_sampler(logp_tr, np.asarray(u2),
+        chn, lpn, info = nuts_sampler(logp_nc, v0,
                                       samples=samples, warmup=warmup, key=1,
                                       chains=chains_n, max_depth=6,
                                       target_accept=0.95,
                                       adapt_mass="dense")
         chn = np.asarray(chn)
         t_nuts = time.perf_counter() - t0
+        sh = chn.shape
+        chn = np.asarray(jax.vmap(shear)(
+            jnp.asarray(chn.reshape(-1, sh[-1])))).reshape(sh)
         ess = sum(_mESS(chn[c, samples // 2:, :]) for c in range(chains_n))
         # scale measured half-chain ESS to the full wall time share it used
         frac = (samples / 2) / (samples + warmup)
@@ -539,13 +630,13 @@ def main():
                                           1)})
         notes.append(
             f"ensemble {evals_s:.0f} logp-evals/s (ref 1139/s) ess/s="
-            f"{ens_ess_s:.1f} | nuts_ess/s={nuts_ess_s:.1f} (ta=0.95, "
-            f"accept={np.asarray(info['accept_rate']).mean():.2f}, div="
-            f"{int(np.asarray(info['divergences']).sum())})")
+            f"{ens_ess_s:.1f} | nuts_ess/s={nuts_ess_s:.1f} (ncp+dense "
+            f"ta=0.95, accept={np.asarray(info['accept_rate']).mean():.2f}, "
+            f"div={int(np.asarray(info['divergences']).sum())})")
 
         # ---- NeuTra: NUTS through a transport fitted to the ensemble
-        # run's draws (bayesian/neutra.py); vs_baseline is NeuTra vs plain
-        # dense-NUTS steady-state ESS/s.  Round-3 measured role: the
+        # run's draws (bayesian/neutra.py); vs_baseline is NeuTra vs the
+        # NUTS row's steady-state ESS/s.  Round-3 measured role: the
         # LOW-DIVERGENCE sampler — always far fewer divergences than plain
         # dense NUTS (0-84 vs 94-170 across same-day captures at ta=0.95),
         # ESS/s ratio swinging 0.65x-1.98x window to window (4-chain mESS
@@ -553,7 +644,6 @@ def main():
         # d<=6 cap, and d=7 crashes the tunnel worker — measured).  Runs
         # dense z-space mass (the best-measured config); the ensemble
         # remains the production sampler. --------------------------------
-        import jax.numpy as jnp
         from g3py_tpu.bayesian.neutra import (fit_flow, neutra_logp,
                                               flow_inverse, flow_forward)
 
@@ -587,13 +677,24 @@ def main():
             f"neutra_ess/s={neutra_ess_s:.1f} (fit {t_fit:.0f}s, div="
             f"{int(np.asarray(zinfo['divergences']).sum())}, "
             f"accept={np.asarray(zinfo['accept_rate']).mean():.2f})")
-    except Exception as e:
-        notes.append(f"sampler metrics skipped: {e}")
 
-    out = dict(rows[0])
-    out["metrics"] = rows
+    b.section("samplers", sec_samplers)
+
+
+def main():
+    b = _Bench()
+    _run(b)
+    if b.first_death is not None:
+        b.notes.append(f"first backend death at section: {b.first_death}")
+    if not b.rows:
+        out = {"metric": "gp_nll_grad_evals_per_sec_n4096_d8",
+               "value": float("nan"), "unit": "evals/sec",
+               "vs_baseline": float("nan"), "metrics": []}
+    else:
+        out = dict(b.rows[0])
+        out["metrics"] = b.rows
     print(json.dumps(out), flush=True)
-    for note in notes:
+    for note in b.notes:
         print("# " + note, file=sys.stderr, flush=True)
 
 

@@ -228,6 +228,27 @@ class TestFindMapIterative:
         p_sc = gp.find_MAP(points=1, display=False)
         assert gp.logp(p_it) >= gp.logp(p_sc) - 1.0
 
+    def test_device_loop_reaches_exact_map(self):
+        """find_MAP(engine='iterative', loop='device') — the on-device
+        optax L-BFGS scan over the matrix-free objective
+        (bayesian/optimize_jax.lbfgs_minimize_guarded) — must land at the
+        same optimum as the scipy host loop; the guard cliff (CG residual
+        > 5e-2 reads as 1e10 with zero gradient) terminates it instead of
+        trapping it (step rejection restores the L-BFGS memory)."""
+        rng = np.random.default_rng(0)
+        n = 120
+        x = np.sort(rng.uniform(0, 20, n)).astype(np.float32).reshape(-1, 1)
+        y = (np.sin(0.8 * x[:, 0])
+             + 0.1 * rng.standard_normal(n)).astype(np.float32)
+        gp = g3.GP(space=x, location=g3.Bias(), kernel=g3.SE(x),
+                   name="ITMAPD")
+        gp.observed(x, y)
+        p_dev = gp.find_MAP(points=1, engine="iterative", loop="device",
+                            display=False, rank=60, cg_iters=400,
+                            probes=256, max_iters=80)
+        p_sc = gp.find_MAP(points=1, display=False)
+        assert gp.logp(p_dev) >= gp.logp(p_sc) - 1.0
+
 
 class TestWidget:
     """Widget path (reference models.py:759-789): slider-range logic
