@@ -70,6 +70,24 @@ def main(quick=True, plot=False):
     draws = pr.sampler(space=xq, samples=8, key=0, n_features=2048)
     assert draws.shape == (len(xq), 8) and np.all(np.isfinite(draws))
 
+    if plot:
+        import matplotlib.pyplot as plt
+        from _common import save_fig
+
+        plt.figure(figsize=(8, 3.5))
+        plt.plot(x[:, 0], y, "k.", ms=3, alpha=0.35, label="data")
+        plt.plot(xq[:, 0], np.asarray(out["mean"]), "C0",
+                 label="matrix-free mean (PCG)")
+        plt.fill_between(xq[:, 0], np.asarray(out["quantile_down"]),
+                         np.asarray(out["quantile_up"]), alpha=0.25,
+                         color="C0", label="95% band")
+        plt.plot(xq[:, 0], np.asarray(draws)[:, :4], "C1", lw=0.6,
+                 alpha=0.7)
+        plt.legend(loc="upper right", fontsize=8)
+        plt.title("Serving without a factorization: PCG statistics "
+                  "+ pathwise draws")
+        save_fig("tut09_iterative_serving.png")
+
     # ---- 2. device-sharded NLL + gradient over the mesh ---------------------
     from g3py_tpu.parallel import make_mesh, distributed_gp_nll
 

@@ -89,6 +89,25 @@ def main(quick=True, plot=False):
     assert np.all(np.isfinite(pr_up.mean(space=batches[0])))
     pr = pr_up
 
+    if plot:
+        import matplotlib.pyplot as plt
+        from _common import save_fig
+
+        xg = np.linspace(-1, 25, 200, dtype=np.float32).reshape(-1, 1)
+        srv = pr(xg, quantiles=True, quantiles_noise=True)
+        plt.figure(figsize=(8, 3.5))
+        plt.plot(x[:, 0], y, "k.", ms=3, alpha=0.4, label="train")
+        plt.plot(x_new[:, 0], y_new, "C3x", ms=6,
+                 label="streamed update (no refactorization)")
+        plt.plot(xg[:, 0], np.asarray(srv["mean"]), "C0",
+                 label="served mean")
+        plt.fill_between(xg[:, 0], np.asarray(srv["quantile_down"]),
+                         np.asarray(srv["quantile_up"]), alpha=0.25,
+                         color="C0", label="95% noise band")
+        plt.legend(loc="upper left", fontsize=8)
+        plt.title("Factor-once serving of a warped GP + streaming update")
+        save_fig("tut10_serving.png")
+
     # ---- AOT export: ship the predictor WITHOUT the model ----------------
     # One shape-polymorphic StableHLO bundle + the factorized state; the
     # artifact reloads with jax alone (no model code, no refactorization)

@@ -258,17 +258,25 @@ class GaussianProcess(EllipticalProcess):
                                     axis=axis)
 
     def predictor_iterative(self, params=None, rank=64, block=2048,
-                            cg_iters=200, tol=1e-6):
+                            cg_iters=200, tol=1e-6, dtype=None):
         """Matrix-free streaming serving for training sets too large to
         factor (the counterpart of ``find_MAP(engine='iterative')``): one
         preconditioned-CG solve + rank-R pivoted Cholesky, then every
         statistic streams as blocked cross-gram matmuls — no O(n^3)
         factorization and no n x n matrix (models/predictor.py
-        ``IterativePredictor``)."""
+        ``IterativePredictor``).
+
+        ``dtype='float64'`` runs the whole solve pipeline in f64 — the
+        measured fix for near-interpolation grams beyond f32 CG's reach
+        (lambda_1/sigma^2 >~ 1e9, e.g. tut19's trained optimum): the f32
+        stack stalls at residual ~0.2-5 and a MIXED pipeline is worse
+        (docs/performance.md round-4 2x2 — an f64-accurate preconditioner
+        amplifies f32 matvec noise by 1/sigma^2).  f64 is native on CPU
+        and emulated on TPU; statistics are returned in float32."""
         from .predictor import IterativePredictor
 
         return IterativePredictor(self, params, rank=rank, block=block,
-                                  cg_iters=cg_iters, tol=tol)
+                                  cg_iters=cg_iters, tol=tol, dtype=dtype)
 
     def nll_iterative(self, params=None, rank=64, block=2048, cg_iters=100,
                       probes=8, lanczos_iters=25, seed=0):

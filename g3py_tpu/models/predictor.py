@@ -887,7 +887,7 @@ class IterativePredictor(_LatentStatisticsMixin):
     """
 
     def __init__(self, process, params=None, rank=64, block=2048,
-                 cg_iters=200, tol=1e-6):
+                 cg_iters=200, tol=1e-6, dtype=None):
         import jax
         import jax.numpy as jnp
         from ..hypers import hval
@@ -912,44 +912,66 @@ class IterativePredictor(_LatentStatisticsMixin):
             raise ValueError("IterativePredictor does not support "
                              "KernelNoise terms inside the signal kernel "
                              "(cross-covariances would silently drop it)")
+        # serve-time precision: dtype='float64' runs the ENTIRE solve
+        # pipeline (preconditioner build, Woodbury apply, CG matvec,
+        # cross-gram statistics) in f64 — the measured reopening of the
+        # near-interpolation envelope (docs/performance.md round-4 2x2:
+        # f64 in the preconditioner ALONE is catastrophically worse, f64
+        # CG over an f32 factor still stalls; only the full-f64 solve
+        # converges).  f64 is native on CPU, emulated (~an order slower)
+        # on TPU; the state solve happens once.
+        import contextlib
+
+        if dtype is None:
+            self._dt = settings.dtype
+            self._x64 = lambda: contextlib.nullcontext()
+        else:
+            self._dt = jnp.dtype(dtype)
+            if self._dt == jnp.dtype("float64"):
+                self._x64 = lambda: jax.enable_x64(True)
+            else:
+                self._x64 = lambda: contextlib.nullcontext()
         self.process = process
-        self.params = {k: jnp.asarray(np.asarray(v, settings.floatx))
+        self.params = {k: jnp.asarray(np.asarray(v, self._dt))
                        for k, v in process.filter_params(params).items()}
         self._inputs_ref = process._inputs
         self._outputs_ref = process._outputs
         self.rank, self.block, self.cg_iters = rank, block, cg_iters
 
         kernel = process.f_kernel
-        pj = self.params
-        x = jnp.asarray(process._inputs)
-        yout = jnp.asarray(process._outputs)
-        noise_var = jnp.asarray(hval(kn.k2.var, pj), settings.dtype)
-        n = x.shape[0]
+        with self._x64():
+            pj = self.params
+            x = jnp.asarray(np.asarray(process._inputs), self._dt)
+            yout = jnp.asarray(np.asarray(process._outputs), self._dt)
+            noise_var = jnp.asarray(hval(kn.k2.var, pj), self._dt)
+            n = x.shape[0]
 
-        @jax.jit
-        def build_state():
-            latent = process._latent_obs(pj, yout)
-            resid = latent - process.f_location(pj, x)
+            @jax.jit
+            def build_state():
+                latent = process._latent_obs(pj, yout)
+                resid = latent - process.f_location(pj, x)
 
-            def mv(v):
-                return lazy_kernel_matvec(kernel, pj, x, v, block=block) \
-                    + noise_var * v
+                def mv(v):
+                    return lazy_kernel_matvec(kernel, pj, x, v,
+                                              block=block) + noise_var * v
 
-            def column_fn(j):
-                xj = jax.lax.dynamic_slice(x, (j, 0), (1, x.shape[1]))
-                return kernel.cov(pj, x, xj)[:, 0]
+                def column_fn(j):
+                    xj = jax.lax.dynamic_slice(x, (j, 0), (1, x.shape[1]))
+                    return kernel.cov(pj, x, xj)[:, 0]
 
-            diag_f = jax.vmap(lambda i: kernel.cov(
-                pj, jax.lax.dynamic_slice(x, (i, 0), (1, x.shape[1])))[0, 0]
-            )(jnp.arange(n))
-            l_factor = pivoted_cholesky(column_fn, diag_f, rank)
-            p_inv, _, _ = woodbury_preconditioner(l_factor, noise_var)
-            alpha = pcg_solve(mv, resid, p_inv, tol=tol, maxiter=cg_iters)
-            rel = jnp.linalg.norm(mv(alpha) - resid) / jnp.maximum(
-                jnp.linalg.norm(resid), 1e-30)
-            return alpha, l_factor, rel
+                diag_f = jax.vmap(lambda i: kernel.cov(
+                    pj, jax.lax.dynamic_slice(
+                        x, (i, 0), (1, x.shape[1])))[0, 0]
+                )(jnp.arange(n))
+                l_factor = pivoted_cholesky(column_fn, diag_f, rank)
+                p_inv, _, _ = woodbury_preconditioner(l_factor, noise_var)
+                alpha = pcg_solve(mv, resid, p_inv, tol=tol,
+                                  maxiter=cg_iters)
+                rel = jnp.linalg.norm(mv(alpha) - resid) / jnp.maximum(
+                    jnp.linalg.norm(resid), 1e-30)
+                return alpha, l_factor, rel
 
-        alpha, l_factor, rel = build_state()
+            alpha, l_factor, rel = build_state()
         self.alpha = alpha
         self.l_factor = l_factor
         self.cg_rel_residual = float(rel)
@@ -990,8 +1012,11 @@ class IterativePredictor(_LatentStatisticsMixin):
         alpha, l_factor, nv = self.alpha, self.l_factor, self._noise_var
         block, cg_iters = self.block, self.cg_iters
 
+        dt = self._dt
+
         @jax.jit
         def fn(space):
+            space = jnp.asarray(space, dt)
             cross = kernel.cov(pj, space, x)  # (m, n) blocked by caller
             mu = proc.f_location(pj, space) + jnp.matmul(
                 cross, alpha, precision=jax.lax.Precision.HIGHEST)
@@ -1025,15 +1050,16 @@ class IterativePredictor(_LatentStatisticsMixin):
             return e, e
         fn = self._latent_fn(exact_var=exact_var)
         mus, vs = [], []
-        for lo in range(0, len(space), chunk):
-            mu, v = fn(jnp.asarray(space[lo:lo + chunk]))
-            mus.append(np.asarray(mu))
-            vs.append(np.asarray(v))
-        mu = np.concatenate(mus)
+        with self._x64():
+            for lo in range(0, len(space), chunk):
+                mu, v = fn(jnp.asarray(space[lo:lo + chunk]))
+                mus.append(np.asarray(mu))
+                vs.append(np.asarray(v))
+        mu = np.concatenate(mus).astype(settings.floatx)
         var = np.concatenate(vs)
         if noise:
             var = var + float(self._noise_var)
-        return mu, np.sqrt(np.maximum(var, 1e-30))
+        return mu, np.sqrt(np.maximum(var, 1e-30)).astype(settings.floatx)
 
     # statistics come from the shared latent-moments mixin (below)
 
@@ -1053,13 +1079,14 @@ class IterativePredictor(_LatentStatisticsMixin):
                                      woodbury_preconditioner)
 
         kernel, pj, x = self._kernel, self.params, self._x
-        nv = jnp.asarray(self._noise_var, settings.dtype)
+        nv = jnp.asarray(self._noise_var, self._dt)
 
         def mv(v):
             return lazy_kernel_matvec(kernel, pj, x, v,
                                       block=self.block) + nv * v
 
         def solve(rhs):
+            rhs = jnp.asarray(rhs, self._dt)
             p_inv, _, _ = woodbury_preconditioner(self.l_factor, nv)
             a = pcg_solve(mv, rhs.T, p_inv, maxiter=self.cg_iters).T
             # hardening (same as the state build): unconverged path solves
@@ -1079,13 +1106,16 @@ class IterativePredictor(_LatentStatisticsMixin):
 
         def cross_apply(xq, a):
             # chunk query rows so the (m_chunk, n) cross gram stays bounded
+            xq = jnp.asarray(xq, self._dt)
             outs = [jnp.matmul(kernel.cov(pj, xq[lo:lo + 4096], x), a,
                                precision=jax.lax.Precision.HIGHEST)
                     for lo in range(0, xq.shape[0], 4096)]
-            return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+            out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+            return jnp.asarray(out, settings.dtype)
 
-        return self._pathwise_draws(space, samples, key, n_features, noise,
-                                    solve, cross_apply)
+        with self._x64():
+            return self._pathwise_draws(space, samples, key, n_features,
+                                        noise, solve, cross_apply)
 
 
 class DistributedPredictor(_LatentStatisticsMixin):

@@ -28,6 +28,8 @@ clustered near-zero spectra every smooth kernel gram has; the analytic
 form needs no gap and is pure matmuls.
 """
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -113,23 +115,68 @@ def kron_solve_eig(qs, dinv, y):
 # the marginal likelihood primitive
 # ---------------------------------------------------------------------------
 
-@jax.custom_vjp
-def kron_gp_nll(ks, sigma2, y):
+def _shard_cons(shard, shape):
+    """GSPMD re-sharding helper for the N-cell intermediates.
+
+    ``shard`` is ``None`` (single program — every call is the identity)
+    or ``(mesh, axis_name)``.  ``cons(t, avoid=i)`` constrains ``t`` to
+    be sharded along the LARGEST tensor axis other than ``i`` — so a
+    contraction over axis ``i`` never forces GSPMD to all-gather the
+    partitioned axis (it inserts an O(N/D) all-to-all reshard between
+    contractions instead; without the constraints XLA replicates the
+    intermediates and the per-device footprint barely drops — measured
+    13.3 GB/device instead of ~2.4 GB at 2048x2048x128 on 8 devices,
+    benchmarks/grid_aot_memory.py)."""
+    if shard is None:
+        return lambda t, avoid=None: t
+    mesh, axis_name = shard
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    nd = len(shape)
+    order = sorted(range(nd), key=lambda i: -shape[i])
+
+    def cons(t, avoid=None):
+        pick = next(i for i in order if i != avoid)
+        spec = [None] * nd
+        spec[pick] = axis_name
+        return jax.lax.with_sharding_constraint(
+            t, NamedSharding(mesh, PartitionSpec(*spec)))
+
+    return cons
+
+
+def _kron_apply_cons(mats, tensor, cons):
+    """kron_apply with a re-shard constraint before each contraction."""
+    for i, m in enumerate(mats):
+        tensor = _apply_axis(m, cons(tensor, avoid=i), i)
+    return cons(tensor)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _kron_nll_p(shard, ks, sigma2, y):
+    nll, _res = _kron_nll_fwd_impl(shard, ks, sigma2, y)
+    return nll
+
+
+def kron_gp_nll(ks, sigma2, y, shard=None):
     """Exact negative log marginal likelihood of ``y ~ N(0, (x)K_i +
     sigma2 I)`` for a tensor-shaped observation ``y`` (n_1, ..., n_D).
 
     ``ks`` is the tuple of per-axis grams.  Differentiable w.r.t. the
     grams, the noise variance and ``y`` through an analytic eigh-free
     backward (module docstring); forward cost O(sum n_i^3 + N sum n_i).
-    """
-    nll, _res = _kron_nll_fwd_impl(ks, sigma2, y)
-    return nll
+
+    ``shard=(mesh, axis_name)`` partitions every N-cell intermediate of
+    forward AND backward across the mesh (see :func:`_shard_cons`) —
+    the multi-chip path behind ``GridGP.nll_distributed``."""
+    return _kron_nll_p(shard, ks, sigma2, y)
 
 
-def _kron_nll_fwd_impl(ks, sigma2, y):
+def _kron_nll_fwd_impl(shard, ks, sigma2, y):
+    cons = _shard_cons(shard, y.shape)
     qs, lams = kron_eigs(ks)
-    dinv = kron_dinv(lams, sigma2)
-    yt = kron_apply([q.T for q in qs], y)
+    dinv = cons(kron_dinv(lams, sigma2))
+    yt = _kron_apply_cons([q.T for q in qs], y, cons)
     at = yt * dinv                                   # D^{-1} Q' y
     quad = jnp.sum(yt * at)
     logdet = -jnp.sum(jnp.log(dinv))
@@ -138,15 +185,16 @@ def _kron_nll_fwd_impl(ks, sigma2, y):
     return nll, (tuple(qs), tuple(lams), dinv, at, sigma2, ks)
 
 
-def _kron_nll_fwd(ks, sigma2, y):
-    return _kron_nll_fwd_impl(ks, sigma2, y)
+def _kron_nll_fwd(shard, ks, sigma2, y):
+    return _kron_nll_fwd_impl(shard, ks, sigma2, y)
 
 
-def _kron_nll_bwd(res, ct):
+def _kron_nll_bwd(shard, res, ct):
     qs, lams, dinv, at, sigma2, ks = res
     nd = len(qs)
+    cons = _shard_cons(shard, dinv.shape)
     # alpha = S^{-1} y in the original basis
-    alpha = kron_apply(list(qs), at)
+    alpha = _kron_apply_cons(list(qs), at, cons)
     g_y = ct * alpha
     # d/ds2 [1/2 logdet] = 1/2 tr S^{-1} = 1/2 sum dinv;
     # d/ds2 [1/2 y'S^{-1}y] = -1/2 ||alpha||^2 (= ||at||^2, Q orthogonal)
@@ -157,21 +205,26 @@ def _kron_nll_bwd(res, ct):
         # trace term: w_i[k] = sum_{idx, idx_i = k} prod_{j!=i} lam_j * dinv
         pi = _lam_field(lams, skip=i) if nd > 1 else jnp.ones_like(dinv)
         other = [a for a in axes_all if a != i]
-        w = jnp.sum(pi * dinv, axis=tuple(other)) if other else pi * dinv
+        w = jnp.sum(cons(pi, avoid=i) * cons(dinv, avoid=i),
+                    axis=tuple(other)) if other else pi * dinv
         tr_mat = jnp.matmul(qs[i] * w[None, :], qs[i].T, precision=_prec())
         # quadratic term: beta = alpha contracted with K_j on every other
         # axis; unfold both at axis i and take the (n_i, n_i) outer product
         beta = alpha
         for j in other:
-            beta = _apply_axis(ks[j], beta, j)
-        a_mat = jnp.moveaxis(alpha, i, 0).reshape(alpha.shape[i], -1)
-        b_mat = jnp.moveaxis(beta, i, 0).reshape(alpha.shape[i], -1)
+            beta = _apply_axis(ks[j], cons(beta, avoid=j), j)
+        # keep the flattened (huge) axis partitioned through the unfold so
+        # the (n_i, n_i) outer product is a local matmul + one all-reduce
+        a_mat = jnp.moveaxis(cons(alpha, avoid=i), i, 0).reshape(
+            alpha.shape[i], -1)
+        b_mat = jnp.moveaxis(cons(beta, avoid=i), i, 0).reshape(
+            alpha.shape[i], -1)
         quad_mat = jnp.matmul(a_mat, b_mat.T, precision=_prec())
         g_ks.append(ct * 0.5 * (tr_mat - quad_mat))
     return tuple(g_ks), g_s2, g_y
 
 
-kron_gp_nll.defvjp(_kron_nll_fwd, _kron_nll_bwd)
+_kron_nll_p.defvjp(_kron_nll_fwd, _kron_nll_bwd)
 
 
 # ---------------------------------------------------------------------------

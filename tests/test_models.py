@@ -259,6 +259,56 @@ class TestIterativePredictor:
         got = pr.logpredictive(yq, space=xq)
         assert abs(got - ref) < 0.02 * abs(ref) + 0.5
 
+    def test_f64_serves_near_interpolation(self, rng):
+        """dtype='float64' reopens the near-interpolation envelope
+        (docs/performance.md round-4 2x2): a lambda_1/sigma^2 ~ 5e8 gram
+        that f32 PCG cannot solve (the predictor's residual guard
+        refuses) serves cleanly in f64 and matches an independent numpy
+        f64 dense oracle."""
+        import jax.numpy as jnp
+        import g3py_tpu as g3
+
+        n = 512
+        x = np.sort(rng.uniform(0, 100, n)).astype(np.float32).reshape(
+            -1, 1)
+        f = np.sin(0.3 * x[:, 0])
+        nv = 1e-6
+        y = (f + np.sqrt(nv) * rng.standard_normal(n)).astype(np.float32)
+        gp = g3.GP(space=x[:4], location=g3.Bias(), kernel=g3.SE(x),
+                   noisy=True, name="F64P")
+        gp.observed(x, y)
+        params = dict(gp.params_default)
+        params[f"{gp.name}_SE_rate"] = np.asarray([0.3], np.float32)
+        params[f"{gp.name}_SE_var"] = np.asarray(1.0, np.float32)
+        params[f"{gp.name}_Noise_var"] = np.asarray(nv, np.float32)
+
+        with pytest.raises(ValueError, match="did not converge"):
+            gp.predictor_iterative(params, rank=64, cg_iters=400)
+
+        pr = gp.predictor_iterative(params, rank=64, cg_iters=400,
+                                    dtype="float64")
+        assert pr.cg_rel_residual < 5e-4
+        xq = np.linspace(5, 95, 64, dtype=np.float32).reshape(-1, 1)
+        out = pr(xq, var=True)
+
+        # independent f64 dense oracle
+        pj = {k: jnp.asarray(v) for k, v in gp.filter_params(
+            params).items()}
+        bias = float(np.asarray(gp.f_location(pj, jnp.asarray(x))[0]))
+        x64 = x[:, 0].astype(np.float64)
+        q64 = xq[:, 0].astype(np.float64)
+        K = np.exp(-0.5 * (0.3 * (x64[:, None] - x64[None, :])) ** 2)
+        C = np.exp(-0.5 * (0.3 * (q64[:, None] - x64[None, :])) ** 2)
+        alpha = np.linalg.solve(K + nv * np.eye(n),
+                                y.astype(np.float64) - bias)
+        mu_ref = bias + C @ alpha
+        sol = np.linalg.solve(K + nv * np.eye(n), C.T)
+        var_ref = 1.0 - np.sum(C * sol.T, axis=1)
+        np.testing.assert_allclose(np.asarray(out["mean"]), mu_ref,
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out["variance"]),
+                                   np.maximum(var_ref, 0), atol=1e-4)
+
     def test_warped_moments_match(self, rng):
         gp, params = self._fit(rng, mapping="log", n=256)
         xq = np.linspace(0, 30, 60, dtype=np.float32).reshape(-1, 1)
