@@ -76,10 +76,13 @@ def complete_grid(jax, shape, n_dev):
     spec[ax_i] = "dp"
     sharding = NamedSharding(mesh, P(*spec))
 
+    shard = (mesh, "dp") if n_dev > 1 else None
+
     def obj(u, yt):
         p = reg.array_to_dict_jax(u)
         yt = lax.with_sharding_constraint(yt, sharding)
-        return kron_gp_nll(grgp._grams(p), grgp._noise_var(p), yt)
+        return kron_gp_nll(grgp._grams(p), grgp._noise_var(p), yt,
+                           shard=shard)
 
     vg = jax.jit(jax.value_and_grad(obj))
     yt_abs = jax.ShapeDtypeStruct(tuple(shape), np.float32,
