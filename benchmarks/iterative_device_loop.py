@@ -58,12 +58,19 @@ def main(quick=False):
     u0 = np.asarray(reg.dict_to_array(start), settings.floatx)
 
     # ---- device loop: chunked optax L-BFGS -------------------------------
+    # One chunk of 4 iterations reached the tut19 optimum (-77,577) on
+    # the first attempt (2026-08-21); a SECOND chunk dispatch crashed the
+    # tunnel worker (the known big-fused-program crash mode) — so the
+    # measurement is per-chunk-timed and each phase stands alone.  The
+    # host baseline is round 3's recorded 181 s / 6 iterations (~30
+    # s/iter, docs/performance.md) — re-measured here only if the device
+    # phases survive.
     from g3py_tpu.bayesian import optimize_jax as oj
 
     chunk = 4
     t0 = time.perf_counter()
     pts, vals, iters = oj.lbfgs_minimize_guarded(
-        objective, u0, max_iters=24, chunk=chunk, display=True)
+        objective, u0, max_iters=8, chunk=chunk, display=True)
     t_dev = time.perf_counter() - t0
     it_dev = int(iters[0])
     print(f"[device] total {t_dev:.1f}s for {it_dev} iters "
@@ -75,29 +82,29 @@ def main(quick=False):
         len(u0)))).astype(settings.floatx)
     t0 = time.perf_counter()
     pts2, vals2, iters2 = oj.lbfgs_minimize_guarded(
-        objective, u0b, max_iters=24, chunk=chunk, display=True)
+        objective, u0b, max_iters=8, chunk=chunk, display=True)
     t_dev2 = time.perf_counter() - t0
     it_dev2 = int(iters2[0])
     print(f"[device warm] total {t_dev2:.1f}s for {it_dev2} iters -> "
           f"{t_dev2/max(it_dev2,1):.2f} s/iter; final -logp {vals2[0]:.1f}",
           flush=True)
 
-    # ---- host loop: scipy L-BFGS-B (bounded iterations) ------------------
-    t0 = time.perf_counter()
-    params_host = gp.find_MAP(start=start, engine="iterative", points=1,
-                              display=True, max_iters=6, **it_kw)
-    t_host = time.perf_counter() - t0
-    nll_host, _ = gp.nll_iterative(params_host, **it_kw)
-    print(f"[host] total {t_host:.1f}s for <=6 iters -> "
-          f"{t_host/6:.2f} s/iter (lower bound); final NLL "
-          f"{float(nll_host):.1f}", flush=True)
-
     nll_dev, _ = gp.nll_iterative(reg.array_to_dict(pts2[0]), **it_kw)
     print(f"[summary] device warm {t_dev2/max(it_dev2,1):.2f} s/iter vs "
-          f"host {t_host/6:.2f} s/iter "
-          f"({(t_host/6)/(t_dev2/max(it_dev2,1)):.1f}x); "
-          f"NLL device {float(nll_dev):.1f} vs host {float(nll_host):.1f}",
-          flush=True)
+          f"host ~30 s/iter recorded (181s/6, round 3) "
+          f"-> {30.0/(t_dev2/max(it_dev2,1)):.1f}x; "
+          f"NLL at device optimum {float(nll_dev):.1f}", flush=True)
+
+    if "--host" in sys.argv:
+        t0 = time.perf_counter()
+        params_host = gp.find_MAP(start=start, engine="iterative",
+                                  points=1, display=True, max_iters=6,
+                                  **it_kw)
+        t_host = time.perf_counter() - t0
+        nll_host, _ = gp.nll_iterative(params_host, **it_kw)
+        print(f"[host] total {t_host:.1f}s for <=6 iters -> "
+              f"{t_host/6:.2f} s/iter (lower bound); final NLL "
+              f"{float(nll_host):.1f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -131,6 +131,8 @@ def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
                                            None, length=chunk)
         return x, state, v, g
 
+    import time as _time
+
     starts = np.atleast_2d(np.asarray(starts, settings.floatx))
     points, values, iters = [], [], []
     for x0 in starts:
@@ -138,6 +140,7 @@ def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
         state = opt.init(x)
         v, g = vg_j(x)
         it, v_prev = 0, float("inf")
+        t_prev = _time.perf_counter()
         while it < max_iters:
             x, state, v, g = run_chunk(x, state, v, g)
             it += chunk
@@ -145,7 +148,10 @@ def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
             v_host = float(v)
             gmax = float(jnp.max(jnp.abs(g)))
             if display:
-                print(f"  iter {it}: value {v_host:.6g} |g|max {gmax:.3g}")
+                t_now = _time.perf_counter()
+                print(f"  iter {it}: value {v_host:.6g} |g|max {gmax:.3g} "
+                      f"({t_now - t_prev:.1f}s/chunk)", flush=True)
+                t_prev = t_now
             if not np.isfinite(gmax) or gmax < tol:
                 break
             if abs(v_prev - v_host) < 1e-7 * max(1.0, abs(v_host)):
