@@ -67,13 +67,18 @@ def main(quick=False):
     # phases survive.
     from g3py_tpu.bayesian import optimize_jax as oj
 
+    # the crash is state-specific: BOTH observed faults were the chunk
+    # dispatched FROM the converged state (-77577.5, |g|max 328) — a
+    # fresh-start dispatch of the same cached program is the way to a
+    # warm measurement.  Phase 1: one cold chunk (compile + 4 iters,
+    # reaches the optimum).  Phase 2: perturbed start, ONE warm chunk.
     chunk = 4
     t0 = time.perf_counter()
     pts, vals, iters = oj.lbfgs_minimize_guarded(
-        objective, u0, max_iters=8, chunk=chunk, display=True)
+        objective, u0, max_iters=chunk, chunk=chunk, display=True)
     t_dev = time.perf_counter() - t0
     it_dev = int(iters[0])
-    print(f"[device] total {t_dev:.1f}s for {it_dev} iters "
+    print(f"[device cold] total {t_dev:.1f}s for {it_dev} iters "
           f"(incl. compile) -> {t_dev/max(it_dev,1):.2f} s/iter; "
           f"final -logp {vals[0]:.1f}", flush=True)
 
@@ -82,7 +87,7 @@ def main(quick=False):
         len(u0)))).astype(settings.floatx)
     t0 = time.perf_counter()
     pts2, vals2, iters2 = oj.lbfgs_minimize_guarded(
-        objective, u0b, max_iters=8, chunk=chunk, display=True)
+        objective, u0b, max_iters=chunk, chunk=chunk, display=True)
     t_dev2 = time.perf_counter() - t0
     it_dev2 = int(iters2[0])
     print(f"[device warm] total {t_dev2:.1f}s for {it_dev2} iters -> "

@@ -372,7 +372,15 @@ class GaussianProcess(EllipticalProcess):
         (bayesian/optimize_jax.lbfgs_minimize_guarded) with the SAME
         trust hardening (CG residual > 5e-2 or non-finite => value 1e10,
         zero gradient) — many iterations per dispatch instead of many
-        dispatches per iteration."""
+        dispatches per iteration.
+
+        Hosted-tunnel runtime caveat (measured twice at the 50k tut19
+        workload): a chunk dispatched FROM an already-converged state
+        can fault the TPU worker (the same big-fused-program crash mode
+        as NUTS depth 7, CLAUDE.md) — budget ``max_iters`` to the
+        expected iteration count rather than relying on the plateau
+        stop, and prefer the scipy ``loop='host'`` when babysitting a
+        fragile window."""
         import jax as _jax
         import scipy.optimize as spo
 
