@@ -75,22 +75,27 @@ def main(quick=False):
     chunk = 4
     t0 = time.perf_counter()
     pts, vals, iters = oj.lbfgs_minimize_guarded(
-        objective, u0, max_iters=chunk, chunk=chunk, display=True)
+        objective, u0, max_iters=chunk, chunk=chunk, display=True,
+        linesearch_steps=5)
     t_dev = time.perf_counter() - t0
     it_dev = int(iters[0])
-    print(f"[device cold] total {t_dev:.1f}s for {it_dev} iters "
+    print(f"[device cold ls5] total {t_dev:.1f}s for {it_dev} iters "
           f"(incl. compile) -> {t_dev/max(it_dev,1):.2f} s/iter; "
           f"final -logp {vals[0]:.1f}", flush=True)
 
-    # warm re-run from a perturbed start: compile amortized away
+    # warm re-run from a perturbed start with a CAPPED zoom budget: the
+    # default budget saturates near guard cliffs (measured 59 s/iter —
+    # every zoom step is a full objective+grad eval) — note a capped
+    # linesearch changes the program, so this phase compiles its own
     u0b = (u0 * (1 + 0.05 * np.random.default_rng(1).standard_normal(
         len(u0)))).astype(settings.floatx)
     t0 = time.perf_counter()
     pts2, vals2, iters2 = oj.lbfgs_minimize_guarded(
-        objective, u0b, max_iters=chunk, chunk=chunk, display=True)
+        objective, u0b, max_iters=2 * chunk, chunk=chunk, display=True,
+        linesearch_steps=5)
     t_dev2 = time.perf_counter() - t0
     it_dev2 = int(iters2[0])
-    print(f"[device warm] total {t_dev2:.1f}s for {it_dev2} iters -> "
+    print(f"[device warm ls5] total {t_dev2:.1f}s for {it_dev2} iters -> "
           f"{t_dev2/max(it_dev2,1):.2f} s/iter; final -logp {vals2[0]:.1f}",
           flush=True)
 

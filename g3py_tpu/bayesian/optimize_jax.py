@@ -69,7 +69,8 @@ def lbfgs_maximize(logp_fn, starts, max_iters=200, tol=1e-5):
 
 
 def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
-                           resid_tol=5e-2, display=False):
+                           resid_tol=5e-2, display=False,
+                           linesearch_steps=None):
     """On-device L-BFGS for guarded stochastic-estimator objectives — the
     device loop behind ``find_MAP(engine='iterative', loop='device')``.
 
@@ -100,7 +101,16 @@ def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
         ok = jnp.isfinite(v) & (resid <= resid_tol)
         return jnp.where(ok, v, jnp.asarray(1e10, v.dtype))
 
-    opt = optax.lbfgs()
+    if linesearch_steps is None:
+        opt = optax.lbfgs()
+    else:
+        # each zoom step costs a full objective+grad eval — at expensive
+        # objectives (the 50k matrix-free NLL is ~1 s/eval) the DEFAULT
+        # budget dominates the iteration cost when the search brackets a
+        # guard cliff (measured 59 s/iter at the saturated default vs the
+        # ~3-eval typical case)
+        opt = optax.lbfgs(linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=int(linesearch_steps)))
     vg = jax.value_and_grad(guarded)
     vg_j = jax.jit(vg)
 

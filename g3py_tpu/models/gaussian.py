@@ -353,7 +353,8 @@ class GaussianProcess(EllipticalProcess):
     def _find_map_iterative(self, start=None, points=1, return_points=False,
                             display=True, max_iters=200, rank=64, block=2048,
                             cg_iters=100, probes=8, lanczos_iters=25, seed=0,
-                            loop="host", chunk=8, **_):
+                            loop="host", chunk=8, linesearch_steps=None,
+                            **_):
         """MAP search whose objective is the matrix-free NLL (plus the hyper
         priors) — L-BFGS over ``nll_iterative``'s stochastic-trace
         gradient, for training sets where the exact O(n^3)/O(n^2-memory)
@@ -413,7 +414,7 @@ class GaussianProcess(EllipticalProcess):
                                        settings.floatx) for s in starts])
             pts, vals, iters = lbfgs_minimize_guarded(
                 objective, u0s, max_iters=max_iters, chunk=chunk,
-                display=display)
+                display=display, linesearch_steps=linesearch_steps)
             results = []
             for i in range(len(vals)):
                 if vals[i] >= 1e10:
