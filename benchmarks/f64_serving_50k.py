@@ -62,10 +62,12 @@ def main(quick=False):
         print(f"f32 predictor refused (expected): {str(e)[:110]}",
               flush=True)
 
-    # full-f64 pipeline
+    # full-f64 pipeline — block=512: the f64 emulation's lazy slabs cost
+    # ~4x their f32 size in temps (measured OOM at block=2048: 25.5 GB
+    # vs 15.75 GB HBM)
     t0 = time.perf_counter()
     pr = gp.predictor_iterative(params, rank=80, cg_iters=400,
-                                dtype="float64")
+                                block=512, dtype="float64")
     t_build = time.perf_counter() - t0
     print(f"f64 predictor: build {t_build:.1f}s, "
           f"cg_rel_residual {pr.cg_rel_residual:.3e}", flush=True)

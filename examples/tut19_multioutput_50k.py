@@ -22,7 +22,13 @@ TPU-native engines, and the tutorial shows how to pick:
    f32 factors break down; measured rank 240 is *worse*, resid 1.0).
    The engine is the right tool for training here and for moderate-noise
    regimes generally; this near-interpolation 1-D regime has an exact
-   engine below.
+   engine below.  Round 4: ``predictor_iterative(dtype='float64')``
+   reopens this envelope where f64 is native — the measured 2x2 in
+   docs/performance.md shows ONLY the full-f64 pipeline converges
+   (mixed precision is worse) — but on the hosted TPU tunnel the f64
+   build is measured-blocked (emulation OOM at block=2048, worker fault
+   at 512; benchmarks/f64_serving_50k.py), so there the exact engine
+   below remains the serving answer.
 2. **Exact O(n) state-space engine** (time-indexed rows):
    :class:`MultiStateSpaceGP` — the same field as an LMC mixture of one
    latent Markovian GP, inference by parallel-in-time Kalman.  Measured
