@@ -138,7 +138,8 @@ def main(quick=True, plot=False):
         axes[1].plot(xc, yc, "k.", ms=2); axes[1].set_title("probit")
         axes[2].plot(xp_, rate_true, "k-"); axes[2].plot(xp_, m, "r-")
         axes[2].plot(xp_, yp_, "k.", ms=2); axes[2].set_title("poisson")
-        g3.plot_save("tut12_likelihoods.png")
+        from _common import save_fig
+        save_fig("tut12_likelihoods.png")
 
     return out
 

@@ -88,7 +88,7 @@ def main(quick=True, plot=True):
         axes[0].legend()
         axes[1].scatter(feats[:, 0], feats[:, 1], c=proj, s=8)
         axes[1].set_title("learned 2-D features, colored by x . a")
-        save_fig(fig, "tut17_ridge")
+        save_fig("tut17_ridge.png")
 
     # ---- 3. stochastic variational DKL at larger N ------------------------
     n_big = 2000 if quick else 100_000

@@ -82,7 +82,7 @@ def main(quick=True, plot=True):
         ax.plot(xg[:, 0], mu, lw=1, label="posterior mean")
         ax.fill_between(xg[:, 0], mu - 2 * sd, mu + 2 * sd, alpha=0.2)
         ax.legend()
-        save_fig(fig, "tut18_bo")
+        save_fig("tut18_bo.png")
 
     # ---- 3. 2-D minimization with a warped surrogate -----------------------
     gp2 = g3.WGP(space=np.zeros((4, 2), np.float32), location=g3.Bias(),
