@@ -555,6 +555,11 @@ def _run(b):
         fkey = [k for k in pr._clone.compiles
                 if k.startswith("posterior_mean")][0]
         t_srv = _pipeline(pr._clone.compiles[fkey].fn, xq, vec)
+        # parsed row (13th): serving throughput of the factored fast path;
+        # vs_baseline = the unfactored/factored speedup on the same batch
+        rows.append({"metric": "serving_mean_batches_per_sec_n2048_m256",
+                     "value": round(1.0 / t_srv, 1), "unit": "batches/sec",
+                     "vs_baseline": round(t_unf / t_srv, 1)})
         notes.append(f"serving_mean_n2048_m256: unfactored={t_unf*1e3:.2f}ms "
                      f"predictor={t_srv*1e3:.2f}ms ({t_unf/t_srv:.0f}x)")
 
