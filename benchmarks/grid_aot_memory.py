@@ -57,14 +57,18 @@ def complete_grid(jax, shape, n_dev):
     kernels = [g3.MAT52(axes[0][:, None], name=f"K{i}")
                for i in range(1)] + [
         g3.SE(axes[i][:, None], name=f"K{i}") for i in range(1, len(shape))]
-    grgp = g3.GridGP(axes=axes, kernel=kernels, name="AOTG")
     # observe a small row subset purely to initialize hyper defaults —
-    # the AOT objective below takes the full residual tensor abstractly
+    # the AOT objective below takes the full residual tensor abstractly.
+    # Passing that subset as ``space=`` matters: without it GridGP's
+    # __init__ materializes the FULL N-row coordinate matrix on the host
+    # (6.4 GB at N=537M — measured as the dominant cost of the round-4
+    # dryrun 4l timeout, ~260 s on a 1-core box; VERDICT r4 item 1).
     rng = np.random.default_rng(0)
     flat = rng.choice(int(np.prod(shape)), 2048, replace=False)
     sub_idx = np.unravel_index(flat, shape)
     rows = np.stack([axes[i][sub_idx[i]] for i in range(len(shape))],
                     1).astype(np.float32)
+    grgp = g3.GridGP(axes=axes, kernel=kernels, space=rows, name="AOTG")
     grgp.observed(rows, np.sin(rows[:, 0]).astype(np.float32))
     reg = grgp.active
     u0 = jnp.asarray(reg.dict_to_array(grgp.params_default))

@@ -133,8 +133,27 @@ def _build_subtree(logp_fn, grad_fn, key, z0, r0, eps_signed, depth,
     init = (key, z0, r0, jnp.zeros_like(r0), z0,
             jnp.asarray(-jnp.inf, z0.dtype), jnp.zeros((), z0.dtype),
             jnp.asarray(False), jnp.asarray(False), ckpt_r, ckpt_sum)
-    (_, z_end, r_end, r_sum, z_prop, logw, acc_sum, turning, diverging,
-     _, _) = lax.fori_loop(0, 2**max_depth, body, init)
+
+    # Early-exit while_loop instead of a masked fori_loop over the FULL
+    # 2^max_depth: a depth-k subtree now costs 2^k leapfrogs, not
+    # 2^max_depth (the fori form made every NUTS step pay
+    # O(max_depth * 2^max_depth) — measured 1.6x wall at d=6 and the
+    # direct blocker for d=8: docs/samplers.md round-5).  The `live`
+    # masking in `body` is kept — under vmap the batching rule freezes
+    # finished lanes via the predicate, and turning/divergence can fire
+    # mid-iteration.
+    def wcond(ns):
+        n, state = ns
+        turning, diverging = state[7], state[8]
+        return (n < n_leaves) & ~turning & ~diverging
+
+    def wbody(ns):
+        n, state = ns
+        return n + 1, body(n, state)
+
+    _, (_, z_end, r_end, r_sum, z_prop, logw, acc_sum, turning, diverging,
+        _, _) = lax.while_loop(wcond, wbody, (jnp.asarray(0, jnp.int32),
+                                              init))
     return z_end, r_end, r_sum, z_prop, logw, acc_sum, turning, diverging
 
 
@@ -196,11 +215,10 @@ def _nuts_step(logp_fn, grad_fn, key, z, eps, max_depth, inv_mass=None):
     return z_new, accept, depth_used, diverged
 
 
-@partial(jax.jit, static_argnames=("logp_fn", "samples", "max_depth"))
-def _nuts_chain(logp_fn, z0, eps, samples, key, max_depth, inv_mass=None):
+def _nuts_chain_keys(logp_fn, z0, eps, keys, max_depth, inv_mass):
+    """Scan NUTS steps over an explicit per-sample key array — the unit
+    the chunked-dispatch path re-dispatches with the carry threaded."""
     grad_fn = jax.grad(logp_fn)
-    if inv_mass is None:
-        inv_mass = jnp.ones_like(z0)
 
     def step(carry, k):
         z = carry
@@ -208,21 +226,36 @@ def _nuts_chain(logp_fn, z0, eps, samples, key, max_depth, inv_mass=None):
                                                max_depth, inv_mass)
         return z_new, (z_new, logp_fn(z_new), accept, depth, div)
 
+    z_end, (chain, lnprob, accepts, depths, divs) = lax.scan(step, z0, keys)
+    return z_end, chain, lnprob, accepts, depths, divs
+
+
+@partial(jax.jit, static_argnames=("logp_fn", "samples", "max_depth"))
+def _nuts_chain(logp_fn, z0, eps, samples, key, max_depth, inv_mass=None):
+    if inv_mass is None:
+        inv_mass = jnp.ones_like(z0)
     keys = random.split(key, samples)
-    _, (chain, lnprob, accepts, depths, divs) = lax.scan(step, z0, keys)
+    _, chain, lnprob, accepts, depths, divs = _nuts_chain_keys(
+        logp_fn, z0, eps, keys, max_depth, inv_mass)
     return chain, lnprob, accepts, depths, divs
 
 
-def _dual_avg_phase(logp_fn, grad_fn, z0, key, iters, max_depth, inv_mass,
-                    target=0.8, eps0=0.1, dense=False):
-    """One dual-averaging phase (Hoffman & Gelman Algorithm 5), accumulating
-    a Welford posterior-(co)variance estimate for mass adaptation (vector
-    second moments, or the full outer-product matrix when ``dense``)."""
-    mu = jnp.log(10.0 * eps0)
-    gamma, t0, kappa = 0.05, 10.0, 0.75
+def _dual_avg_carry0(z0, eps0, dense):
     ndim = z0.shape[0]
     m2_0 = (jnp.zeros((ndim, ndim), z0.dtype) if dense
             else jnp.zeros_like(z0))
+    return (z0, jnp.log(jnp.asarray(eps0, z0.dtype)),
+            jnp.zeros((), z0.dtype), jnp.zeros((), z0.dtype),
+            jnp.zeros_like(z0), m2_0)
+
+
+def _dual_avg_scan(logp_fn, grad_fn, carry, keys, ms, max_depth, inv_mass,
+                   target, mu, dense):
+    """Scan a segment of dual-averaging iterations (Hoffman & Gelman
+    Algorithm 5) from an explicit carry — the unit the chunked-dispatch
+    warmup path re-dispatches; the monolithic path runs one segment."""
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    dtype = carry[0].dtype
 
     def step(carry, inp):
         z, log_eps, log_eps_bar, h_bar, w_mean, w_m2 = carry
@@ -230,7 +263,7 @@ def _dual_avg_phase(logp_fn, grad_fn, z0, key, iters, max_depth, inv_mass,
         eps = jnp.exp(log_eps)
         z_new, accept, _, _ = _nuts_step(logp_fn, grad_fn, k, z, eps,
                                          max_depth, inv_mass)
-        mm = m.astype(z0.dtype) + 1.0
+        mm = m.astype(dtype) + 1.0
         eta = 1.0 / (mm + t0)
         h_bar = (1.0 - eta) * h_bar + eta * (target - accept)
         log_eps = mu - jnp.sqrt(mm) / gamma * h_bar
@@ -244,12 +277,21 @@ def _dual_avg_phase(logp_fn, grad_fn, z0, key, iters, max_depth, inv_mass,
                        else delta * delta2)
         return (z_new, log_eps, log_eps_bar, h_bar, w_mean, w_m2), None
 
+    carry, _ = lax.scan(step, carry, (keys, ms))
+    return carry
+
+
+def _dual_avg_phase(logp_fn, grad_fn, z0, key, iters, max_depth, inv_mass,
+                    target=0.8, eps0=0.1, dense=False):
+    """One dual-averaging phase (Hoffman & Gelman Algorithm 5), accumulating
+    a Welford posterior-(co)variance estimate for mass adaptation (vector
+    second moments, or the full outer-product matrix when ``dense``)."""
+    mu = jnp.log(10.0 * eps0)
     keys = random.split(key, iters)
-    (z, _, log_eps_bar, _, w_mean, w_m2), _ = lax.scan(
-        step, (z0, jnp.log(jnp.asarray(eps0, z0.dtype)),
-               jnp.zeros((), z0.dtype), jnp.zeros((), z0.dtype),
-               jnp.zeros_like(z0), m2_0),
-        (keys, jnp.arange(iters)))
+    carry = _dual_avg_scan(logp_fn, grad_fn, _dual_avg_carry0(z0, eps0, dense),
+                           keys, jnp.arange(iters), max_depth, inv_mass,
+                           target, mu, dense)
+    z, _, log_eps_bar, _, w_mean, w_m2 = carry
     var = w_m2 / jnp.maximum(iters - 1, 1)
     return z, jnp.exp(log_eps_bar), var
 
@@ -271,26 +313,30 @@ def _nuts_warmup_impl(logp_fn, z0, key, warmup, max_depth, target=0.8,
                                   ones, target, eps0, dense=dense)
     if not adapt_mass:
         return z, eps, ones
+    inv_mass = _mass_from_var(var, n1, dense, z0.dtype)
+    z, eps, _ = _dual_avg_phase(logp_fn, grad_fn, z, k2, warmup - n1,
+                                max_depth, inv_mass, target, eps)
+    return z, eps, inv_mass
+
+
+def _mass_from_var(var, n1, dense, dtype):
+    """Regularized (co)variance -> inverse mass (Stan's diag_e/dense_e)."""
     reg = (n1 / (n1 + 5.0))
     if dense:
         # regularized covariance (Stan shrinks toward a scaled identity)
-        ndim = z0.shape[0]
+        ndim = var.shape[0]
         inv_mass = (reg * var
-                    + (1.0 - reg) * 1e-3 * jnp.eye(ndim, dtype=z0.dtype))
+                    + (1.0 - reg) * 1e-3 * jnp.eye(ndim, dtype=dtype))
         # guard: a non-PSD estimate (short phase-1) falls back to its diag
         l = jnp.linalg.cholesky(inv_mass)
         bad = ~jnp.all(jnp.isfinite(l))
-        inv_mass = jnp.where(
+        return jnp.where(
             bad,
             jnp.diag(jnp.maximum(jnp.diagonal(var), 1e-10) * reg
                      + (1.0 - reg) * 1e-3),
             inv_mass)
-    else:
-        # regularized variance (Stan shrinks toward unity)
-        inv_mass = reg * jnp.maximum(var, 1e-10) + (1.0 - reg) * 1e-3
-    z, eps, _ = _dual_avg_phase(logp_fn, grad_fn, z, k2, warmup - n1,
-                                max_depth, inv_mass, target, eps)
-    return z, eps, inv_mass
+    # regularized variance (Stan shrinks toward unity)
+    return reg * jnp.maximum(var, 1e-10) + (1.0 - reg) * 1e-3
 
 
 _nuts_warmup_jit = partial(jax.jit, static_argnames=("logp_fn", "warmup",
@@ -311,8 +357,83 @@ def nuts_warmup(logp, z0, warmup=200, key=None, max_depth=8, adapt_mass=True,
     return np.asarray(z), float(eps), np.asarray(inv_mass)
 
 
+def _chunked_segments(total, chunk):
+    """[(start, length), ...] covering ``total`` in <= ``chunk`` pieces."""
+    return [(s, min(chunk, total - s)) for s in range(0, total, chunk)]
+
+
+def _nuts_run_chunked(logp, z0, samples, eps, warmup, key, max_depth,
+                      adapt_mass, target, chunk):
+    """Host-chunked NUTS: warmup and sampling run as bounded ``chunk``-
+    iteration dispatches instead of one monolithic fused program — the
+    escape from the tunnel-runtime's big-fused-program worker-crash
+    envelope (docs/performance.md; d=7 monolithic trees measured-crash
+    the hosted worker).  Per-step algorithm identical to the fused path;
+    only the dispatch granularity (and hence the PRNG key layout)
+    differs.  At most two compiled programs per phase (full chunk +
+    remainder)."""
+    n_chains, ndim = z0.shape
+    dtype = z0.dtype
+    dense = adapt_mass == "dense"
+    grad_fn = jax.grad(logp)
+    k_warm, k_run = random.split(key)
+
+    if eps is None:
+        n1 = warmup // 2 if adapt_mass else warmup
+        n2 = warmup - n1
+        wkeys = random.split(k_warm, n_chains)
+        ph1 = jax.vmap(
+            lambda k: random.split(random.fold_in(k, 1), max(n1, 1)))(wkeys)
+        ph2 = jax.vmap(
+            lambda k: random.split(random.fold_in(k, 2), max(n2, 1)))(wkeys)
+
+        def _seg(carry, keys, inv_mass, mu, ms):
+            return _dual_avg_scan(logp, grad_fn, carry, keys, ms,
+                                  max_depth, inv_mass, target, mu, dense)
+
+        seg_v = jax.jit(jax.vmap(_seg, in_axes=(0, 0, 0, 0, None)))
+
+        ones_c = jnp.ones((n_chains, ndim), dtype)
+        mu1 = jnp.full((n_chains,), jnp.log(jnp.asarray(1.0, dtype)), dtype)
+        carry = jax.vmap(lambda z: _dual_avg_carry0(z, 0.1, dense))(z0)
+        for s, length in _chunked_segments(n1, chunk):
+            carry = seg_v(carry, ph1[:, s:s + length], ones_c, mu1,
+                          jnp.arange(s, s + length))
+        z1, eps1 = carry[0], jnp.exp(carry[2])
+        if not adapt_mass:
+            z0, eps_vec, inv_masses = z1, eps1, ones_c
+        else:
+            var = carry[5] / max(n1 - 1, 1)
+            inv_masses = jax.vmap(
+                lambda v: _mass_from_var(v, n1, dense, dtype))(var)
+            mu2 = jnp.log(10.0 * eps1)
+            carry = jax.vmap(
+                lambda z, e: _dual_avg_carry0(z, e, dense))(z1, eps1)
+            for s, length in _chunked_segments(n2, chunk):
+                carry = seg_v(carry, ph2[:, s:s + length], inv_masses, mu2,
+                              jnp.arange(s, s + length))
+            z0, eps_vec = carry[0], jnp.exp(carry[2])
+    else:
+        eps_vec = jnp.full((n_chains,), eps, dtype=dtype)
+        inv_masses = jnp.ones_like(z0)
+
+    rkeys = random.split(k_run, n_chains)
+    skeys = jax.vmap(lambda k: random.split(k, samples))(rkeys)
+    chain_seg = jax.jit(jax.vmap(
+        lambda z, e, keys, im: _nuts_chain_keys(logp, z, e, keys,
+                                                max_depth, im)))
+    outs, zc = [], z0
+    for s, length in _chunked_segments(samples, chunk):
+        res = chain_seg(zc, eps_vec, skeys[:, s:s + length], inv_masses)
+        zc = res[0]
+        outs.append(res[1:])
+    cat = [jnp.concatenate([o[i] for o in outs], axis=1) for i in range(5)]
+    return cat[0], cat[1], cat[2], cat[3], cat[4], eps_vec
+
+
 def nuts_sampler(logp, z0, samples, eps=None, warmup=200, key=None,
-                 max_depth=8, chains=1, adapt_mass=True, target_accept=0.8):
+                 max_depth=8, chains=1, adapt_mass=True, target_accept=0.8,
+                 chunk=None):
     """Run NUTS; returns (chain (chains, samples, ndim),
     lnprob (chains, samples), info dict).
 
@@ -329,6 +450,12 @@ def nuts_sampler(logp, z0, samples, eps=None, warmup=200, key=None,
     ``'dense'`` the full posterior covariance (dense_e) — use it when a
     high ``target_accept`` still reports divergences (correlated funnels,
     e.g. warped-GP power/scale vs noise hypers), False keeps unit mass.
+
+    ``chunk``: when set, warmup and sampling run as bounded ``chunk``-
+    iteration dispatches (host loop carrying the chain state) instead of
+    one monolithic fused program.  On the hosted TPU tunnel a monolithic
+    d>=7 run measured-crashes the worker (docs/performance.md); chunked
+    dispatch is how depths beyond 6 become runnable there.
     """
     if key is None or isinstance(key, int):
         key = random.PRNGKey(0 if key is None else key)
@@ -336,6 +463,20 @@ def nuts_sampler(logp, z0, samples, eps=None, warmup=200, key=None,
     if z0.ndim == 1:
         z0 = jnp.tile(z0[None, :], (chains, 1))
     n_chains = z0.shape[0]
+
+    if chunk is not None:
+        chain, lnprob, accepts, depths, divs, eps_vec = _nuts_run_chunked(
+            logp, z0, samples, eps, warmup, key, max_depth,
+            adapt_mass, target_accept, int(chunk))
+        info = {
+            "accept_rate": np.asarray(jnp.mean(accepts, axis=1)),
+            "mean_tree_depth": np.asarray(
+                jnp.mean(depths.astype(jnp.float32), axis=1)),
+            "divergences": np.asarray(jnp.sum(divs, axis=1)),
+            "step_size": np.asarray(eps_vec),
+        }
+        return np.asarray(chain), np.asarray(lnprob), info
+
     k_warm, k_run = random.split(key)
 
     if eps is None:

@@ -96,10 +96,31 @@ def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
     """
     import optax
 
+    # custom VJP so the untrusted branch is truly constant: a plain
+    # jnp.where still backprops 0*NaN=NaN through the untaken branch when
+    # the objective's value/grad is NaN at an untrusted point, and the
+    # zoom linesearch's internal value_fn evaluations would see NaN
+    # gradients (ADVICE r4).  Here the backward literally SELECTS zero
+    # where the guard fired; a NaN grad at a TRUSTED point still passes
+    # through so the step-rejection check below can catch it.
+    @jax.custom_vjp
     def guarded(u):
         v, resid = obj_fn(u)
         ok = jnp.isfinite(v) & (resid <= resid_tol)
         return jnp.where(ok, v, jnp.asarray(1e10, v.dtype))
+
+    def _guarded_fwd(u):
+        (v, resid), vjp = jax.vjp(obj_fn, u)
+        ok = jnp.isfinite(v) & (resid <= resid_tol)
+        out = jnp.where(ok, v, jnp.asarray(1e10, v.dtype))
+        return out, (vjp, ok, resid)
+
+    def _guarded_bwd(res, ct):
+        vjp, ok, resid = res
+        (g,) = vjp((ct, jnp.zeros_like(resid)))
+        return (jnp.where(ok, g, jnp.zeros_like(g)),)
+
+    guarded.defvjp(_guarded_fwd, _guarded_bwd)
 
     if linesearch_steps is None:
         opt = optax.lbfgs()

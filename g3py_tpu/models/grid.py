@@ -104,7 +104,24 @@ class GridGP(StochasticProcess):
                     f"{len(self.f_kernels)} kernels for "
                     f"{len(self._axes)} axes")
             if space is None:
-                space = grid_rows([a[:, 0] for a in self._axes])
+                n_cells = int(np.prod([a.shape[0] for a in self._axes]))
+                if n_cells > (1 << 22):
+                    # materializing all N rows is O(N) host memory and
+                    # wall (6.4 GB / ~260 s at N=537M on a 1-core box —
+                    # the measured cause of the round-4 multichip dryrun
+                    # timeout).  A deterministic strided subsample serves
+                    # the same roles (dims checks, data-driven hyper
+                    # defaults, plotting hints); the exact grid geometry
+                    # lives in self._axes.
+                    shp = tuple(a.shape[0] for a in self._axes)
+                    flat = np.linspace(0, n_cells - 1, 1 << 14,
+                                       dtype=np.int64)
+                    idx = np.unravel_index(flat, shp)
+                    space = np.stack(
+                        [self._axes[i][idx[i], 0]
+                         for i in range(len(self._axes))], axis=1)
+                else:
+                    space = grid_rows([a[:, 0] for a in self._axes])
         else:
             self._axes = None   # inferred at observed()
         kwargs["space"] = space

@@ -932,14 +932,17 @@ class IterativePredictor(_LatentStatisticsMixin):
             else:
                 self._x64 = lambda: contextlib.nullcontext()
         self.process = process
-        self.params = {k: jnp.asarray(np.asarray(v, self._dt))
-                       for k, v in process.filter_params(params).items()}
         self._inputs_ref = process._inputs
         self._outputs_ref = process._outputs
         self.rank, self.block, self.cg_iters = rank, block, cg_iters
 
         kernel = process.f_kernel
         with self._x64():
+            # params conversion must sit INSIDE the x64 context or JAX
+            # silently truncates genuinely-f64 trained params back to f32
+            # (ADVICE r4)
+            self.params = {k: jnp.asarray(np.asarray(v, self._dt))
+                           for k, v in process.filter_params(params).items()}
             pj = self.params
             x = jnp.asarray(np.asarray(process._inputs), self._dt)
             yout = jnp.asarray(np.asarray(process._outputs), self._dt)

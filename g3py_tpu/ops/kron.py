@@ -136,7 +136,12 @@ def _shard_cons(shard, shape):
     order = sorted(range(nd), key=lambda i: -shape[i])
 
     def cons(t, avoid=None):
-        pick = next(i for i in order if i != avoid)
+        # a 1-D grid has no axis other than the contraction axis: leave
+        # the tensor unconstrained rather than raising StopIteration
+        # (ADVICE r4: GridGP.nll_distributed passes shard= unconditionally)
+        pick = next((i for i in order if i != avoid), None)
+        if pick is None:
+            return t
         spec = [None] * nd
         spec[pick] = axis_name
         return jax.lax.with_sharding_constraint(

@@ -378,6 +378,22 @@ class TestGridDistributed:
             a, b = np.asarray(g_plain[k]), np.asarray(g_shard[k])
             np.testing.assert_allclose(b, a, rtol=5e-4, atol=5e-4)
 
+    def test_nll_distributed_1d_grid(self):
+        # regression (ADVICE r4): a 1-D complete grid has no tensor axis
+        # other than the contraction axis, and _shard_cons used to raise
+        # a bare StopIteration through GridGP.nll_distributed
+        t = np.linspace(0, 6, 25).astype(np.float32)
+        y = (np.sin(t) + 0.1 * np.random.default_rng(0)
+             .standard_normal(25)).astype(np.float32)
+        gp = g3.GridGP(axes=[t], kernel=[g3.MAT52(t[:, None])], name="TG1D")
+        gp.observed(t[:, None], y)
+        ll = float(gp.loglike(gp.params))
+        pj = {k: jnp.asarray(v) for k, v in gp.params.items()}
+        nd = float(jax.jit(lambda p: gp.nll_distributed(p))(pj))
+        assert abs(nd + ll) <= 1e-5 * abs(ll) + 1e-4
+        g = jax.jit(jax.grad(lambda p: gp.nll_distributed(p)))(pj)
+        assert all(np.all(np.isfinite(np.asarray(v))) for v in g.values())
+
     def test_masked_nll_distributed_matches_loglike(self):
         rng = np.random.default_rng(0)
         t = np.sort(rng.uniform(0, 6, 12)).astype(np.float32)

@@ -122,6 +122,31 @@ class TestNUTS:
         assert np.all(info["divergences"] == 0)
         assert np.all(info["accept_rate"] > 0.5)
 
+    def test_chunked_dispatch_matches_monolithic(self):
+        """chunk= splits warmup+sampling into bounded dispatches (the
+        big-fused-program crash-envelope fix).  Same per-step algorithm:
+        moments match the fused path, dense mass adapts, zero
+        divergences."""
+        import jax.numpy as jnp
+        from g3py_tpu.bayesian.nuts import nuts_sampler
+
+        cov = np.array([[1.0, 0.8], [0.8, 2.0]], np.float32)
+        prec = jnp.asarray(np.linalg.inv(cov))
+
+        def logp(p):
+            return -0.5 * p @ prec @ p
+
+        chain, lnprob, info = nuts_sampler(logp, np.zeros(2, np.float32),
+                                           samples=800, warmup=200, key=0,
+                                           chains=2, adapt_mass="dense",
+                                           chunk=64)
+        assert chain.shape == (2, 800, 2)
+        flat = chain[:, 300:, :].reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(flat.T), cov, atol=0.4)
+        assert np.all(info["divergences"] == 0)
+        assert np.all(info["accept_rate"] > 0.5)
+        assert np.all(np.isfinite(lnprob))
+
     def test_dense_mass_cuts_tree_depth(self):
         """adapt_mass='dense' (dense_e metric): on a strongly correlated
         gaussian the fitted full covariance decorrelates the dynamics —
