@@ -135,13 +135,13 @@ def _build_subtree(logp_fn, grad_fn, key, z0, r0, eps_signed, depth,
             jnp.asarray(False), jnp.asarray(False), ckpt_r, ckpt_sum)
 
     # Early-exit while_loop instead of a masked fori_loop over the FULL
-    # 2^max_depth: a depth-k subtree now costs 2^k leapfrogs, not
+    # 2^max_depth: a depth-k subtree now costs ~2^k leapfrogs, not
     # 2^max_depth (the fori form made every NUTS step pay
-    # O(max_depth * 2^max_depth) — measured 1.6x wall at d=6 and the
-    # direct blocker for d=8: docs/samplers.md round-5).  The `live`
-    # masking in `body` is kept — under vmap the batching rule freezes
-    # finished lanes via the predicate, and turning/divergence can fire
-    # mid-iteration.
+    # O(max_depth * 2^max_depth) leapfrogs regardless of the tree
+    # actually built — see docs/samplers.md for the measured effect).
+    # The `live` masking in `body` is kept — under vmap the batching
+    # rule freezes finished lanes via the predicate, and
+    # turning/divergence can fire mid-iteration.
     def wcond(ns):
         n, state = ns
         turning, diverging = state[7], state[8]

@@ -70,7 +70,7 @@ def lbfgs_maximize(logp_fn, starts, max_iters=200, tol=1e-5):
 
 def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
                            resid_tol=5e-2, display=False,
-                           linesearch_steps=None):
+                           linesearch_steps=None, dispatch_budget=None):
     """On-device L-BFGS for guarded stochastic-estimator objectives — the
     device loop behind ``find_MAP(engine='iterative', loop='device')``.
 
@@ -89,6 +89,14 @@ def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
     iteration, which dominates wall time at large N over the hosted
     tunnel (the 50k iterative MAP was ~23-30 s/iteration host-driven).
     Starts run sequentially through the same compiled chunk program.
+
+    ``dispatch_budget`` (seconds; default ``settings.dispatch_budget_s``)
+    caps the estimated device runtime of ONE chunk dispatch: the chunk
+    length is auto-sized from a timed objective eval (and halved when a
+    measured chunk overruns 1.5x) so long-running fused programs stay
+    under the hosted tunnel's worker-crash envelope
+    (docs/performance.md round-5 measurement).  ``None`` disables and
+    uses ``chunk`` as given.
 
     Returns ``(points (k, ndim), values (k,), iters (k,))`` — values are
     the guarded objective (1e10 marks a start that never found a trusted
@@ -135,8 +143,8 @@ def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
     vg = jax.value_and_grad(guarded)
     vg_j = jax.jit(vg)
 
-    @jax.jit
-    def run_chunk(x0, state0, v0, g0):
+    @partial(jax.jit, static_argnames=("length",))
+    def run_chunk(x0, state0, v0, g0, length):
         def body(carry, _):
             x, state, v, g = carry
             updates, state_new = opt.update(g, state, x, value=v, grad=g,
@@ -159,25 +167,54 @@ def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
             return (x_new, state_new, v_new, g_new), v_new
 
         (x, state, v, g), _vals = lax.scan(body, (x0, state0, v0, g0),
-                                           None, length=chunk)
+                                           None, length=length)
         return x, state, v, g
 
     import time as _time
 
+    if dispatch_budget is None:
+        dispatch_budget = settings.dispatch_budget_s
+
     starts = np.atleast_2d(np.asarray(starts, settings.floatx))
     points, values, iters = [], [], []
+    chunk_eff = int(chunk)
     for x0 in starts:
         x = jnp.asarray(x0, settings.dtype)
         state = opt.init(x)
+        t0 = _time.perf_counter()
         v, g = vg_j(x)
+        float(v)  # host sync: time one real objective+grad eval
+        t_eval = _time.perf_counter() - t0
+        if dispatch_budget is not None:
+            # ~4 objective+grad evals per L-BFGS iteration (1 + typical
+            # zoom steps; the saturated default is bounded separately by
+            # linesearch_steps)
+            evals_per_iter = 1 + (int(linesearch_steps)
+                                  if linesearch_steps is not None else 3)
+            est_iter = max(t_eval, 1e-3) * evals_per_iter
+            chunk_eff = int(max(1, min(chunk, dispatch_budget / est_iter)))
+            if display and chunk_eff != chunk:
+                print(f"  dispatch budget {dispatch_budget:.0f}s: eval "
+                      f"{t_eval:.2f}s -> chunk {chunk_eff}", flush=True)
         it, v_prev = 0, float("inf")
         t_prev = _time.perf_counter()
         while it < max_iters:
-            x, state, v, g = run_chunk(x, state, v, g)
-            it += chunk
+            t_chunk0 = _time.perf_counter()
+            x, state, v, g = run_chunk(x, state, v, g, length=chunk_eff)
+            it += chunk_eff
             # one host sync per CHUNK, not per iteration
             v_host = float(v)
             gmax = float(jnp.max(jnp.abs(g)))
+            t_wall = _time.perf_counter() - t_chunk0
+            if (dispatch_budget is not None and chunk_eff > 1
+                    and t_wall > 1.5 * dispatch_budget):
+                # measured overrun: halve the chunk (one recompile) so the
+                # next dispatch lands back inside the envelope
+                chunk_eff = max(1, chunk_eff // 2)
+                if display:
+                    print(f"  chunk overran budget ({t_wall:.1f}s > "
+                          f"1.5x{dispatch_budget:.0f}s) -> chunk "
+                          f"{chunk_eff}", flush=True)
             if display:
                 t_now = _time.perf_counter()
                 print(f"  iter {it}: value {v_host:.6g} |g|max {gmax:.3g} "

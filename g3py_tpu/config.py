@@ -74,6 +74,16 @@ class Settings:
     # (n, s) tensors).  Values are static-shape thresholds.
     ssm_chunk_threshold: int = 1_048_576
     ssm_chunk: int = 262_144
+
+    # Target device-runtime (seconds) for ONE dispatch of a long-running
+    # fused program on the hosted TPU tunnel — the big-fused-program
+    # worker-crash envelope (benchmarks/crash_envelope.py, round-5
+    # measurement in docs/performance.md).  Consumed by auto-chunked
+    # device loops (optimize_jax.lbfgs_minimize_guarded); None disables
+    # auto-sizing.  Chunked NUTS (nuts_sampler(chunk=)) bounds its
+    # dispatches by iteration count instead (the per-iteration cost is
+    # workload-dependent but small).
+    dispatch_budget_s: object = None
     # State dim at/above which the batched tiny-matrix products in the
     # Kalman scans go to the MXU (6-pass exact-f32 matmul) instead of
     # the VPU multiply-reduce (ops/ssm._bmm).  MEASURED NEGATIVE at

@@ -354,7 +354,7 @@ class GaussianProcess(EllipticalProcess):
                             display=True, max_iters=200, rank=64, block=2048,
                             cg_iters=100, probes=8, lanczos_iters=25, seed=0,
                             loop="host", chunk=8, linesearch_steps=None,
-                            **_):
+                            dispatch_budget=None, **_):
         """MAP search whose objective is the matrix-free NLL (plus the hyper
         priors) — L-BFGS over ``nll_iterative``'s stochastic-trace
         gradient, for training sets where the exact O(n^3)/O(n^2-memory)
@@ -414,7 +414,8 @@ class GaussianProcess(EllipticalProcess):
                                        settings.floatx) for s in starts])
             pts, vals, iters = lbfgs_minimize_guarded(
                 objective, u0s, max_iters=max_iters, chunk=chunk,
-                display=display, linesearch_steps=linesearch_steps)
+                display=display, linesearch_steps=linesearch_steps,
+                dispatch_budget=dispatch_budget)
             results = []
             for i in range(len(vals)):
                 if vals[i] >= 1e10:

@@ -166,6 +166,25 @@ def test_f64_north_star():
     assert "all comparisons within 1e-6" in r.stdout
 
 
+@pytest.mark.slow
+def test_x64_replay_residual_is_oracle_rounding():
+    """VERDICT r4 item 6: replay the full oracle in float64 (subprocess —
+    x64 is process-global).  The residual against the recorded scores must
+    be no worse than the f32 bar, proving the ~1e-4 floor is the
+    reference's OWN f32 rounding, not a semantic delta (the 1e-6 bar is
+    closed by the f64 north-star against independent numpy instead).
+    Per-model numbers are recorded in PARITY.md."""
+    import subprocess
+    import sys
+
+    job = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "x64_parity_replay_job.py")
+    r = subprocess.run([sys.executable, job], capture_output=True, text=True,
+                       timeout=1800)
+    assert r.returncode == 0, f"x64 replay failed:\n{r.stdout}\n{r.stderr}"
+    assert "all x64 residuals within the f32 bar" in r.stdout
+
+
 def test_param_transform_roundtrip_matches_reference():
     """Notebook 04 cell 9 records transform_params({'WGP_Noise_var': 0.1})
     == -2.3025851249694824 (float32 log)."""
