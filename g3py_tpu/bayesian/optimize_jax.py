@@ -154,8 +154,15 @@ def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
             # Reject a step that lands non-finite OR in the untrusted
             # region (guard value 1e10 IS finite — without the explicit
             # check the zero-gradient guard point absorbs the optimizer).
-            # The optimizer state is restored too, so the rejected (s, y)
-            # pair never enters the L-BFGS memory.
+            # On rejection the L-BFGS memory is RESET at the unchanged
+            # iterate (not restored): the loop is deterministic, so a
+            # restored state would retry the identical step and stall
+            # forever (measured at the 50k 3x runs — 2-3 iterations then
+            # a rejected-step plateau); a fresh memory makes the next
+            # direction steepest descent, which a zoom search can
+            # usually land.  A second consecutive rejection then means
+            # even steepest descent fails and the chunk-plateau stop
+            # below is the correct exit.
             ok = (jnp.isfinite(v_new) & (v_new < 1e9)
                   & jnp.all(jnp.isfinite(x_new))
                   & jnp.all(jnp.isfinite(g_new)))
@@ -163,7 +170,7 @@ def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
             v_new = jnp.where(ok, v_new, v)
             g_new = jnp.where(ok, g_new, g)
             state_new = jax.tree.map(
-                lambda a, b: jnp.where(ok, a, b), state_new, state)
+                lambda a, b: jnp.where(ok, a, b), state_new, opt.init(x))
             return (x_new, state_new, v_new, g_new), v_new
 
         (x, state, v, g), _vals = lax.scan(body, (x0, state0, v0, g0),
@@ -181,9 +188,11 @@ def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
     for x0 in starts:
         x = jnp.asarray(x0, settings.dtype)
         state = opt.init(x)
+        v, g = vg_j(x)
+        float(v)  # first call pays the compile — never time it
         t0 = _time.perf_counter()
         v, g = vg_j(x)
-        float(v)  # host sync: time one real objective+grad eval
+        float(v)  # host sync: time one steady-state objective+grad eval
         t_eval = _time.perf_counter() - t0
         if dispatch_budget is not None:
             # ~4 objective+grad evals per L-BFGS iteration (1 + typical

@@ -77,13 +77,17 @@ class Settings:
 
     # Target device-runtime (seconds) for ONE dispatch of a long-running
     # fused program on the hosted TPU tunnel — the big-fused-program
-    # worker-crash envelope (benchmarks/crash_envelope.py, round-5
-    # measurement in docs/performance.md).  Consumed by auto-chunked
-    # device loops (optimize_jax.lbfgs_minimize_guarded); None disables
-    # auto-sizing.  Chunked NUTS (nuts_sampler(chunk=)) bounds its
-    # dispatches by iteration count instead (the per-iteration cost is
-    # workload-dependent but small).
-    dispatch_budget_s: object = None
+    # worker-crash envelope, MEASURED round 5 by direct bisection
+    # (benchmarks/crash_envelope.py; docs/performance.md): a single
+    # dispatch of ~53 s device runtime runs clean, ~60 s and beyond
+    # kills the worker (three crashes at 60/64/70 s targets; the
+    # boundary behaves like a ~55-60 s worker-side watchdog, independent
+    # of program memory).  30 s leaves 2x headroom.  Consumed by
+    # auto-chunked device loops (optimize_jax.lbfgs_minimize_guarded);
+    # None disables auto-sizing.  Chunked NUTS (nuts_sampler(chunk=))
+    # bounds its dispatches by iteration count instead (the
+    # per-iteration cost is workload-dependent but small).
+    dispatch_budget_s: object = 30.0
     # State dim at/above which the batched tiny-matrix products in the
     # Kalman scans go to the MXU (6-pass exact-f32 matmul) instead of
     # the VPU multiply-reduce (ops/ssm._bmm).  MEASURED NEGATIVE at
