@@ -661,20 +661,30 @@ def _run(b):
                      "spread": [round(min(ens_runs), 1),
                                 round(max(ens_runs), 1)]})
 
-        # NUTS in the best-measured config (VERDICT round-3 item 3): the
-        # non-centered amplitude shear (models/elliptical.py
-        # _noncentered_sampling_shear) + dense mass + ta=0.95 + d<=6.
-        # Chains are sheared back to the original coordinates before the
-        # ESS estimate so the number is comparable across configs.
+        # NUTS in the best-measured config (VERDICT r3 item 3 / r4 item
+        # 4): the non-centered amplitude shear (models/elliptical.py
+        # _noncentered_sampling_shear) + dense mass + ta=0.95 + depth 7
+        # via CHUNKED dispatch (nuts_sampler(chunk=25) — bounded
+        # dispatches broke the monolithic-program d<=6 crash ceiling at
+        # ~zero overhead, benchmarks/nuts_depth_ab.py) + warmup 400
+        # (w200 under-adapts the dense mass: accept undershoots and
+        # divergences spike; w400 measured median div 50 at 7.7 ESS/s
+        # over 3 reps — benchmarks/nuts_depth_ab.py --warmup 400,
+        # docs/samplers.md).  Chains are sheared back to
+        # the original coordinates before the ESS estimate so the number
+        # is comparable across configs.
         shear, unshear = wgp._noncentered_sampling_shear()
         logp_nc = lambda v: logp_tr(shear(v))
         import jax.numpy as jnp
         v0 = np.asarray(unshear(jnp.asarray(np.asarray(u2))))
 
-        samples, warmup, chains_n = 300, 200, 4
-        _ = nuts_sampler(logp_nc, v0, samples=10, warmup=10,
-                         key=0, chains=chains_n, max_depth=6,
-                         target_accept=0.95, adapt_mass="dense")
+        samples, warmup, chains_n = 300, 400, 4
+        # primer with the SAME 25-length segments the real run uses
+        # (warmup 50 -> two 25-step phases), so every chunked program is
+        # compile-cached before rep 1 is timed
+        _ = nuts_sampler(logp_nc, v0, samples=25, warmup=50,
+                         key=0, chains=chains_n, max_depth=7,
+                         target_accept=0.95, adapt_mass="dense", chunk=25)
         # scale measured half-chain ESS to the full wall time share it used
         frac = (samples / 2) / (samples + warmup)
         nuts_runs, nuts_divs, nuts_accs = [], [], []
@@ -683,9 +693,9 @@ def _run(b):
             chn, lpn, info = nuts_sampler(logp_nc, v0,
                                           samples=samples, warmup=warmup,
                                           key=1 + rep,
-                                          chains=chains_n, max_depth=6,
+                                          chains=chains_n, max_depth=7,
                                           target_accept=0.95,
-                                          adapt_mass="dense")
+                                          adapt_mass="dense", chunk=25)
             chn = np.asarray(chn)
             t_nuts = time.perf_counter() - t0
             sh = chn.shape
@@ -708,7 +718,7 @@ def _run(b):
             f"{ens_ess_s:.1f} [{min(ens_runs):.1f},{max(ens_runs):.1f}] | "
             f"nuts_ess/s={nuts_ess_s:.1f} "
             f"[{min(nuts_runs):.1f},{max(nuts_runs):.1f}] (ncp+dense "
-            f"ta=0.95, accept={np.median(nuts_accs):.2f}, "
+            f"ta=0.95 d7 chunked w400, accept={np.median(nuts_accs):.2f}, "
             f"div={sorted(nuts_divs)[1]} of {nuts_divs})")
 
         # ---- NeuTra: NUTS through a transport fitted to the ensemble

@@ -12,7 +12,23 @@ BoxCoxLinear — bench.py's sampler rows)?
 All configs run the round-3 best geometry: reparam='noncentered' + dense
 mass + ta=0.95.  Back-to-back in one process, 2 reps per config.
 
+MEASURED (v5e tunnel, 2026-08-21, w200):
+    mono_d6   4.92 div=80 | 8.18 div=95
+    chunk_d6  4.87 div=9  | 6.00 div=97   <- chunk overhead ~ZERO
+    chunk_d7  7.23 div=27 | 5.70 div=283
+    chunk_d8  6.09 div=165| 4.72 div=209  <- deeper trees do NOT cut div
+and with --warmup 400 at chunk_d7 (3 reps): 4.59 div=12 / 7.72 div=85 /
+7.91 div=50 — median div 50 at 7.7 ESS/s, the bench config of record.
+Conclusions in docs/samplers.md: the depth ceiling was a dispatch
+artifact and is GONE (chunked d=7/8 run clean at ~zero overhead); the
+residual divergence mass is adaptation/geometry-bound (w200
+under-adapts the dense mass — accept undershoots; d=8's longer
+trajectories hit MORE divergent leaves), and divergence counts at 300
+samples are high-variance across keys (9..283 within same-class
+configs).
+
 Run: python benchmarks/nuts_depth_ab.py [--cpu] [--chunk 25]
+     [--warmup 400]
 """
 
 import argparse
@@ -24,7 +40,7 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def main(cpu=False, chunk=25):
+def main(cpu=False, chunk=25, warmup=200):
     if cpu:
         import jax
 
@@ -53,7 +69,7 @@ def main(cpu=False, chunk=25):
     logp_nc = lambda v: logp_tr(shear(v))
     v0 = np.asarray(unshear(jnp.asarray(u0)))
 
-    samples, warmup, chains = 300, 200, 4
+    samples, chains = 300, 4
     frac = (samples / 2) / (samples + warmup)
 
     def run(tag, depth, ck, key):
@@ -93,5 +109,6 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--chunk", type=int, default=25)
+    ap.add_argument("--warmup", type=int, default=200)
     a = ap.parse_args()
-    main(cpu=a.cpu, chunk=a.chunk)
+    main(cpu=a.cpu, chunk=a.chunk, warmup=a.warmup)

@@ -78,11 +78,14 @@ class Settings:
     # Target device-runtime (seconds) for ONE dispatch of a long-running
     # fused program on the hosted TPU tunnel — the big-fused-program
     # worker-crash envelope, MEASURED round 5 by direct bisection
-    # (benchmarks/crash_envelope.py; docs/performance.md): a single
-    # dispatch of ~53 s device runtime runs clean, ~60 s and beyond
-    # kills the worker (three crashes at 60/64/70 s targets; the
-    # boundary behaves like a ~55-60 s worker-side watchdog, independent
-    # of program memory).  30 s leaves 2x headroom.  Consumed by
+    # (benchmarks/crash_envelope.py; docs/performance.md): the boundary
+    # is CUMULATIVE COMPUTE per dispatch — every crash >= 1.13e16 FLOP,
+    # every clean point <= 9.45e15 (~50-55 s of MXU-ACTIVE time at the
+    # ~190 TF/s scan rate) — while wall duration (110-164 s stalled
+    # dispatches ran clean), live memory (4 GB), control flow, and loop
+    # trip count (1M tiny-matmul trips) are all exonerated.  For
+    # MXU-dense programs seconds ~ compute, so a 30 s budget leaves 2x
+    # headroom; memory-bound programs can safely run longer.  Consumed by
     # auto-chunked device loops (optimize_jax.lbfgs_minimize_guarded);
     # None disables auto-sizing.  Chunked NUTS (nuts_sampler(chunk=))
     # bounds its dispatches by iteration count instead (the
