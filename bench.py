@@ -72,22 +72,28 @@ def _block(r):
 
 
 def _probe_backend(timeout_s=420.0):
-    """Wait until the backend answers a tiny matmul (worker restart takes
-    ~2 min; a probe issued during the restart window can wedge, so each
-    probe attempt is given a bounded slice via repeated small tries)."""
-    import jax
-    import jax.numpy as jnp
+    """Wait until the backend answers a tiny matmul.  Worker restart
+    takes ~2 min, and an IN-PROCESS device call issued during the
+    restart window can WEDGE silently and never return (measured — one
+    froze a recovery loop for 10+ min while the worker was already
+    healthy), so each probe attempt is a SUBPROCESS with a hard
+    timeout."""
+    import subprocess
+    import sys
 
+    code = ("import numpy as np, jax.numpy as jnp; "
+            "x = jnp.ones((128,128)); "
+            "print(float(np.asarray(jnp.sum(x@x))))")
     t0 = time.perf_counter()
-    attempt = 0
     while time.perf_counter() - t0 < timeout_s:
         try:
-            x = jnp.full((128, 128), 1.0 + attempt)
-            np.asarray(jnp.sum(x @ x))
-            return True
-        except Exception:
-            attempt += 1
-            time.sleep(20.0)
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=240)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(20.0)
     return False
 
 

@@ -73,16 +73,25 @@ def main(budget=None, quick=False, runs=3):
         starts.append(reg.array_to_dict(u0))
 
     def probe(timeout_s=600.0):
-        import jax.numpy as jnp
+        # bounded SUBPROCESS probes: an in-process device call issued
+        # during the worker-restart window can WEDGE silently (measured
+        # — one stuck this script's recovery loop for 10+ min while the
+        # worker was already healthy again)
+        import subprocess
 
+        code = ("import numpy as np, jax.numpy as jnp; "
+                "x = jnp.ones((128,128)); "
+                "print(float(np.asarray(jnp.sum(x@x))))")
         t0 = time.perf_counter()
         while time.perf_counter() - t0 < timeout_s:
             try:
-                z = jnp.ones((128, 128))
-                float(np.asarray(jnp.sum(z @ z)))
-                return True
-            except Exception:
-                time.sleep(30.0)
+                r = subprocess.run([sys.executable, "-c", code],
+                                   capture_output=True, timeout=240)
+                if r.returncode == 0:
+                    return True
+            except subprocess.TimeoutExpired:
+                pass
+            time.sleep(30.0)
         return False
 
     ok_runs = 0

@@ -234,7 +234,9 @@ class TestFindMapIterative:
         (bayesian/optimize_jax.lbfgs_minimize_guarded) — must land at the
         same optimum as the scipy host loop; the guard cliff (CG residual
         > 5e-2 reads as 1e10 with zero gradient) terminates it instead of
-        trapping it (step rejection restores the L-BFGS memory)."""
+        trapping it (a rejected step RESETS the L-BFGS memory — a
+        restored state would deterministically retry the identical
+        failed step forever)."""
         rng = np.random.default_rng(0)
         n = 120
         x = np.sort(rng.uniform(0, 20, n)).astype(np.float32).reshape(-1, 1)
@@ -248,6 +250,38 @@ class TestFindMapIterative:
                             probes=256, max_iters=80)
         p_sc = gp.find_MAP(points=1, display=False)
         assert gp.logp(p_dev) >= gp.logp(p_sc) - 1.0
+
+    def test_device_loop_guard_cliff_contract(self):
+        """lbfgs_minimize_guarded against a hard trust cliff: the
+        constrained minimum sits ON the cliff edge, every trial past it
+        reads 1e10 with zero gradient.  Contract: the loop terminates,
+        the returned point is TRUSTED (never the 1e10 guard value), it
+        sits inside the trusted region, and it lands near the
+        constrained optimum — the guard ejects the optimizer from
+        untrusted territory instead of trapping or absorbing it.
+        Known semantics pinned here: rejection is all-or-nothing on the
+        full step vector, so once the trust boundary is ACTIVE the
+        off-boundary coordinates stop improving too (measured final
+        value 0.31 vs the constrained optimum 0.25 from a start at
+        7.25) — the plateau stop then exits cleanly."""
+        import jax.numpy as jnp
+
+        from g3py_tpu.bayesian.optimize_jax import lbfgs_minimize_guarded
+
+        def obj(u):
+            v = jnp.sum(u ** 2)
+            resid = jnp.where(u[0] > 0.5, 0.0, 1.0)  # trust only u0>0.5
+            return v, resid
+
+        pts, vals, iters = lbfgs_minimize_guarded(
+            obj, np.array([[2.5, 1.0]], np.float32), max_iters=60,
+            chunk=5, linesearch_steps=3, dispatch_budget=None)
+        assert vals[0] < 1e9, "returned the guard value"
+        assert pts[0, 0] > 0.5, "landed in the untrusted region"
+        # start value 7.25, constrained optimum 0.25: require a landing
+        # in its neighborhood (measured 0.308 — the active boundary
+        # freezes the final fraction, see docstring)
+        assert vals[0] < 0.6, "stalled far from the constrained optimum"
 
 
 class TestWidget:
