@@ -97,25 +97,83 @@ def _probe_backend(timeout_s=420.0):
     return False
 
 
+def _state_path():
+    import os
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_resume_state.json")
+
+
 class _Bench:
-    def __init__(self):
-        self.rows = []
-        self.notes = []
+    """Collects rows/notes across sections with two recovery layers.
+
+    Layer 1 (in-process): on a backend-death error, wait out the ~2-min
+    worker restart, probe (subprocess), retry the section once.
+
+    Layer 2 (re-exec): a worker death of the "TPU worker process crashed
+    or restarted" mode leaves THIS process's jax client permanently
+    broken — every later device call raises UNAVAILABLE instantly even
+    though the worker is back (measured round 5; clearing
+    jax._src.xla_bridge backends does NOT revive the axon plugin
+    channel).  When the in-process retry ALSO dies on a backend-death
+    error, the run state (rows/notes/completed sections) is persisted
+    and the process re-execs itself with ``--resume``: completed
+    sections are skipped, the remaining ones run on a fresh client.
+    Bounded at 3 re-execs."""
+
+    MAX_EXECS = 3
+
+    def __init__(self, state=None):
+        state = state or {}
+        self.rows = state.get("rows", [])
+        self.notes = state.get("notes", [])
         self.ctx = {}
-        self.first_death = None
+        self.first_death = state.get("first_death")
+        self.completed = state.get("completed", [])
+        self.execs = state.get("execs", 0)
+
+    def _save_state(self):
+        state = {"rows": self.rows, "notes": self.notes,
+                 "completed": self.completed,
+                 "first_death": self.first_death, "execs": self.execs}
+        try:
+            with open(_state_path(), "w") as f:
+                json.dump(state, f)
+        except OSError:
+            pass
+
+    def _reexec(self, name):
+        import os
+        import sys
+
+        self.execs += 1
+        self.notes.append(
+            f"{name}: client dead after worker restart (in-process retry "
+            f"raised a backend death); re-exec {self.execs}/"
+            f"{self.MAX_EXECS} with a fresh client, resuming after "
+            f"{len(self.completed)} sections")
+        self._save_state()
+        os.execv(sys.executable, [sys.executable,
+                                  os.path.abspath(__file__),
+                                  "--resume", _state_path()])
 
     def section(self, name, fn):
         """Run one bench section; on backend death wait + probe + retry
-        once.  A genuine per-row failure is recorded and skipped.
+        once; if the retry also dies (dead client), re-exec with resume.
+        A genuine per-row failure is recorded and skipped.
 
         Side effects of a failed first attempt are rolled back before the
         retry (rows/notes truncated, fresh ctx keys dropped) so a
         mid-section death cannot emit duplicate metric rows (ADVICE r4)."""
+        if name in self.completed:
+            return True
         n_rows, n_notes = len(self.rows), len(self.notes)
         ctx_keys = set(self.ctx)
         for attempt in (1, 2):
             try:
                 fn()
+                self.completed.append(name)
+                self._save_state()
                 return True
             except Exception as e:  # noqa: BLE001 - bench must survive rows
                 del self.rows[n_rows:]
@@ -137,6 +195,8 @@ class _Bench:
                         f"{name}: backend probe after restart wait: "
                         f"{'alive' if ok else 'STILL DOWN'}")
                     continue
+                if died and self.execs < self.MAX_EXECS:
+                    self._reexec(name)  # does not return
                 self.notes.append(f"{name} skipped: {msg[:200]}")
                 return False
         return False
@@ -480,6 +540,10 @@ def _run(b):
             return jax.value_and_grad(nll)(u)
 
         t_sp = _timeit(elbo_grad, usp, repeat=10, warmup=3)
+        if "t16" not in ctx:  # resumed run: recover t16 from its row
+            for r in rows:
+                if r["metric"] == "gp_nll_grad_evals_per_sec_n16384_d8":
+                    ctx["t16"] = 1.0 / r["value"]
         vsb = ctx["t16"] / t_sp if "t16" in ctx else float("nan")
         rows.append({"metric": "sgpr_elbo_grad_evals_per_sec_n100k_m512",
                      "value": round(1.0 / t_sp, 2), "unit": "evals/sec",
@@ -634,6 +698,27 @@ def _run(b):
         from g3py_tpu.bayesian.samplers import ensemble_sampler
         from g3py_tpu.bayesian.average import _mESS
 
+        if "wgp" not in ctx:
+            # resumed run: rebuild the canonical sampler workload by
+            # REPLAYING sec_headline's rng stream (x2/y2 must stay
+            # byte-identical across rounds for row comparability)
+            rr = np.random.default_rng(0)
+            rr.standard_normal((4096, d))
+            rr.standard_normal(4096)
+            x2 = rr.standard_normal((125, d)).astype(np.float32)
+            y2 = (np.abs(np.sin(x2[:, 0])) + 0.5
+                  + 0.1 * rr.standard_normal(125)).astype(np.float32)
+            wgp_r = g3.WGP(space=x2[:4], location=g3.Bias(),
+                           kernel=g3.SE(x2), mapping=g3.BoxCoxLinear(y2),
+                           name="BWGP")
+            wgp_r.observed(x2, y2)
+            import jax.numpy as _jnp
+
+            ctx["wgp"] = wgp_r
+            ctx["u2"] = _jnp.asarray(
+                wgp_r.active.dict_to_array(wgp_r.params_default))
+            notes.append("samplers: resumed run rebuilt the WGP workload "
+                         "by rng-stream replay")
         wgp, u2 = ctx["wgp"], ctx["u2"]
         logp_tr, _, _ = wgp._sampling_logps(prior=False)
         ch_w, ndim2 = 32, len(np.asarray(u2))
@@ -783,9 +868,24 @@ def _run(b):
 
 
 def main():
-    b = _Bench()
+    import os
+    import sys
+
+    state = None
+    if "--resume" in sys.argv:
+        path = sys.argv[sys.argv.index("--resume") + 1]
+        try:
+            with open(path) as f:
+                state = json.load(f)
+        except (OSError, ValueError):
+            state = None
+    b = _Bench(state)
     _run(b)
     _emit(b)
+    try:  # completed (possibly after re-execs): drop the resume state
+        os.remove(_state_path())
+    except OSError:
+        pass
 
 
 def _emit(b):

@@ -375,13 +375,16 @@ class GaussianProcess(EllipticalProcess):
         zero gradient) — many iterations per dispatch instead of many
         dispatches per iteration.
 
-        Hosted-tunnel runtime caveat (measured twice at the 50k tut19
-        workload): a chunk dispatched FROM an already-converged state
-        can fault the TPU worker (the same big-fused-program crash mode
-        as NUTS depth 7, CLAUDE.md) — budget ``max_iters`` to the
-        expected iteration count rather than relying on the plateau
-        stop, and prefer the scipy ``loop='host'`` when babysitting a
-        fragile window."""
+        Hosted-tunnel runtime caveat: chunks are auto-sized under
+        ``settings.dispatch_budget_s`` (the bisection-measured
+        worker-crash envelope, docs/performance.md — the crash axis is
+        cumulative COMPUTE per dispatch, ~50-55 s MXU-active), and a
+        budget-chunked 3x sequence at the 50k tut19 workload ran 3/3
+        crash-free.  A second, stochastic worker-fault mode remains
+        (freshly-restarted / contention-starved workers can die during
+        the first compile); bounded chunks contain its blast radius but
+        cannot remove it — prefer the scipy ``loop='host'`` when
+        babysitting a fragile window."""
         import jax as _jax
         import scipy.optimize as spo
 
