@@ -102,7 +102,7 @@ def main(budget=None, quick=False, runs=3):
         try:
             params = gp.find_MAP(start=start, engine="iterative",
                                  loop="device", points=1, display=True,
-                                 max_iters=12, chunk=4,
+                                 max_iters=12, chunk=1,
                                  linesearch_steps=5, **it_kw)
             wall = time.perf_counter() - t0
             nll, info = gp.nll_iterative(params, **it_kw)

@@ -205,7 +205,7 @@ def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
             if display and chunk_eff != chunk:
                 print(f"  dispatch budget {dispatch_budget:.0f}s: eval "
                       f"{t_eval:.2f}s -> chunk {chunk_eff}", flush=True)
-        it, v_prev = 0, float("inf")
+        it, v_prev, flat = 0, float("inf"), 0
         t_prev = _time.perf_counter()
         while it < max_iters:
             t_chunk0 = _time.perf_counter()
@@ -232,7 +232,18 @@ def lbfgs_minimize_guarded(obj_fn, starts, max_iters=200, chunk=8, tol=1e-5,
             if not np.isfinite(gmax) or gmax < tol:
                 break
             if abs(v_prev - v_host) < 1e-7 * max(1.0, abs(v_host)):
-                break  # chunk-to-chunk plateau
+                # chunk-to-chunk plateau — but require TWO consecutive
+                # flat chunks before stopping: a flat chunk can be a
+                # REJECTED step whose memory reset (see run_chunk body)
+                # makes the NEXT chunk steepest descent, and at
+                # chunk_eff=1 that retry hasn't happened yet (measured:
+                # the 50k stall exits after one flat chunk otherwise,
+                # never giving the reset its chance)
+                flat += 1
+                if flat >= 2:
+                    break
+            else:
+                flat = 0
             v_prev = v_host
         points.append(np.asarray(x, settings.floatx))
         values.append(float(v))

@@ -353,7 +353,7 @@ class GaussianProcess(EllipticalProcess):
     def _find_map_iterative(self, start=None, points=1, return_points=False,
                             display=True, max_iters=200, rank=64, block=2048,
                             cg_iters=100, probes=8, lanczos_iters=25, seed=0,
-                            loop="host", chunk=8, linesearch_steps=None,
+                            loop="host", chunk=1, linesearch_steps=None,
                             dispatch_budget=None, **_):
         """MAP search whose objective is the matrix-free NLL (plus the hyper
         priors) — L-BFGS over ``nll_iterative``'s stochastic-trace
@@ -375,16 +375,19 @@ class GaussianProcess(EllipticalProcess):
         zero gradient) — many iterations per dispatch instead of many
         dispatches per iteration.
 
-        Hosted-tunnel runtime caveat: chunks are auto-sized under
-        ``settings.dispatch_budget_s`` (the bisection-measured
-        worker-crash envelope, docs/performance.md — the crash axis is
-        cumulative COMPUTE per dispatch, ~50-55 s MXU-active), and a
-        budget-chunked 3x sequence at the 50k tut19 workload ran 3/3
-        crash-free.  A second, stochastic worker-fault mode remains
-        (freshly-restarted / contention-starved workers can die during
-        the first compile); bounded chunks contain its blast radius but
-        cannot remove it — prefer the scipy ``loop='host'`` when
-        babysitting a fragile window."""
+        Hosted-tunnel runtime caveat: ``chunk`` DEFAULTS TO 1, which is
+        the only device-loop shape never observed to fault the tunnel
+        worker — the round-5 tally at the 50k tut19 workload is
+        chunk=1: 3/3 runs (17+ dispatches) clean vs chunk=4 with a
+        capped zoom: every first dispatch dead (~6/6 across rounds 4-5,
+        on busy AND idle hosts; the length-4 scan wrapping the
+        zoom-while_loop body kills the worker at compile/first-run —
+        a program-SHAPE fault, docs/performance.md).  chunk>1 only
+        amortizes the ~1 ms dispatch RTT against ~6 s of per-iteration
+        objective evals, so it buys nothing here; raise it on healthy
+        runtimes where compile is trusted.  Chunks are additionally
+        auto-sized under ``settings.dispatch_budget_s`` (the
+        bisection-measured compute-per-dispatch crash envelope)."""
         import jax as _jax
         import scipy.optimize as spo
 
