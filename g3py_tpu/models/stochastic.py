@@ -1228,15 +1228,19 @@ class StochasticProcess(PlotModel):
                       clusters=None, prior=False, parallel=False, threads=1,
                       plot=False, file=None, load=True, seed=0, method="ensemble",
                       nuts_warmup=200, max_depth=8, target_accept=0.8,
-                      nuts_mass="diag", neutra_warmup=500, advi_steps=2000,
-                      advi_mc=8, advi_lr=0.02, advi_full_rank=True,
-                      reparam=None):
+                      nuts_mass="diag", nuts_chunk=25, neutra_warmup=500,
+                      advi_steps=2000, advi_mc=8, advi_lr=0.02,
+                      advi_full_rank=True, reparam=None):
         """MCMC over the hyperparameter posterior (reference :676-800).
 
         ``method='ensemble'`` (default) is the reference's affine-invariant
         sampler (parallel-tempered when ``ntemps``); ``method='nuts'`` runs
         the jax-native No-U-Turn sampler (gradient-based, far higher
-        effective-sample rate per iteration for smooth posteriors);
+        effective-sample rate per iteration for smooth posteriors;
+        ``nuts_chunk=25`` dispatches warmup+sampling in bounded
+        segments — measured ~zero overhead, and the escape from the
+        hosted tunnel's fused-program crash shape at depth>=7 —
+        ``None`` fuses the whole chain into one program);
         ``method='neutra'`` runs NUTS through a neural transport fitted to
         ``neutra_warmup`` iterations of ensemble warmup — the cure for
         funnel-shaped hyper posteriors where plain/dense-mass NUTS leaves
@@ -1371,11 +1375,18 @@ class StochasticProcess(PlotModel):
                     target_accept=target_accept,
                     adapt_mass="dense" if nuts_mass == "dense" else True)
             else:
+                # nuts_chunk=25 (default): warmup+sampling as bounded
+                # dispatches — the default max_depth=8 as ONE monolithic
+                # fused program is the measured worker-crash shape on
+                # the hosted tunnel, and chunked dispatch costs ~zero
+                # (benchmarks/nuts_depth_ab.py; docs/samplers.md).
+                # nuts_chunk=None restores the single fused program.
                 echain, lnprob, _info = nuts_sampler(
                     logp_tr, z0, samples, warmup=nuts_warmup, key=seed,
                     max_depth=max_depth, chains=chains,
                     target_accept=target_accept,
-                    adapt_mass="dense" if nuts_mass == "dense" else True)
+                    adapt_mass="dense" if nuts_mass == "dense" else True,
+                    chunk=nuts_chunk)
         else:
             lnprob, echain = mcmc_ensemble(
                 ndim, samples=samples, chains=chains, ntemps=ntemps, start=start,
